@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray BEFORE importing this module; nothing here calls
+``ray.init`` / ``ray.shutdown``.  ``queries()`` exposes each implemented
+operator/pipeline from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB
+re-derivation over the same sf tables (see ``planetiler_ray.oracle``).
 """
 
 from __future__ import annotations
@@ -18,27 +11,36 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> extract -> geoparse -> PIP +
+    kNN joins -> per-tile counts across zooms. Returns a small Dataset."""
+    from planetiler_ray.pipelines import webgeo
+
+    return webgeo.q_tile_counts(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from planetiler_ray.pipelines import webgeo
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_meta": webgeo.q_pages_meta,
+        "geoparse": webgeo.q_geoparse,
+        "tile_counts": webgeo.q_tile_counts,
+        "pip_join": webgeo.q_pip,
+        "knn_join": webgeo.q_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from planetiler_ray import oracle
+
+    return {
+        "pages_meta": oracle.sql_pages_meta(),
+        "geoparse": oracle.sql_mentions(),
+        "tile_counts": oracle.sql_tile_counts(),
+        "pip_join": oracle.sql_admin_join(),
+        "knn_join": oracle.sql_knn(),
+    }

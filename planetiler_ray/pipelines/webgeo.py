@@ -1,0 +1,147 @@
+"""The web-geo pipeline: pages -> extract -> geoparse -> spatial joins -> tiles.
+
+Ray-Data-native restatement of the reference's 3 phases
+(``ARCHITECTURE.md:5-11``: process inputs -> sort by tile -> emit tiles):
+
+    read_parquet(documents)                  # the raw store scan
+      -> map_batches(synthesize_pages)       # CC-style pages (input_hint shape)
+      -> map_batches(extract_stage)          # frozen html->text extractor
+      -> map_batches(geoparse_stage)         # profile flat-map: page -> points
+      -> map_batches(PIPJoiner, concurrency) # admin polygon join (broadcast)
+      -> map_batches(KNNJoiner, concurrency) # POI enrichment (broadcast)
+      -> map_batches(slice_points)           # zoom expansion + buffer dup
+      -> groupby(tile_id).map_groups(...)    # THE tile-keyed shuffle + assembly
+
+Every stage is a vectorized Arrow transform; the only all-to-all exchange is
+the final tile groupby (mirroring the reference's single external merge sort).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.pages import extract_stage, synthesize_pages
+from ..sources.world import load_admin_polygons, load_pois
+from ..stages.geoparse import geoparse_stage
+from ..stages.joins import KNNJoiner, PIPJoiner
+from ..stages.tiling import assign_cells, assign_tiles, slice_points
+
+DEFAULT_ZOOMS = (2, 6, 10, 14)
+
+
+def pages_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        synthesize_pages, batch_format="pyarrow"
+    )
+
+
+def extracted_pages_ds(sf_dir: str) -> ray.data.Dataset:
+    return pages_ds(sf_dir).map_batches(extract_stage, batch_format="pyarrow")
+
+
+def mentions_ds(sf_dir: str) -> ray.data.Dataset:
+    """Point-feature rows parsed from the EXTRACTED text (so the whole
+    html->text->parse path is under oracle test)."""
+    return extracted_pages_ds(sf_dir).map_batches(geoparse_stage, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ query bodies --
+
+def q_pages_meta(sf_dir: str) -> ray.data.Dataset:
+    """(url, warc_ts, lang, text_md5) — md5 over the EXTRACTED text, which the
+    oracle reconstructs independently: this IS the per-row byte-identity
+    invariant check."""
+
+    def meta(batch: pa.Table) -> pa.Table:
+        md5 = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("extracted").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "text_md5": pa.array(md5, pa.string()),
+            }
+        )
+
+    return extracted_pages_ds(sf_dir).map_batches(meta, batch_format="pyarrow")
+
+
+def q_geoparse(sf_dir: str) -> ray.data.Dataset:
+    return mentions_ds(sf_dir).select_columns(
+        ["doc_id", "mention_idx", "lat_mdeg", "lon_mdeg"]
+    )
+
+
+def q_tile_counts(sf_dir: str, zooms=DEFAULT_ZOOMS) -> ray.data.Dataset:
+    """Tiles-per-(z,x,y) histogram. Scale pattern: per-batch partial counts
+    inside map_batches, then a small groupby-sum (combiner before shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def expand_and_count(batch: pa.Table) -> pa.Table:
+        t = assign_tiles(batch, zooms=list(zooms))
+        df = (
+            t.select(["z", "tile_x", "tile_y"])
+            .to_pandas()
+            .groupby(["z", "tile_x", "tile_y"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = mentions_ds(sf_dir).map_batches(expand_and_count, batch_format="pyarrow")
+    out = partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
+    return out
+
+
+def q_pip(sf_dir: str) -> ray.data.Dataset:
+    handle = ray.put(load_admin_polygons(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .filter(expr="admin_id >= 0")
+        .select_columns(["doc_id", "mention_idx", "admin_id"])
+    )
+
+
+def q_knn(sf_dir: str) -> ray.data.Dataset:
+    handle = ray.put(load_pois(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            KNNJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .select_columns(["doc_id", "mention_idx", "poi_id"])
+    )
+
+
+def enriched_points_ds(sf_dir: str) -> ray.data.Dataset:
+    """Mentions + admin + poi + s2/hex cells: the full feature table that
+    feeds the tile shuffle."""
+    admin = ray.put(load_admin_polygons(sf_dir))
+    pois = ray.put(load_pois(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(PIPJoiner, fn_constructor_args=(admin,), batch_format="pyarrow",
+                     concurrency=2)
+        .map_batches(KNNJoiner, fn_constructor_args=(pois,), batch_format="pyarrow",
+                     concurrency=2)
+        .map_batches(assign_cells, batch_format="pyarrow")
+    )

@@ -1,0 +1,85 @@
+"""Spatial join stages: actor-pool classes for map_batches.
+
+The reference does these joins with in-memory STRtrees queried from the
+profile (``geo/PolygonIndex.java``, ``geo/PointIndex.java``).  Ray-Data-native
+restatement: the small side (admin polygons / POI table) is broadcast ONCE via
+``ray.put`` on the driver; each actor of the pool rebuilds its index ONCE in
+``__init__`` from the broadcast handle; ``__call__`` then answers a whole
+Arrow batch vectorized.  No shuffle — the big side streams through.
+
+Usage:
+    handle = ray.put(load_admin_polygons(sf_dir))
+    ds = ds.map_batches(PIPJoiner, fn_constructor_args=(handle,),
+                        batch_format="pyarrow", concurrency=4, num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.pip import PointIndex, PolygonIndex
+
+
+def _resolve(handle):
+    """Accept either a raw object or a ray.ObjectRef broadcast handle."""
+    try:
+        import ray
+
+        if isinstance(handle, ray.ObjectRef):
+            return ray.get(handle)
+    except ImportError:
+        pass
+    return handle
+
+
+class PIPJoiner:
+    """Point-in-polygon join: adds ``admin_id`` (containing polygon, or -1).
+
+    ``mode='containing'`` mirrors ``PolygonIndex.getContaining``;
+    ``mode='nearest'`` mirrors ``getContainingOrNearest`` (fallback to the
+    nearest polygon when no polygon contains the point).
+    """
+
+    def __init__(self, polygons_handle, mode: str = "containing",
+                 lat_col: str = "lat", lon_col: str = "lon", out_col: str = "admin_id"):
+        polygons = _resolve(polygons_handle)
+        self.index = PolygonIndex(polygons)
+        self.mode = mode
+        self.lat_col, self.lon_col, self.out_col = lat_col, lon_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy()
+        lat = batch.column(self.lat_col).to_numpy()
+        if self.mode == "containing":
+            ids = self.index.get_containing(lon, lat)
+        else:
+            ids = self.index.get_containing_or_nearest(lon, lat)
+        return batch.append_column(self.out_col, pa.array(ids, pa.int64()))
+
+
+class KNNJoiner:
+    """Nearest-POI enrichment: adds ``poi_id`` (+ optionally ``poi_d2`` and a
+    radius count), euclidean in degrees, ties -> smallest id.
+
+    Mirrors ``PointIndex.getNearest`` / ``getWithin`` semantics.
+    """
+
+    def __init__(self, pois_handle, max_radius: float | None = None,
+                 within_radius: float | None = None,
+                 lat_col: str = "lat", lon_col: str = "lon"):
+        ids, lon, lat = _resolve(pois_handle)
+        self.index = PointIndex(np.asarray(ids), np.asarray(lon), np.asarray(lat))
+        self.max_radius = max_radius
+        self.within_radius = within_radius
+        self.lat_col, self.lon_col = lat_col, lon_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column(self.lon_col).to_numpy()
+        lat = batch.column(self.lat_col).to_numpy()
+        nid, d2 = self.index.get_nearest(lon, lat, self.max_radius)
+        out = batch.append_column("poi_id", pa.array(nid, pa.int64()))
+        if self.within_radius is not None:
+            cnt = self.index.count_within(lon, lat, self.within_radius)
+            out = out.append_column("poi_within", pa.array(cnt, pa.int64()))
+        return out

@@ -1,0 +1,99 @@
+"""Spatial keying: assign web-mercator tiles (all zooms), S2 cells and hex
+cells to point rows — vectorized ``map_batches`` bodies over Arrow batches.
+
+This is the zoom-range-expansion analogue of the reference's render step
+(``render/FeatureRenderer.java:63-98``: for each feature, for each zoom in
+[min_zoom..max_zoom], emit per-tile rows).  For points the expansion is pure
+integer math — no clipping — plus buffer-duplication into neighboring tiles
+(``TiledGeometry.java:245-268`` fast path) handled by
+``geo.clip.point_tiles_vec``.
+
+DuckDB-oracle-mirrored formulas: see ``planetiler_ray.oracle.sql_tile_expr``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import clip, hexgrid, mercator, s2, tile
+
+
+def assign_tiles(batch: pa.Table, zooms=None, lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
+    """Point rows -> (row replicated per zoom) with tile_x/tile_y/tile_id.
+
+    No buffer duplication (one tile per point per zoom) — this is the
+    oracle-checkable variant used by q_tile_counts.
+    """
+    if zooms is None:
+        zooms = list(range(15))
+    lat = batch.column(lat_col).to_numpy()
+    lon = batch.column(lon_col).to_numpy()
+    wx = mercator.lon_to_world_x(lon)
+    wy = mercator.lat_to_world_y(lat)
+    n = len(lat)
+    zs, txs, tys = [], [], []
+    for z in zooms:
+        zs.append(np.full(n, z, dtype=np.int64))
+        txs.append(mercator.world_to_tile(wx, z))
+        tys.append(mercator.world_to_tile(wy, z))
+    z_arr = np.concatenate(zs)
+    tx = np.concatenate(txs)
+    ty = np.concatenate(tys)
+    idx = np.tile(np.arange(n, dtype=np.int64), len(zooms))
+    take = pa.array(idx, pa.int64())
+    cols = {name: batch.column(name).take(take) for name in batch.column_names}
+    cols["z"] = pa.array(z_arr, pa.int64())
+    cols["tile_x"] = pa.array(tx, pa.int64())
+    cols["tile_y"] = pa.array(ty, pa.int64())
+    cols["tile_id"] = pa.array(tile.encode_tile_id(z_arr, tx, ty), pa.int64())
+    return pa.table(cols)
+
+
+def assign_cells(batch: pa.Table, s2_level: int = 12, hex_res: int = 9,
+                 lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
+    """Add s2_cell and hex_cell columns (no row expansion)."""
+    lat = batch.column(lat_col).to_numpy()
+    lon = batch.column(lon_col).to_numpy()
+    wx = mercator.lon_to_world_x(lon)
+    wy = mercator.lat_to_world_y(lat)
+    out = batch.append_column("s2_cell", pa.array(s2.cell_id(lon, lat, s2_level), pa.int64()))
+    return out.append_column("hex_cell", pa.array(hexgrid.hex_cell(wx, wy, hex_res), pa.int64()))
+
+
+def slice_points(batch: pa.Table, zooms=None, buffer_px: float = 4.0,
+                 lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
+    """Point rows -> per-(zoom, tile) rows WITH buffer duplication and
+    tile-local pixel coords — the real render-path expansion feeding the
+    tile-keyed shuffle.
+
+    Output adds: z, tile_x, tile_y, tile_id, px, py.
+    """
+    if zooms is None:
+        zooms = list(range(15))
+    lat = batch.column(lat_col).to_numpy()
+    lon = batch.column(lon_col).to_numpy()
+    wx = mercator.lon_to_world_x(lon)
+    wy = mercator.lat_to_world_y(lat)
+    srcs, zs, txs, tys, pxs, pys = [], [], [], [], [], []
+    for z in zooms:
+        src, tx, ty, px, py = clip.point_tiles_vec(wx, wy, z, buffer_px)
+        srcs.append(src)
+        zs.append(np.full(len(src), z, dtype=np.int64))
+        txs.append(tx)
+        tys.append(ty)
+        pxs.append(px)
+        pys.append(py)
+    src = np.concatenate(srcs)
+    z_arr = np.concatenate(zs)
+    tx = np.concatenate(txs)
+    ty = np.concatenate(tys)
+    take = pa.array(src, pa.int64())
+    cols = {name: batch.column(name).take(take) for name in batch.column_names}
+    cols["z"] = pa.array(z_arr, pa.int64())
+    cols["tile_x"] = pa.array(tx, pa.int64())
+    cols["tile_y"] = pa.array(ty, pa.int64())
+    cols["tile_id"] = pa.array(tile.encode_tile_id(z_arr, tx, ty), pa.int64())
+    cols["px"] = pa.array(np.concatenate(pxs), pa.float64())
+    cols["py"] = pa.array(np.concatenate(pys), pa.float64())
+    return pa.table(cols)

@@ -1,0 +1,88 @@
+"""End-to-end pipeline tests over the sf0.001 tables (uses the session Ray
+fixture; mirrors the reference's PlanetilerTests in-memory strategy)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from planetiler_ray.sources import pages as P
+from planetiler_ray.sources import world as W
+from planetiler_ray.stages.geoparse import parse_mentions
+
+
+def test_extract_invariant_no_ray():
+    """Per-row invariant: extract(html) is byte-identical to text."""
+    doc_id = np.arange(57)
+    base = pd.Series(["hello & <world> " + str(i) for i in doc_id])
+    text = P.build_text(doc_id, base)
+    html = P.build_html(doc_id, text)
+    extracted = P.extract_text_series(html)
+    assert (extracted == text).all()
+
+
+def test_parse_matches_formula_no_ray():
+    doc_id = np.arange(200)
+    base = pd.Series(["plain words only"] * len(doc_id))
+    text = P.build_text(doc_id, base)
+    got = parse_mentions(text, doc_id)
+    # expected from the arithmetic model
+    rows = []
+    for d in doc_id:
+        n_m = d % 4
+        for j in range(n_m):
+            la, lo = P.mention_mdeg(np.array([d]), j)
+            rows.append((d, j, int(la[0]), int(lo[0])))
+        if d % P.HOT_EVERY == 0:
+            la, lo = P.hot_mdeg(np.array([d]))
+            rows.append((d, n_m, int(la[0]), int(lo[0])))
+    exp = pd.DataFrame(rows, columns=["doc_id", "mention_idx", "lat_mdeg", "lon_mdeg"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), exp.astype("int64")
+    )
+
+
+def test_decoys_rejected():
+    text = pd.Series([P.DECOY_SUFFIX, "(12.345, 67.890) ok"])
+    got = parse_mentions(text, np.array([0, 1]))
+    assert got["doc_id"].tolist() == [1]
+    assert got["lat_mdeg"].tolist() == [12345]
+
+
+def test_admin_rects_partition_the_world():
+    """Every mention-grid point belongs to exactly one admin rect."""
+    lat_m = np.arange(-85000, 85000, 7717)
+    lon_m = np.arange(-180000, 180000, 13313)
+    from planetiler_ray.geo.pip import PolygonIndex
+
+    polys = [(k, [W.admin_ring(k)]) for k in range(25)]
+    idx = PolygonIndex(polys)
+    lons, lats = np.meshgrid(lon_m / 1000.0, lat_m / 1000.0)
+    got = idx.get_containing(lons.ravel(), lats.ravel())
+    assert (got >= 0).all()
+    # formula cross-check
+    col = np.floor((lons.ravel() - (-180.0 - W.ADMIN_EDGE_OFF)) / W.ADMIN_LON_W).astype(int)
+    row = np.floor((lats.ravel() - (-85.0 - W.ADMIN_EDGE_OFF)) / W.ADMIN_LAT_H).astype(int)
+    np.testing.assert_array_equal(got, row * W.ADMIN_COLS + col)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert {"z", "tile_x", "tile_y", "n"} <= set(df.columns)
+    assert set(df["z"].unique()) <= {2, 6, 10, 14}
+    # hot-spot skew: at z6 the Paris tile (32, 22) must be the biggest
+    z6 = df[df["z"] == 6]
+    top = z6.sort_values("n", ascending=False).iloc[0]
+    assert (top["tile_x"], top["tile_y"]) == (32, 22)
+
+
+def test_queries_have_oracles():
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    # the core 5 are oracle-checked
+    assert {"pages_meta", "geoparse", "tile_counts", "pip_join", "knn_join"} <= set(os_)
