@@ -16,21 +16,46 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: pages -> extract -> geoparse -> PIP +
-    kNN joins -> per-tile counts across zooms. Returns a small Dataset."""
-    from planetiler_ray.pipelines import webgeo
+    kNN joins -> zoom expansion -> tile-keyed shuffle -> per-tile MVT
+    assembly.  Returns the assembled-tile summary Dataset."""
+    from planetiler_ray.pipelines import flagship
 
-    return webgeo.q_tile_counts(SF_SMOKE)
+    return flagship.tile_summary_ds(SF_SMOKE, zooms=[0, 2, 4, 6, 8, 10, 12, 14])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from planetiler_ray.pipelines import webgeo
+    from planetiler_ray.pipelines import training, webgeo
 
     return {
+        # web-geo / tiling core
         "pages_meta": webgeo.q_pages_meta,
         "geoparse": webgeo.q_geoparse,
         "tile_counts": webgeo.q_tile_counts,
         "pip_join": webgeo.q_pip,
         "knn_join": webgeo.q_knn,
+        # dedup suite
+        "exact_dedup": training.q_exact_dedup,
+        "jaccard_pairs": training.q_jaccard_pairs,
+        "minhash_lsh": training.q_minhash_lsh,
+        "simhash": training.q_simhash,
+        "embedding_neardup": training.q_embedding_neardup,
+        # similarity search
+        "ann_brute": training.q_ann_brute,
+        "ann_ivf": training.q_ann_ivf,
+        # text analysis
+        "text_stats": training.q_text_stats,
+        "quality": training.q_quality,
+        "fingerprint": training.q_fingerprint,
+        "langid": training.q_langid,
+        # multimodal plumbing
+        "media_features": training.q_media_features,
+        # stream-shaped ops
+        "window": training.q_window,
+        "sessionize": training.q_sessionize,
+        "asof_join": training.q_asof,
+        "topk_events": training.q_topk_events,
+        # plain wide aggregate
+        "lineitem_agg": training.q_lineitem_agg,
     }
 
 
@@ -43,4 +68,18 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": oracle.sql_tile_counts(),
         "pip_join": oracle.sql_admin_join(),
         "knn_join": oracle.sql_knn(),
+        "exact_dedup": oracle.sql_exact_dedup(),
+        "jaccard_pairs": oracle.sql_jaccard_pairs(),
+        "ann_brute": oracle.sql_ann_brute(),
+        "text_stats": oracle.sql_text_stats(),
+        "quality": oracle.sql_quality(),
+        "fingerprint": oracle.sql_fingerprint(),
+        "window": oracle.sql_window(),
+        "sessionize": oracle.sql_sessionize(),
+        "asof_join": oracle.sql_asof(),
+        "topk_events": oracle.sql_topk_events(),
+        "lineitem_agg": oracle.sql_lineitem_agg(),
+        # rows-only (probabilistic / approximate / stubbed):
+        #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
+        #   media_features
     }

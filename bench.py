@@ -1,0 +1,119 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline metric: the flagship build (pages -> extract -> geoparse -> PIP/kNN
+joins -> zoom expansion -> tile shuffle -> MVT assembly -> files archive) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1), with docs/s and tiles/s derived.
+
+``python bench.py --scaling`` runs the same job at num_cpus=8 and 32 in fresh
+processes and reports throughput at both + scaling efficiency (the sandbox
+evidence for the north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ZOOMS = [0, 2, 4, 6, 8, 10, 12, 14]
+# corpus amplification: documents tables are small; replicate deterministically
+# (each replica gets perturbed coordinates) so the bench moves real volume
+BENCH_REPL = int(os.environ.get("BENCH_REPL", "20"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from planetiler_ray.pipelines import flagship, webgeo
+
+    # warm the page cache (untimed read)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(f"{SF_DIR}/documents.parquet").num_rows
+
+    queries = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    out_dir = tempfile.mkdtemp(prefix="bench_tiles_")
+    try:
+        t0 = time.time()
+        df = flagship.build_archive(SF_DIR, out_dir, zooms=BENCH_ZOOMS,
+                                    repl=BENCH_REPL)
+        headline = time.time() - t0
+        n_tiles = int(df.n_tiles.sum())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    queries["flagship_build"] = round(headline, 3)
+    n_docs *= BENCH_REPL
+
+    timed("pages_meta", lambda: webgeo.q_pages_meta(SF_DIR).count())
+    timed("geoparse", lambda: webgeo.q_geoparse(SF_DIR).count())
+    timed("tile_counts", lambda: webgeo.q_tile_counts(SF_DIR).count())
+    timed("pip_join", lambda: webgeo.q_pip(SF_DIR).count())
+    timed("knn_join", lambda: webgeo.q_knn(SF_DIR).count())
+
+    result = {
+        "metric": "flagship build seconds (sf dir end-to-end to files archive)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": int(n_docs),
+        "n_tiles": n_tiles,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "tiles_per_sec": round(n_tiles / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = run(lo_n)
+    hi = run(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    print(json.dumps({
+        "metric": "scaling efficiency (N=8 -> 4N=32 cpus, same input)",
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        "tiles_per_sec_lo": lo["tiles_per_sec"],
+        "tiles_per_sec_hi": hi["tiles_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

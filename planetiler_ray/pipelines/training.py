@@ -1,0 +1,203 @@
+"""Training-data operator queries: dedup / similarity / text analysis /
+windows — each returns a Dataset from ``sf_dir`` (driver contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..stages import ann, dedup, events, text
+
+
+def docs_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def events_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup.exact_dedup(docs_ds(sf_dir, ["doc_id", "text"])).select_columns(
+        ["keep_id", "n_dups"]
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact-Jaccard pairs on a deterministic 1/5 doc sample (the synthetic
+    corpus shares a tiny vocabulary, so all-pairs blocking is quadratic; the
+    operator itself is general — the sample only bounds the oracle query)."""
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = batch.column("doc_id").to_numpy() % 5 == 0
+        return batch.filter(pa.array(keep))
+
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(sample, batch_format="pyarrow")
+    return dedup.jaccard_pairs(ds, threshold=0.5)
+
+
+def q_minhash_lsh(sf_dir: str):
+    """Probabilistic near-dup candidates (rows-only check)."""
+    sigs = dedup.minhash_signatures(docs_ds(sf_dir, ["doc_id", "text"]))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs, hamming <= 3 (rows-only check)."""
+    return dedup.simhash_candidates(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def q_text_stats(sf_dir: str):
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text.text_stats, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text.quality_score, batch_format="pyarrow"
+    ).select_columns(["doc_id", "quality_bp"])
+
+
+def q_fingerprint(sf_dir: str):
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text.fingerprint, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fp_md5"])
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language guess (rows-only: heuristic, no SQL twin)."""
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text.langid_ngram, batch_format="pyarrow"
+    )
+
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mask = ids < n
+    mat = np.stack(t.column("embedding").to_pylist())[mask].astype(np.float64)
+    return ids[mask], mat
+
+
+def q_ann_brute(sf_dir: str):
+    handle = ray.put(_query_vectors(sf_dir))
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    return ann.brute_topk(embs, handle, k=5)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only: approximate by design)."""
+    q = _query_vectors(sf_dir)
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    sample = np.stack(embs.limit(2048).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    cent = ann.train_centroids(sample)
+    return ann.ivf_topk(embs, ray.put(q), ray.put(cent), k=5)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only: bucketed approximation).
+
+    Random vectors are near-orthogonal, so to demonstrate the operator the
+    query plants near-duplicates: each vector gets a sibling (vec_id +
+    1_000_000) with a deterministic small perturbation; the operator should
+    recover exactly those pairs."""
+    import pyarrow as pa
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
+        # deterministic tiny perturbation seeded by vec_id
+        pert = mat.copy()
+        for i, v in enumerate(ids):
+            rng = np.random.default_rng(int(v))
+            pert[i] += rng.normal(0, 0.01, mat.shape[1]).astype(np.float32)
+        out_ids = np.concatenate([ids, ids + 1_000_000])
+        out_mat = np.concatenate([mat, pert])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_mat), pa.list_(pa.float32())),
+            }
+        )
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return ann.embedding_neardup(embs, tau=0.99)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing demo (rows-only; stub decoder)."""
+    from ..stages.multimodal import media_pipeline
+
+    return media_pipeline(docs_ds(sf_dir, ["doc_id"]))
+
+
+def q_window(sf_dir: str):
+    return events.tumbling_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
+
+
+def q_sessionize(sf_dir: str):
+    return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
+
+
+def q_asof(sf_dir: str):
+    return events.asof_join_views(
+        events_ds(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
+def q_topk_events(sf_dir: str):
+    """Global top-k by value (sort + limit), cents-int output."""
+    import pyarrow as pa
+
+    def to_cents(batch):
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents, pa.int64())).drop_columns(["value"])
+
+    ds = events_ds(sf_dir, ["event_id", "user_id", "value"]).map_batches(
+        to_cents, batch_format="pyarrow"
+    )
+    out = ds.sort(["cents", "event_id"], descending=[True, False]).limit(10)
+    return out.select_columns(["event_id", "user_id", "cents"])
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Plain wide groupby-aggregate (TPC-H Q1-shaped) with batch combiners."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # integer units so distributed summation order can't change the result
+        df["qty_i"] = df["l_quantity"].round().astype("int64")
+        df["price_c"] = (df["l_extendedprice"] * 100).round().astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_part=("qty_i", "sum"),
+            price_part=("price_c", "sum"),
+            n_part=("qty_i", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_part", alias_name="sum_qty"),
+            Sum("price_part", alias_name="sum_price"),
+            Sum("n_part", alias_name="n_rows"),
+        )
+    )

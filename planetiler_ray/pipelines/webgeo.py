@@ -36,20 +36,28 @@ from ..stages.tiling import assign_cells, assign_tiles, slice_points
 DEFAULT_ZOOMS = (2, 6, 10, 14)
 
 
-def pages_ds(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
-        synthesize_pages, batch_format="pyarrow"
+def pages_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
+    from ..sources.pages import replicate_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    if repl > 1:
+        ds = ds.map_batches(replicate_documents, batch_format="pyarrow",
+                            fn_kwargs={"repl": repl})
+    return ds.map_batches(synthesize_pages, batch_format="pyarrow")
 
 
-def extracted_pages_ds(sf_dir: str) -> ray.data.Dataset:
-    return pages_ds(sf_dir).map_batches(extract_stage, batch_format="pyarrow")
+def extracted_pages_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
+    return pages_ds(sf_dir, repl).map_batches(extract_stage, batch_format="pyarrow")
 
 
-def mentions_ds(sf_dir: str) -> ray.data.Dataset:
+def mentions_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
     """Point-feature rows parsed from the EXTRACTED text (so the whole
     html->text->parse path is under oracle test)."""
-    return extracted_pages_ds(sf_dir).map_batches(geoparse_stage, batch_format="pyarrow")
+    return extracted_pages_ds(sf_dir, repl).map_batches(
+        geoparse_stage, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------------------ query bodies --
@@ -111,7 +119,8 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
             PIPJoiner,
             fn_constructor_args=(handle,),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 4),
+            num_cpus=0.5,
         )
         .filter(expr="admin_id >= 0")
         .select_columns(["doc_id", "mention_idx", "admin_id"])
@@ -126,22 +135,23 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
             KNNJoiner,
             fn_constructor_args=(handle,),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 4),
+            num_cpus=0.5,
         )
         .select_columns(["doc_id", "mention_idx", "poi_id"])
     )
 
 
-def enriched_points_ds(sf_dir: str) -> ray.data.Dataset:
+def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
     """Mentions + admin + poi + s2/hex cells: the full feature table that
     feeds the tile shuffle."""
     admin = ray.put(load_admin_polygons(sf_dir))
     pois = ray.put(load_pois(sf_dir))
     return (
-        mentions_ds(sf_dir)
+        mentions_ds(sf_dir, repl)
         .map_batches(PIPJoiner, fn_constructor_args=(admin,), batch_format="pyarrow",
-                     concurrency=2)
+                     concurrency=(1, 4), num_cpus=0.5)
         .map_batches(KNNJoiner, fn_constructor_args=(pois,), batch_format="pyarrow",
-                     concurrency=2)
+                     concurrency=(1, 4), num_cpus=0.5)
         .map_batches(assign_cells, batch_format="pyarrow")
     )

@@ -1,0 +1,280 @@
+"""PMTiles v3 sink + reader (single-file, Hilbert-clustered archive).
+
+Implements the public PMTiles v3 spec (github.com/protomaps/PMTiles):
+127-byte header, gzipped root directory (varint-encoded: tile-id deltas,
+run lengths, lengths, offsets), gzipped JSON metadata, leaf directories
+(when needed), then tile data.  Mirrors the reference's
+``pmtiles/WriteablePmtiles.java`` capabilities: Hilbert tile ordering +
+content dedup (identical blobs share one data range).
+
+The global Hilbert order is produced by the upstream Dataset sort (the same
+distributed sort the reference does with ExternalMergeSort); the writer
+itself streams on the driver (single file = single writer, like the
+reference).  PMTiles tile ids are the standard z-offset + per-zoom Hilbert
+index — our ``geo.tile.encode_tile_id(..., HILBERT)`` layout matches.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+
+import numpy as np
+
+from ..geo import tile as T
+
+MAGIC = b"PMTiles"
+SPEC_VERSION = 3
+HEADER_LEN = 127
+
+TILE_TYPE_MVT = 1
+COMPRESSION_GZIP = 2
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf, off):
+    shift = val = 0
+    while True:
+        b = buf[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, off
+        shift += 7
+
+
+def serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """entries: (tile_id, offset, length, run_length), sorted by tile_id."""
+    out = bytearray(_varint(len(entries)))
+    last = 0
+    for tid, _, _, _ in entries:
+        out += _varint(tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        out += _varint(rl)
+    for _, _, ln, _ in entries:
+        out += _varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln, _ in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            out += _varint(0)
+        else:
+            out += _varint(off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(out)
+
+
+def deserialize_directory(data: bytes) -> list[tuple[int, int, int, int]]:
+    n, off = _read_varint(data, 0)
+    tids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, off = _read_varint(data, off)
+        last += d
+        tids.append(last)
+    for _ in range(n):
+        v, off = _read_varint(data, off)
+        rls.append(v)
+    for _ in range(n):
+        v, off = _read_varint(data, off)
+        lens.append(v)
+    prev_off = prev_len = 0
+    for i in range(n):
+        v, off = _read_varint(data, off)
+        if v == 0:
+            o = prev_off + prev_len
+        else:
+            o = v - 1
+        offs.append(o)
+        prev_off, prev_len = o, lens[i]
+    return list(zip(tids, offs, lens, rls))
+
+
+def _header(root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
+            data_off, data_len, n_addressed, n_entries, n_contents,
+            min_zoom, max_zoom) -> bytes:
+    h = bytearray(HEADER_LEN)
+    h[0:7] = MAGIC
+    h[7] = SPEC_VERSION
+    struct.pack_into("<Q", h, 8, root_off)
+    struct.pack_into("<Q", h, 16, root_len)
+    struct.pack_into("<Q", h, 24, meta_off)
+    struct.pack_into("<Q", h, 32, meta_len)
+    struct.pack_into("<Q", h, 40, leaf_off)
+    struct.pack_into("<Q", h, 48, leaf_len)
+    struct.pack_into("<Q", h, 56, data_off)
+    struct.pack_into("<Q", h, 64, data_len)
+    struct.pack_into("<Q", h, 72, n_addressed)
+    struct.pack_into("<Q", h, 80, n_entries)
+    struct.pack_into("<Q", h, 88, n_contents)
+    h[96] = 0  # not clustered flag (we ARE clustered: 1)
+    h[96] = 1
+    h[97] = COMPRESSION_GZIP  # internal compression
+    h[98] = COMPRESSION_GZIP  # tile compression
+    h[99] = TILE_TYPE_MVT
+    h[100] = min_zoom
+    h[101] = max_zoom
+    # bounds (E7 ints): world
+    struct.pack_into("<i", h, 102, -180_0000000)
+    struct.pack_into("<i", h, 106, -85_0000000)
+    struct.pack_into("<i", h, 110, 180_0000000)
+    struct.pack_into("<i", h, 114, 85_0000000)
+    h[118] = 0  # center zoom
+    struct.pack_into("<i", h, 119, 0)
+    struct.pack_into("<i", h, 123, 0)
+    return bytes(h)
+
+
+MAX_ROOT_ENTRIES = 16384
+
+
+def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
+    """Stream a tiles Dataset into a PMTiles v3 file.
+
+    The Dataset is sorted by Hilbert tile id via the distributed sort
+    (``ds.sort``) — the driver then streams batches in order, dedups blobs by
+    content hash, and packs directories.
+    """
+    hl = tiles_ds.map_batches(_add_hilbert, batch_format="pyarrow").sort("hilbert_id")
+    entries: list[tuple[int, int, int, int]] = []
+    blob_off: dict[int, tuple[int, int]] = {}
+    data = bytearray()
+    n_addressed = 0
+    minz, maxz = 99, 0
+    for batch in hl.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        hids = batch.column("hilbert_id").to_numpy()
+        blobs = batch.column("tile_gz").to_pylist()
+        hashes = batch.column("content_hash").to_numpy()
+        zs = batch.column("z").to_numpy()
+        for hid, blob, h, z in zip(hids, blobs, hashes, zs):
+            n_addressed += 1
+            minz, maxz = min(minz, int(z)), max(maxz, int(z))
+            loc = blob_off.get(int(h))
+            if loc is None:
+                loc = (len(data), len(blob))
+                data += blob
+                blob_off[int(h)] = loc
+            off, ln = loc
+            if entries and entries[-1][1] == off and entries[-1][0] + entries[-1][3] == hid:
+                # extend run of identical consecutive tiles
+                tid0, o0, l0, rl = entries[-1]
+                entries[-1] = (tid0, o0, l0, rl + 1)
+            else:
+                entries.append((int(hid), off, ln, 1))
+    # directories
+    meta_gz = gzip.compress(json.dumps(metadata or {"name": "planetiler_ray"}).encode())
+    if len(entries) <= MAX_ROOT_ENTRIES:
+        root = gzip.compress(serialize_directory(entries))
+        leaves = b""
+        n_root = len(entries)
+    else:
+        # split into leaf directories of 8k entries; root points at leaves
+        leaf_dirs = []
+        root_entries = []
+        leaf_bytes = bytearray()
+        for i in range(0, len(entries), 8192):
+            chunk = entries[i : i + 8192]
+            ser = gzip.compress(serialize_directory(chunk))
+            root_entries.append((chunk[0][0], len(leaf_bytes), len(ser), 0))
+            leaf_bytes += ser
+            leaf_dirs.append(ser)
+        root = gzip.compress(serialize_directory(root_entries))
+        leaves = bytes(leaf_bytes)
+        n_root = len(root_entries)
+    root_off = HEADER_LEN
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta_gz)
+    data_off = leaf_off + len(leaves)
+    header = _header(root_off, len(root), meta_off, len(meta_gz), leaf_off,
+                     len(leaves), data_off, len(data), n_addressed,
+                     len(entries), len(blob_off), minz if n_addressed else 0, maxz)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(root)
+        f.write(meta_gz)
+        f.write(leaves)
+        f.write(data)
+    return {
+        "n_tiles": n_addressed,
+        "n_entries": len(entries),
+        "n_unique_blobs": len(blob_off),
+        "n_bytes": len(data),
+    }
+
+
+def _add_hilbert(batch):
+    import pyarrow as pa
+
+    hid = T.convert_tile_id(batch.column("tile_id").to_numpy(), T.XYZ, T.HILBERT)
+    return batch.append_column("hilbert_id", pa.array(hid, pa.int64()))
+
+
+class PMTilesReader:
+    """Minimal reader for round-trip tests."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        h = self.f.read(HEADER_LEN)
+        assert h[0:7] == MAGIC, "bad magic"
+        (self.root_off,) = struct.unpack_from("<Q", h, 8)
+        (self.root_len,) = struct.unpack_from("<Q", h, 16)
+        (self.meta_off,) = struct.unpack_from("<Q", h, 24)
+        (self.meta_len,) = struct.unpack_from("<Q", h, 32)
+        (self.leaf_off,) = struct.unpack_from("<Q", h, 40)
+        (self.leaf_len,) = struct.unpack_from("<Q", h, 48)
+        (self.data_off,) = struct.unpack_from("<Q", h, 56)
+        (self.data_len,) = struct.unpack_from("<Q", h, 64)
+        (self.n_addressed,) = struct.unpack_from("<Q", h, 72)
+        self.min_zoom, self.max_zoom = h[100], h[101]
+        self.f.seek(self.root_off)
+        self.root = deserialize_directory(gzip.decompress(self.f.read(self.root_len)))
+        self.has_leaves = self.leaf_len > 0
+
+    def metadata(self) -> dict:
+        self.f.seek(self.meta_off)
+        return json.loads(gzip.decompress(self.f.read(self.meta_len)))
+
+    def _lookup(self, entries, hid):
+        lo, hi = 0, len(entries) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if entries[mid][0] <= hid:
+                best = entries[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return best
+
+    def get_tile(self, z: int, x: int, y: int) -> bytes | None:
+        hid = int(T.encode_tile_id(z, x, y, T.HILBERT))
+        e = self._lookup(self.root, hid)
+        if e is None:
+            return None
+        if self.has_leaves:
+            tid, off, ln, rl = e
+            self.f.seek(self.leaf_off + off)
+            leaf = deserialize_directory(gzip.decompress(self.f.read(ln)))
+            e = self._lookup(leaf, hid)
+            if e is None:
+                return None
+        tid, off, ln, rl = e
+        if hid >= tid + max(rl, 1):
+            return None
+        self.f.seek(self.data_off + off)
+        return self.f.read(ln)
+
+    def close(self):
+        self.f.close()

@@ -113,6 +113,26 @@ def build_html(doc_id: np.ndarray, text: pd.Series) -> pd.Series:
     return head + _escape(text.reset_index(drop=True)) + tail
 
 
+REPL_STRIDE = 10_000_000
+
+
+def replicate_documents(batch: pa.Table, repl: int) -> pa.Table:
+    """Deterministic corpus amplification for throughput benchmarks: replica k
+    of a document gets ``doc_id + k * REPL_STRIDE`` — the mention arithmetic
+    then yields different (perturbed) coordinates per replica, so the
+    amplified corpus is not trivially dedupable."""
+    if repl <= 1:
+        return batch
+    n = batch.num_rows
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), repl), pa.int64())
+    out = batch.take(idx)
+    k = np.repeat(np.arange(repl, dtype=np.int64), n)
+    doc_id = out.column("doc_id").to_numpy() + k * REPL_STRIDE
+    return out.set_column(
+        out.column_names.index("doc_id"), "doc_id", pa.array(doc_id, pa.int64())
+    )
+
+
 def synthesize_pages(batch: pa.Table) -> pa.Table:
     """``documents`` Arrow batch -> ``pages`` Arrow batch (map_batches body).
 

@@ -1,0 +1,195 @@
+"""Per-tile assembly: the ``map_groups`` stage after the tile-keyed shuffle.
+
+Mirrors ``FeatureGroup.TileFeatures`` + ``TileArchiveWriter`` encode semantics
+(``collection/FeatureGroup.java:410-646``, ``archive/TileArchiveWriter.java:273-394``):
+all rows of one tile are ordered by (layer, sort_key, feature_id), label-grid
+limits drop low-priority points per grid cell (``FeatureGroup.java:616-637``),
+features are encoded into one MVT protobuf, gzipped, and content-hashed
+(FNV-1a, ``TileArchiveWriter.java:506-508``) for archive-level dedup of
+identical tiles (ocean fills).
+
+Determinism: ties in sort_key keep ``feature_id`` order — a total order, so
+distributed runs are byte-reproducible (SURVEY.md §7.4 hard part #1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo import mvt, wkb
+from ..pipelines.profile import TilingProfile, resolve_zoom
+
+FNV1A64_OFFSET = 0xCBF29CE484222325
+FNV1A64_PRIME = 0x100000001B3
+
+
+def fnv1a64(data: bytes) -> int:
+    h = FNV1A64_OFFSET
+    for b in data:
+        h = ((h ^ b) * FNV1A64_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+TILE_SCHEMA = pa.schema(
+    [
+        ("tile_id", pa.int64()),
+        ("z", pa.int64()),
+        ("tile_x", pa.int64()),
+        ("tile_y", pa.int64()),
+        ("n_features", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("tile_gz", pa.binary()),
+        ("content_hash", pa.int64()),
+    ]
+)
+
+
+def hash_bucket(tile_id, n_buckets: int = 1024):
+    """Deterministic load-balancing bucket for the tile shuffle.
+
+    All rows of one tile share a bucket; consecutive tile ids scatter across
+    buckets (splitmix-style mix) so low-zoom tiles don't pile into one group
+    — this is the shuffle-key design knob of SURVEY.md §7.3.
+    """
+    x = np.asarray(tile_id, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(29)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(32)
+    return (x % np.uint64(n_buckets)).astype(np.int64)
+
+
+def make_bucket_assembler(profile: TilingProfile):
+    """map_groups body over ``bucket``: assembles ALL tiles of one bucket in
+    one call (amortizes per-group overhead; the reference batches tiles the
+    same way, ``TileArchiveWriter.java:244-271``)."""
+
+    assemble_one = make_tile_assembler(profile)
+
+    def assemble_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return TILE_SCHEMA.empty_table()
+        tid = group.column("tile_id").to_numpy()
+        order = np.argsort(tid, kind="stable")
+        group = group.take(pa.array(order, pa.int64()))
+        tid = tid[order]
+        bounds = np.flatnonzero(np.diff(tid)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tid)]])
+        out = [assemble_one(group.slice(s, e - s)) for s, e in zip(starts, ends)]
+        return pa.concat_tables(out) if out else TILE_SCHEMA.empty_table()
+
+    return assemble_bucket
+
+
+def make_tile_assembler(profile: TilingProfile):
+    """Returns the body assembling one tile's rows -> one tile row."""
+
+    layer_order = list(profile.layers)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return TILE_SCHEMA.empty_table()
+        z = int(group.column("z")[0].as_py())
+        tx = int(group.column("tile_x")[0].as_py())
+        ty = int(group.column("tile_y")[0].as_py())
+        tile_id = int(group.column("tile_id")[0].as_py())
+        cols = set(group.column_names)
+        layers_out: dict[str, list[dict]] = {}
+        n_features = 0
+        layer_col = group.column("layer").to_pylist()
+        for lname in layer_order:
+            spec = profile.layers[lname]
+            if not (spec.min_zoom <= z <= spec.max_zoom):
+                continue
+            sel = [i for i, v in enumerate(layer_col) if v == lname]
+            if not sel:
+                continue
+            sub = group.take(pa.array(sel, pa.int64()))
+            # deterministic order: (sort_key, feature_id)
+            sk = (
+                sub.column(spec.sort_key_col).to_numpy()
+                if spec.sort_key_col and spec.sort_key_col in cols
+                else np.zeros(sub.num_rows, dtype=np.int64)
+            )
+            fid = sub.column("feature_id").to_numpy()
+            order = np.lexsort((fid, sk))
+            sub = sub.take(pa.array(order, pa.int64()))
+            sk = sk[order]
+            # label grid limit (points only)
+            grid_px = resolve_zoom(spec.label_grid_px, z)
+            limit = resolve_zoom(spec.label_grid_limit, z)
+            keep = np.ones(sub.num_rows, dtype=bool)
+            if grid_px and limit and "px" in cols:
+                px = sub.column("px").to_numpy()
+                py = sub.column("py").to_numpy()
+                pts = ~np.isnan(px)
+                cell = (
+                    np.floor_divide(px, grid_px).astype(np.int64) * 100003
+                    + np.floor_divide(py, grid_px).astype(np.int64)
+                )
+                seen: dict[int, int] = {}
+                for i in range(sub.num_rows):
+                    if not pts[i]:
+                        continue
+                    c = int(cell[i])
+                    cnt = seen.get(c, 0)
+                    if cnt >= limit:
+                        keep[i] = False
+                    else:
+                        seen[c] = cnt + 1
+            feats: list[dict] = []
+            kinds = sub.column("kind").to_pylist()
+            fids = sub.column("feature_id").to_numpy()
+            geom_px = sub.column("geom_px").to_pylist() if "geom_px" in cols else None
+            pxs = sub.column("px").to_numpy() if "px" in cols else None
+            pys = sub.column("py").to_numpy() if "py" in cols else None
+            attr_arrays = {
+                c: sub.column(c).to_pylist() for c in spec.attr_cols if c in cols
+            }
+            for i in range(sub.num_rows):
+                if not keep[i]:
+                    continue
+                kind = kinds[i]
+                if kind == "point" and pxs is not None and not np.isnan(pxs[i]):
+                    parts = [np.array([[pxs[i], pys[i]]])]
+                else:
+                    gk, gd = wkb.decode_wkb(geom_px[i])
+                    kind = gk
+                    parts = (
+                        gd
+                        if gk in ("linestring", "polygon", "multilinestring")
+                        else [gd]
+                    )
+                    if gk == "multilinestring":
+                        kind = "linestring"
+                attrs = {
+                    c: v[i]
+                    for c, v in attr_arrays.items()
+                    if v[i] is not None
+                }
+                feats.append(
+                    {"id": int(fids[i]), "kind": kind, "parts": parts, "attrs": attrs}
+                )
+            if feats:
+                layers_out[lname] = feats
+                n_features += len(feats)
+        data = mvt.encode_tile(layers_out)
+        gz = mvt.gzip_tile(data)
+        h = fnv1a64(data)
+        return pa.table(
+            {
+                "tile_id": pa.array([tile_id], pa.int64()),
+                "z": pa.array([z], pa.int64()),
+                "tile_x": pa.array([tx], pa.int64()),
+                "tile_y": pa.array([ty], pa.int64()),
+                "n_features": pa.array([n_features], pa.int64()),
+                "n_bytes": pa.array([len(gz)], pa.int64()),
+                "tile_gz": pa.array([gz], pa.binary()),
+                "content_hash": pa.array(
+                    [np.int64(np.uint64(h))], pa.int64()
+                ),
+            }
+        )
+
+    return assemble

