@@ -37,7 +37,7 @@ _MOVE_TO, _LINE_TO, _CLOSE_PATH = 1, 2, 7
 
 # ---------------------------------------------------------------- protobuf --
 
-def _varint(n: int) -> bytes:
+def _varint_slow(n: int) -> bytes:
     out = bytearray()
     n &= 0xFFFFFFFFFFFFFFFF
     while True:
@@ -48,6 +48,16 @@ def _varint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+# small-value cache: geometry deltas and tag indexes are almost always small
+_VARINT_CACHE = [_varint_slow(i) for i in range(1 << 14)]
+
+
+def _varint(n: int) -> bytes:
+    if 0 <= n < (1 << 14):
+        return _VARINT_CACHE[n]
+    return _varint_slow(n)
 
 
 def _read_varint(buf: memoryview, off: int):
@@ -71,7 +81,20 @@ def _len_delim(field_no: int, payload: bytes) -> bytes:
 
 
 def _packed_varints(values) -> bytes:
-    return b"".join(_varint(int(v)) for v in values)
+    cache = _VARINT_CACHE
+    return b"".join(
+        cache[v] if 0 <= v < 16384 else _varint_slow(v)
+        for v in map(int, values)
+    )
+
+
+def point_commands(px: float, py: float, scale: int = SCALE) -> tuple[int, int, int]:
+    """Fast path: MVT commands of a single point feature (no numpy)."""
+    x = round(px * scale)
+    y = round(py * scale)
+    zx = (x << 1) ^ (x >> 63) if x >= 0 else ((-x) << 1) - 1
+    zy = (y << 1) ^ (y >> 63) if y >= 0 else ((-y) << 1) - 1
+    return (9, zx, zy)  # MoveTo, count=1
 
 
 def zigzag(v):

@@ -58,8 +58,16 @@ def _conform(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def point_rows_ds(sf_dir: str, zooms=None, repl: int = 1) -> ray.data.Dataset:
-    """places layer: enriched mention points sliced into all zooms."""
+def point_rows_ds(sf_dir: str, zooms=None, repl: int = 1,
+                  prune: bool = True) -> ray.data.Dataset:
+    """places layer: enriched mention points sliced into all zooms.
+
+    ``prune=True`` applies the pre-shuffle partial label-grid combiner
+    (hot-tile salting; byte-identical output, test-pinned)."""
+    from ..stages.tiling import label_grid_prune
+    from .profile import flagship_profile, resolve_zoom
+
+    spec = flagship_profile().layers["places"]
 
     def to_rows(batch: pa.Table) -> pa.Table:
         t = slice_points(batch, zooms=zooms)
@@ -68,6 +76,12 @@ def point_rows_ds(sf_dir: str, zooms=None, repl: int = 1) -> ray.data.Dataset:
         t = t.append_column("kind", pa.array(["point"] * n, pa.string()))
         fid = t.column("doc_id").to_numpy() * 8 + t.column("mention_idx").to_numpy()
         t = t.append_column("feature_id", pa.array(fid, pa.int64()))
+        if prune and n:
+            t = label_grid_prune(
+                t,
+                grid_by_zoom=lambda z: resolve_zoom(spec.label_grid_px, z),
+                limit_by_zoom=lambda z: resolve_zoom(spec.label_grid_limit, z),
+            )
         return _conform(t)
 
     return enriched_points_ds(sf_dir, repl).map_batches(to_rows, batch_format="pyarrow")
@@ -80,11 +94,13 @@ def admin_rows_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:
     )
 
 
-def tile_rows_ds(sf_dir: str, zooms=None, repl: int = 1) -> ray.data.Dataset:
-    return point_rows_ds(sf_dir, zooms, repl).union(admin_rows_ds(sf_dir, zooms))
+def tile_rows_ds(sf_dir: str, zooms=None, repl: int = 1,
+                 prune: bool = True) -> ray.data.Dataset:
+    return point_rows_ds(sf_dir, zooms, repl, prune).union(admin_rows_ds(sf_dir, zooms))
 
 
-def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024, repl: int = 1) -> ray.data.Dataset:
+def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024,
+             repl: int = 1, prune: bool = True) -> ray.data.Dataset:
     """Assembled tiles: one row per (z, x, y) with gzipped MVT bytes.
 
     ONE shuffle: rows are hash-bucketed by tile_id (load-balanced across
@@ -94,7 +110,7 @@ def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024, repl:
     from ..stages.assemble import make_bucket_assembler
 
     profile = profile or flagship_profile()
-    rows = tile_rows_ds(sf_dir, zooms, repl)
+    rows = tile_rows_ds(sf_dir, zooms, repl, prune)
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow",
                          fn_kwargs={"n_buckets": n_buckets})

@@ -62,22 +62,139 @@ def hash_bucket(tile_id, n_buckets: int = 1024):
 def make_bucket_assembler(profile: TilingProfile):
     """map_groups body over ``bucket``: assembles ALL tiles of one bucket in
     one call (amortizes per-group overhead; the reference batches tiles the
-    same way, ``TileArchiveWriter.java:244-271``)."""
+    same way, ``TileArchiveWriter.java:244-271``).
 
-    assemble_one = make_tile_assembler(profile)
+    Hot-path discipline: the bucket's columns are pulled into numpy/python
+    ONCE, rows are ordered by a single lexsort on (tile_id, layer_rank,
+    sort_key, feature_id), and the per-tile loop touches only array slices —
+    zero per-tile Arrow calls.
+    """
+
+    layer_order = list(profile.layers)
+    layer_rank = {name: i for i, name in enumerate(layer_order)}
+    specs = [profile.layers[n] for n in layer_order]
 
     def assemble_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
+        n = group.num_rows
+        if n == 0:
             return TILE_SCHEMA.empty_table()
+        cols = set(group.column_names)
         tid = group.column("tile_id").to_numpy()
-        order = np.argsort(tid, kind="stable")
-        group = group.take(pa.array(order, pa.int64()))
-        tid = tid[order]
-        bounds = np.flatnonzero(np.diff(tid)) + 1
+        z_arr = group.column("z").to_numpy()
+        tx_arr = group.column("tile_x").to_numpy()
+        ty_arr = group.column("tile_y").to_numpy()
+        layer_vals = group.column("layer").to_pylist()
+        lrank = np.array([layer_rank.get(v, 255) for v in layer_vals], dtype=np.int64)
+        fid = group.column("feature_id").to_numpy()
+        if "sort_key" in cols:
+            sk = np.nan_to_num(group.column("sort_key").to_numpy(), nan=0).astype(np.int64)
+        else:
+            sk = np.zeros(n, dtype=np.int64)
+        order = np.lexsort((fid, sk, lrank, tid))
+        tid_s = tid[order]
+        lrank_s = lrank[order]
+        fid_s = fid[order]
+        kinds = group.column("kind").to_pylist()
+        geom_px = group.column("geom_px").to_pylist() if "geom_px" in cols else [None] * n
+        px = group.column("px").to_numpy() if "px" in cols else np.full(n, np.nan)
+        py = group.column("py").to_numpy() if "py" in cols else np.full(n, np.nan)
+        attr_data = {}
+        for spec in specs:
+            for c in spec.attr_cols:
+                if c in cols and c not in attr_data:
+                    attr_data[c] = group.column(c).to_pylist()
+
+        out_tid, out_z, out_x, out_y = [], [], [], []
+        out_nf, out_nb, out_gz, out_hash = [], [], [], []
+        # per-bucket memo: identical geometry blobs (e.g. canonical fill
+        # squares) encode to identical command arrays — huge for ocean fills
+        cmd_cache: dict[bytes, tuple[str, np.ndarray]] = {}
+
+        bounds = np.flatnonzero(np.diff(tid_s)) + 1
         starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(tid)]])
-        out = [assemble_one(group.slice(s, e - s)) for s, e in zip(starts, ends)]
-        return pa.concat_tables(out) if out else TILE_SCHEMA.empty_table()
+        ends = np.concatenate([bounds, [len(tid_s)]])
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            i0 = rows[0]
+            z = int(z_arr[i0])
+            layers_out: dict[str, list[dict]] = {}
+            n_features = 0
+            # rows are already laid out layer-major inside the tile run
+            li = s
+            while li < e:
+                lr = lrank_s[li]
+                lj = li
+                while lj < e and lrank_s[lj] == lr:
+                    lj += 1
+                seg = order[li:lj]
+                li = lj
+                if lr >= len(specs):
+                    continue
+                spec = specs[lr]
+                if not (spec.min_zoom <= z <= spec.max_zoom):
+                    continue
+                grid_px = resolve_zoom(spec.label_grid_px, z)
+                limit = resolve_zoom(spec.label_grid_limit, z)
+                feats: list[dict] = []
+                seen: dict[int, int] = {}
+                use_grid = bool(grid_px and limit)
+                for i in seg:
+                    pxi = px[i]
+                    if use_grid and not np.isnan(pxi):
+                        c = int(pxi // grid_px) * 100003 + int(py[i] // grid_px)
+                        cnt = seen.get(c, 0)
+                        if cnt >= limit:
+                            continue
+                        seen[c] = cnt + 1
+                    kind = kinds[i]
+                    if kind == "point" and not np.isnan(pxi):
+                        kind_out = "point"
+                        commands = mvt.point_commands(pxi, py[i])
+                    else:
+                        blob = geom_px[i]
+                        hit = cmd_cache.get(blob)
+                        if hit is None:
+                            gk, gd = wkb.decode_wkb(blob)
+                            parts = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
+                            if gk == "multilinestring":
+                                gk = "linestring"
+                            hit = (gk, mvt.encode_commands(gk, parts))
+                            cmd_cache[blob] = hit
+                        kind_out, commands = hit
+                    attrs = {}
+                    for c in spec.attr_cols:
+                        vals = attr_data.get(c)
+                        if vals is not None and vals[i] is not None:
+                            attrs[c] = vals[i]
+                    feats.append(
+                        {"id": int(fid[i]), "kind": kind_out, "commands": commands,
+                         "attrs": attrs}
+                    )
+                if feats:
+                    layers_out[spec.name] = feats
+                    n_features += len(feats)
+            data = mvt.encode_tile(layers_out)
+            gz = mvt.gzip_tile(data)
+            out_tid.append(int(tid_s[s]))
+            out_z.append(z)
+            out_x.append(int(tx_arr[i0]))
+            out_y.append(int(ty_arr[i0]))
+            out_nf.append(n_features)
+            out_nb.append(len(gz))
+            out_gz.append(gz)
+            out_hash.append(np.int64(np.uint64(fnv1a64(data))))
+        return pa.table(
+            {
+                "tile_id": pa.array(out_tid, pa.int64()),
+                "z": pa.array(out_z, pa.int64()),
+                "tile_x": pa.array(out_x, pa.int64()),
+                "tile_y": pa.array(out_y, pa.int64()),
+                "n_features": pa.array(out_nf, pa.int64()),
+                "n_bytes": pa.array(out_nb, pa.int64()),
+                "tile_gz": pa.array(out_gz, pa.binary()),
+                "content_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
 
     return assemble_bucket
 

@@ -61,6 +61,49 @@ def assign_cells(batch: pa.Table, s2_level: int = 12, hex_res: int = 9,
     return out.append_column("hex_cell", pa.array(hexgrid.hex_cell(wx, wy, hex_res), pa.int64()))
 
 
+def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
+                     sort_cols=("feature_id",)) -> pa.Table:
+    """PRE-shuffle partial label-grid pruning (the hot-tile salting combiner).
+
+    Top-k per (tile, grid-cell) is distributive: keeping the k best rows per
+    cell within every batch, then the exact k best per cell in the final
+    assembler, yields byte-identical output to no pruning — while the skewed
+    hot tile (the Paris cluster) sheds most of its rows BEFORE the all-to-all
+    shuffle.  This is the Ray-native restatement of the reference's
+    stream-counting early drop (``FeatureGroup.add:616-637``) + the salted
+    repartition called for by BASELINE.json's north_rule (the per-batch
+    partials are the salt partitions; determinism is test-pinned).
+
+    ``grid_by_zoom`` / ``limit_by_zoom``: callables z -> px / k (None = keep).
+    """
+    import pandas as pd
+
+    z = batch.column("z").to_numpy()
+    px = batch.column("px").to_numpy()
+    py = batch.column("py").to_numpy()
+    tile_id = batch.column("tile_id").to_numpy()
+    n = len(z)
+    keep = np.ones(n, dtype=bool)
+    for zz in np.unique(z):
+        grid = grid_by_zoom(int(zz))
+        limit = limit_by_zoom(int(zz))
+        if not grid or not limit:
+            continue
+        m = np.flatnonzero(z == zz)
+        cell = (
+            np.floor_divide(px[m], grid).astype(np.int64) * 100003
+            + np.floor_divide(py[m], grid).astype(np.int64)
+        )
+        df = pd.DataFrame({"tile": tile_id[m], "cell": cell, "pos": m})
+        for c in sort_cols:
+            df[c] = batch.column(c).to_numpy()[m]
+        df = df.sort_values([*sort_cols])
+        kept = df.groupby(["tile", "cell"], sort=False).head(limit)["pos"].to_numpy()
+        drop = np.setdiff1d(m, kept, assume_unique=False)
+        keep[drop] = False
+    return batch.filter(pa.array(keep))
+
+
 def slice_points(batch: pa.Table, zooms=None, buffer_px: float = 4.0,
                  lat_col: str = "lat", lon_col: str = "lon") -> pa.Table:
     """Point rows -> per-(zoom, tile) rows WITH buffer duplication and

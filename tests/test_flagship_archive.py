@@ -78,6 +78,22 @@ def test_partial_resume_rebuilds_missing(archive, ray_session):
     assert os.path.exists(os.path.join(mdir, victim))
 
 
+def test_salted_prune_equivalence(ray_session):
+    """FIXTURES golden case 8: the pre-shuffle label-grid combiner (hot-tile
+    salting) must produce byte-identical tiles vs the unpruned path."""
+    from planetiler_ray.pipelines import flagship
+
+    a = flagship.tiles_ds(SF, zooms=[2, 6], n_buckets=32, prune=True).to_pandas()
+    b = flagship.tiles_ds(SF, zooms=[2, 6], n_buckets=32, prune=False).to_pandas()
+    a = a.sort_values("tile_id", ignore_index=True)
+    b = b.sort_values("tile_id", ignore_index=True)
+    assert (a["content_hash"] == b["content_hash"]).all()
+    # and the combiner actually reduces the shuffled volume on the hot tile
+    pa_ = flagship.point_rows_ds(SF, zooms=[2, 6], prune=True).count()
+    pb = flagship.point_rows_ds(SF, zooms=[2, 6], prune=False).count()
+    assert pa_ < pb
+
+
 def test_tiles_deterministic_across_parallelism(ray_session, tmp_path):
     """FIXTURES.md golden case 10: identical output across parallelism levels
     (here: different bucket counts => different grouping/parallel layout)."""
