@@ -56,7 +56,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": training.q_topk_events,
         # plain wide aggregate
         "lineitem_agg": training.q_lineitem_agg,
+        # OSM-style two-pass source: way ⋈ node shuffle join + assembly
+        "way_assembly": _q_way_assembly,
+        # no-code YAML profile pipeline (rows-only: MVT tiles)
+        "yaml_tiles": _q_yaml_tiles,
     }
+
+
+def _sql_way_assembly() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_way_assembly()
+
+
+def _q_way_assembly(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.assemble_ways(sf_dir)
+
+
+def _q_yaml_tiles(sf_dir: str):
+    from planetiler_ray.pipelines import yamlprofile as Y
+
+    return Y.build_yaml_tiles(sf_dir, Y.SAMPLE_SCHEMA, zooms=[2, 6]).select_columns(
+        ["tile_id", "z", "tile_x", "tile_y", "n_features", "n_bytes"]
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -79,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),
+        "way_assembly": _sql_way_assembly(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
         #   media_features

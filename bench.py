@@ -57,7 +57,7 @@ def run_bench() -> dict:
     try:
         t0 = time.time()
         df = flagship.build_archive(SF_DIR, out_dir, zooms=BENCH_ZOOMS,
-                                    repl=BENCH_REPL)
+                                    repl=BENCH_REPL, layout="shard")
         headline = time.time() - t0
         n_tiles = int(df.n_tiles.sum())
     finally:

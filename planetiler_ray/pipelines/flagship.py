@@ -129,14 +129,20 @@ def tile_summary_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:
 
 
 def build_archive(sf_dir: str, out_dir: str, zooms=None, profile=None,
-                  n_buckets: int = 1024, repl: int = 1):
-    """Full build into a files archive (assemble+write fused per bucket, one
-    shuffle, resumable per bucket); returns the per-bucket summary df."""
+                  n_buckets: int = 1024, repl: int = 1, layout: str = "files"):
+    """Full build into an archive (assemble+write fused per bucket, one
+    shuffle, resumable per bucket); returns the per-bucket summary df.
+
+    ``layout="files"`` = z/x/y.pbf tree (reference parity);
+    ``layout="shard"`` = one parquet shard per bucket (cluster-scale layout,
+    the bench headline).
+    """
     from ..sinks.files import write_files_archive
 
     profile = profile or flagship_profile()
     lineage = {"sf_dir": sf_dir, "zooms": list(zooms) if zooms else "0-14",
                "repl": repl}
     return write_files_archive(
-        tile_rows_ds(sf_dir, zooms, repl), out_dir, profile, lineage, n_buckets
+        tile_rows_ds(sf_dir, zooms, repl), out_dir, profile, lineage, n_buckets,
+        layout
     ).to_pandas()

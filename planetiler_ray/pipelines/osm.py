@@ -1,0 +1,188 @@
+"""OSM-style two-pass source: the way ⋈ node-location shuffle join.
+
+The reference's planet-scale join (``reader/osm/OsmReader.java:534-550``:
+~7.5e9 node lookups against a LongLongMap) restated Ray-Data-first as a
+**hash-partitioned shuffle join**: both sides get a ``bucket = node_id % B``
+column, ``groupby(bucket).map_groups`` joins matching buckets with a pandas
+merge, and a second ``groupby(way_id)`` regroups joined rows into way
+geometries (pass 2's WaySourceFeature assembly).  No shared mutable map —
+state becomes data movement, which is what scales on a cluster.
+
+Synthetic OSM-ish world (deterministic, oracle-mirrorable):
+  nodes: one per ``part`` row —
+    node_id  = p_partkey
+    lat_mdeg = (p_partkey * 28657) % 170000 - 85000
+    lon_mdeg = (p_partkey * 33461) % 360000 - 180000
+  ways: one per ``orders`` row; its node refs are the order's lineitems —
+    way_id = l_orderkey, seq = l_linenumber, node ref = l_partkey.
+
+Way "length" is kept in pure integers (sum of squared coordinate deltas in
+millidegrees) so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+NODE_LAT_MULT, NODE_LON_MULT = 28657, 33461
+
+
+def nodes_ds(sf_dir: str) -> ray.data.Dataset:
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node_id": pa.array(pk, pa.int64()),
+                "lat_mdeg": pa.array((pk * NODE_LAT_MULT) % 170000 - 85000, pa.int64()),
+                "lon_mdeg": pa.array((pk * NODE_LON_MULT) % 360000 - 180000, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        to_nodes, batch_format="pyarrow"
+    )
+
+
+def way_refs_ds(sf_dir: str) -> ray.data.Dataset:
+    def to_refs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "way_id": batch.column("l_orderkey").cast(pa.int64()),
+                "seq": batch.column("l_linenumber").cast(pa.int64()),
+                "node_id": batch.column("l_partkey").cast(pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    ).map_batches(to_refs, batch_format="pyarrow")
+
+
+def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """The shuffle join: (way_id, seq, node_id) ⋈ (node_id, lat, lon).
+
+    Both sides are tagged with the same hash bucket and unioned with a
+    ``side`` marker; one groupby co-locates matching buckets; the group body
+    does a vectorized pandas merge.  (Ray's ``Dataset.join`` exists in recent
+    releases; this explicit form keeps the partitioning and skew story
+    visible and works on any version.)
+    """
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.column("node_id").to_numpy() % n_buckets
+            out = batch.append_column("bucket", pa.array(b, pa.int64()))
+            return out.append_column("side", pa.array([side] * batch.num_rows))
+
+        return f
+
+    nodes = nodes_ds(sf_dir).map_batches(tag("n"), batch_format="pyarrow")
+    refs = way_refs_ds(sf_dir).map_batches(tag("w"), batch_format="pyarrow")
+    # align schemas for union
+    refs = refs.map_batches(
+        lambda b: b.append_column("lat_mdeg", pa.nulls(b.num_rows, pa.int64()))
+        .append_column("lon_mdeg", pa.nulls(b.num_rows, pa.int64()))
+        .select(["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg", "bucket", "side"]),
+        batch_format="pyarrow",
+    )
+    nodes = nodes.map_batches(
+        lambda b: b.append_column("way_id", pa.nulls(b.num_rows, pa.int64()))
+        .append_column("seq", pa.nulls(b.num_rows, pa.int64()))
+        .select(["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg", "bucket", "side"]),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = g[g["side"] == "n"][["node_id", "lat_mdeg", "lon_mdeg"]]
+        w = g[g["side"] == "w"][["way_id", "seq", "node_id"]]
+        out = w.merge(n, on="node_id", how="inner")
+        return out[["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg"]].astype("int64")
+
+    return nodes.union(refs).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Pass 2: regroup joined rows by way_id -> per-way geometry summary.
+
+    Output (all exact ints): way_id, n_nodes, len2_sum (Σ squared deltas in
+    mdeg²), first/last node ids — the assembled-way oracle row.
+    """
+
+    def per_way(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seq", "node_id"])
+        lat = g["lat_mdeg"].to_numpy()
+        lon = g["lon_mdeg"].to_numpy()
+        d2 = np.diff(lat) ** 2 + np.diff(lon) ** 2
+        return pd.DataFrame(
+            {
+                "way_id": [int(g["way_id"].iloc[0])],
+                "n_nodes": [len(g)],
+                "len2_sum": [int(d2.sum()) if len(d2) else 0],
+                "first_node": [int(g["node_id"].iloc[0])],
+                "last_node": [int(g["node_id"].iloc[-1])],
+            }
+        )
+
+    return join_way_nodes(sf_dir, n_buckets).groupby("way_id").map_groups(
+        per_way, batch_format="pandas"
+    )
+
+
+def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Assembled way geometries as lon/lat WKB linestrings (for the roads
+    layer of the tiling demo)."""
+    from ..geo import wkb
+
+    def per_way(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seq", "node_id"])
+        if len(g) < 2:
+            return pd.DataFrame({"way_id": [], "geom_wkb": [], "n_nodes": []})
+        coords = np.column_stack(
+            [g["lon_mdeg"].to_numpy() / 1000.0, g["lat_mdeg"].to_numpy() / 1000.0]
+        )
+        return pd.DataFrame(
+            {
+                "way_id": [int(g["way_id"].iloc[0])],
+                "geom_wkb": [wkb.encode_wkb("linestring", coords)],
+                "n_nodes": [len(g)],
+            }
+        )
+
+    return join_way_nodes(sf_dir, n_buckets).groupby("way_id").map_groups(
+        per_way, batch_format="pandas"
+    )
+
+
+def sql_way_assembly() -> str:
+    """DuckDB oracle for :func:`assemble_ways` (exact integer arithmetic)."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+deltas AS (
+    SELECT way_id, seq, node_id, lat_mdeg, lon_mdeg,
+           lat_mdeg - lag(lat_mdeg) OVER w AS dlat,
+           lon_mdeg - lag(lon_mdeg) OVER w AS dlon,
+           first_value(node_id) OVER w AS first_node,
+           last_value(node_id) OVER (PARTITION BY way_id ORDER BY seq, node_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_node
+    FROM joined WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+)
+SELECT way_id,
+       count(*) AS n_nodes,
+       COALESCE(sum(dlat * dlat + dlon * dlon), 0) AS len2_sum,
+       min(first_node) AS first_node,
+       min(last_node) AS last_node
+FROM deltas GROUP BY way_id
+"""

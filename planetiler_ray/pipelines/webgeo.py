@@ -36,12 +36,17 @@ from ..stages.tiling import assign_cells, assign_tiles, slice_points
 DEFAULT_ZOOMS = (2, 6, 10, 14)
 
 
-def pages_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
+def pages_ds(sf_dir: str, repl: int = 1, parallelism: int = 64) -> ray.data.Dataset:
     from ..sources.pages import replicate_documents
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    # the documents file is a single tiny parquet -> ONE read block; without
+    # an explicit split the whole synthesize/extract/parse chain would run on
+    # one task.  Repartition the (tiny) rows first so the expensive derived
+    # work fans out across the cluster.
+    ds = ds.repartition(parallelism)
     if repl > 1:
         ds = ds.map_batches(replicate_documents, batch_format="pyarrow",
                             fn_kwargs={"repl": repl})

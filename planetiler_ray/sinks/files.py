@@ -87,14 +87,64 @@ def make_bucket_writer(out_dir: str, lineage: dict | None = None):
     return write_bucket
 
 
-def make_assemble_write_bucket(profile, out_dir: str, lineage: dict | None = None):
+def make_shard_writer(out_dir: str, lineage: dict | None = None):
+    """Per-bucket SHARD writer: one parquet file per bucket holding (tile_id,
+    z, x, y, tile_gz, content_hash) — the cluster-scale output layout (ONE
+    file per partition, not one per tile; cf. the reference's single-file
+    archives).  Same atomic manifest + skip semantics as the files layout.
+    """
+    import pyarrow.parquet as pq
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        manifest_dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(manifest_dir, exist_ok=True)
+        shard_dir = os.path.join(out_dir, "shards")
+        os.makedirs(shard_dir, exist_ok=True)
+        manifest_path = os.path.join(manifest_dir, f"bucket_{bucket}.json")
+        shard_path = os.path.join(shard_dir, f"bucket_{bucket}.parquet")
+        n_bytes = int(sum(len(b) for b in group.column("tile_gz").to_pylist()))
+        tmp = shard_path + ".tmp"
+        tbl = group.drop_columns(["bucket"]).sort_by("tile_id")
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, shard_path)
+        manifest = {
+            "bucket": bucket,
+            "n_tiles": group.num_rows,
+            "n_bytes": n_bytes,
+            "shard": os.path.basename(shard_path),
+            "lineage": lineage or {},
+        }
+        mt = manifest_path + ".tmp"
+        with open(mt, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mt, manifest_path)
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int64()),
+                "n_tiles": pa.array([group.num_rows], pa.int64()),
+                "n_bytes": pa.array([n_bytes], pa.int64()),
+                "skipped": pa.array([False]),
+            }
+        )
+
+    return write_bucket
+
+
+def make_assemble_write_bucket(profile, out_dir: str, lineage: dict | None = None,
+                               layout: str = "files"):
     """map_groups body over ``bucket`` of RAW tile rows: assemble all tiles of
     the bucket, write them, manifest atomically.  If the bucket's manifest
     already exists the whole bucket (assembly included) is SKIPPED — that's
-    the checkpoint-resume fast path."""
+    the checkpoint-resume fast path.
+
+    ``layout``: "files" = ``{z}/{x}/{y}.pbf`` tree (reference files-archive
+    parity); "shard" = one parquet shard per bucket (the at-scale layout).
+    """
 
     assembler = make_bucket_assembler(profile)
-    writer = make_bucket_writer(out_dir, lineage)
+    writer = (make_bucket_writer(out_dir, lineage) if layout == "files"
+              else make_shard_writer(out_dir, lineage))
 
     def assemble_write(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
@@ -120,8 +170,8 @@ def make_assemble_write_bucket(profile, out_dir: str, lineage: dict | None = Non
 
 
 def write_files_archive(tile_rows_ds, out_dir: str, profile, lineage: dict | None = None,
-                        n_buckets: int = 1024):
-    """Assemble + write a files archive from RAW tile rows in ONE shuffle:
+                        n_buckets: int = 1024, layout: str = "files"):
+    """Assemble + write an archive from RAW tile rows in ONE shuffle:
     groupby(bucket) -> per-bucket assemble + write.  Returns summary Dataset.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -130,9 +180,26 @@ def write_files_archive(tile_rows_ds, out_dir: str, profile, lineage: dict | Non
             add_bucket, batch_format="pyarrow", fn_kwargs={"n_buckets": n_buckets}
         )
         .groupby("bucket")
-        .map_groups(make_assemble_write_bucket(profile, out_dir, lineage),
+        .map_groups(make_assemble_write_bucket(profile, out_dir, lineage, layout),
                     batch_format="pyarrow")
     )
+
+
+def read_shard_tile(out_dir: str, z: int, x: int, y: int, n_buckets: int = 1024) -> bytes | None:
+    """Random tile lookup in the sharded layout (bucket by tile-id hash)."""
+    import pyarrow.parquet as pq
+
+    from ..geo import tile as T
+
+    tid = int(T.encode_tile_id(z, x, y))
+    bucket = int(hash_bucket(np.array([tid]), n_buckets)[0])
+    path = os.path.join(out_dir, "shards", f"bucket_{bucket}.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path, filters=[("tile_id", "=", tid)])
+    if t.num_rows == 0:
+        return None
+    return t.column("tile_gz")[0].as_py()
 
 
 def read_tile(out_dir: str, z: int, x: int, y: int) -> bytes:

@@ -76,14 +76,13 @@ def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
 
     ``grid_by_zoom`` / ``limit_by_zoom``: callables z -> px / k (None = keep).
     """
-    import pandas as pd
-
     z = batch.column("z").to_numpy()
     px = batch.column("px").to_numpy()
     py = batch.column("py").to_numpy()
     tile_id = batch.column("tile_id").to_numpy()
     n = len(z)
     keep = np.ones(n, dtype=bool)
+    sort_arrays = [batch.column(c).to_numpy() for c in sort_cols]
     for zz in np.unique(z):
         grid = grid_by_zoom(int(zz))
         limit = limit_by_zoom(int(zz))
@@ -94,13 +93,19 @@ def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
             np.floor_divide(px[m], grid).astype(np.int64) * 100003
             + np.floor_divide(py[m], grid).astype(np.int64)
         )
-        df = pd.DataFrame({"tile": tile_id[m], "cell": cell, "pos": m})
-        for c in sort_cols:
-            df[c] = batch.column(c).to_numpy()[m]
-        df = df.sort_values([*sort_cols])
-        kept = df.groupby(["tile", "cell"], sort=False).head(limit)["pos"].to_numpy()
-        drop = np.setdiff1d(m, kept, assume_unique=False)
-        keep[drop] = False
+        # pure-numpy "keep first `limit` per (tile, cell) in sort order":
+        # lexsort, then rank-within-run via a running group-start index
+        keys = [a[m] for a in reversed(sort_arrays)] + [cell, tile_id[m]]
+        order = np.lexsort(keys)
+        tid_s = tile_id[m][order]
+        cell_s = cell[order]
+        new_grp = np.concatenate(
+            [[True], (tid_s[1:] != tid_s[:-1]) | (cell_s[1:] != cell_s[:-1])]
+        )
+        seq = np.arange(len(order), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_grp, seq, 0))
+        rank = seq - start
+        keep[m[order[rank >= limit]]] = False
     return batch.filter(pa.array(keep))
 
 

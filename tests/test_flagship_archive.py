@@ -89,8 +89,10 @@ def test_salted_prune_equivalence(ray_session):
     b = b.sort_values("tile_id", ignore_index=True)
     assert (a["content_hash"] == b["content_hash"]).all()
     # and the combiner actually reduces the shuffled volume on the hot tile
-    pa_ = flagship.point_rows_ds(SF, zooms=[2, 6], prune=True).count()
-    pb = flagship.point_rows_ds(SF, zooms=[2, 6], prune=False).count()
+    # (needs dense batches -> replicate; per-batch partial prune is a no-op on
+    # tiny batches, which is still correct)
+    pa_ = flagship.point_rows_ds(SF, zooms=[2, 6], repl=10, prune=True).count()
+    pb = flagship.point_rows_ds(SF, zooms=[2, 6], repl=10, prune=False).count()
     assert pa_ < pb
 
 

@@ -1,0 +1,111 @@
+"""Expression DSL + scalar parse library tests (reference: ExpressionTest,
+ParseTest patterns)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from planetiler_ray.functions import expression as E
+from planetiler_ray.functions import parse as P
+
+
+def _batch():
+    return pa.table(
+        {
+            "highway": ["motorway", "path", "primary", None],
+            "name": ["A1", "trail", "Main St", "x"],
+            "kind": ["linestring", "linestring", "point", "polygon"],
+            "lanes": [4, None, 2, 0],
+        }
+    )
+
+
+def test_match_any_exact_and_pattern():
+    b = _batch()
+    np.testing.assert_array_equal(
+        E.match_any("highway", "motorway", "primary").evaluate(b),
+        [True, False, True, False],
+    )
+    np.testing.assert_array_equal(
+        E.match_any("name", "%St%").evaluate(b), [False, False, True, False]
+    )
+    # missing column -> all false
+    assert not E.match_any("nope", "x").evaluate(b).any()
+
+
+def test_field_type_cmp_combinators():
+    b = _batch()
+    np.testing.assert_array_equal(
+        E.match_field("highway").evaluate(b), [True, True, True, False]
+    )
+    np.testing.assert_array_equal(
+        E.match_type("linestring").evaluate(b), [True, True, False, False]
+    )
+    np.testing.assert_array_equal(
+        E.MatchCmp("lanes", ">=", 2).evaluate(b), [True, False, True, False]
+    )
+    e = E.match_any("highway", "motorway") | (
+        E.match_type("point") & E.MatchCmp("lanes", ">", 1)
+    )
+    np.testing.assert_array_equal(e.evaluate(b), [True, False, True, False])
+    np.testing.assert_array_equal((~e).evaluate(b), [False, True, False, True])
+
+
+def test_simplify_constant_folding():
+    e = E.And([E.TRUE, E.match_field("x")])
+    assert isinstance(e.simplify(), E.MatchField)
+    assert E.And([E.FALSE, E.match_field("x")]).simplify() is E.FALSE
+    assert E.Or([E.TRUE, E.match_field("x")]).simplify() is E.TRUE
+    assert isinstance(E.Not(E.Not(E.match_field("x"))).simplify(), E.MatchField)
+
+
+def test_multi_expression_dispatch():
+    b = _batch()
+    me = E.MultiExpression(
+        [
+            ("roads", E.match_any("highway", "motorway", "primary")),
+            ("paths", E.match_any("highway", "path")),
+            ("other", E.TRUE),
+        ]
+    )
+    np.testing.assert_array_equal(me.first_match(b), [0, 1, 0, 2])
+    assert me.payload(0) == "roads"
+
+
+def test_expr_from_config():
+    b = _batch()
+    cfg = {"__any__": [{"highway": ["motorway"]}, {"__all__": [{"__type__": "point"}, {"lanes__ge": 2}]}]}
+    e = E.expr_from_config(cfg)
+    np.testing.assert_array_equal(e.evaluate(b), [True, False, True, False])
+    assert E.expr_from_config(None) is E.TRUE
+
+
+def test_parse_long_and_bool():
+    s = pd.Series(["42", " -7 junk", "x", None])
+    out = P.parse_long_or_null(s)
+    assert out.tolist()[:2] == [42, -7]
+    assert np.isnan(out.tolist()[2])
+    np.testing.assert_array_equal(
+        P.parse_bool(pd.Series(["yes", "0", "false", "anything", None])),
+        [True, False, False, True, False],
+    )
+    np.testing.assert_array_equal(
+        P.parse_direction(pd.Series(["1", "-1", "reverse", "no", "true"])),
+        [1, -1, -1, 0, 1],
+    )
+
+
+def test_parse_meters():
+    s = pd.Series(["5", "10 ft", "2 mi", "1 km", "3 nmi"])
+    out = P.parse_meters(s)
+    np.testing.assert_allclose(out, [5.0, 3.048, 3218.688, 1000.0, 5556.0])
+
+
+def test_wayzorder():
+    z = P.wayzorder(
+        pd.Series(["motorway", "residential", "path"]),
+        layer=pd.Series(["1", None, None]),
+        bridge=pd.Series(["yes", None, None]),
+        tunnel=pd.Series([None, "yes", None]),
+    )
+    np.testing.assert_array_equal(z, [29, -7, 0])

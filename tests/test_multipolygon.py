@@ -1,0 +1,52 @@
+"""Multipolygon assembly tests (OsmMultipolygon semantics: stitching,
+reversal, area-sorted nesting, holes, islands-in-holes)."""
+
+import numpy as np
+
+from planetiler_ray.geo.multipolygon import assemble_multipolygon, nest_rings, stitch_rings
+
+
+def _sq(x0, y0, s):
+    return np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+        dtype=float,
+    )
+
+
+def test_stitch_two_halves():
+    # square split into two open segments, one reversed
+    a = np.array([[0, 0], [4, 0], [4, 4]], dtype=float)
+    b = np.array([[0, 0], [0, 4], [4, 4]], dtype=float)  # needs reversal
+    rings, _ = stitch_rings([a, b])
+    assert len(rings) == 1
+    assert len(rings[0]) >= 5
+    assert (rings[0][0] == rings[0][-1]).all()
+
+
+def test_nest_hole_and_island():
+    outer = _sq(0, 0, 10)
+    hole = _sq(2, 2, 6)
+    island = _sq(4, 4, 2)
+    polys = nest_rings([island, outer, hole])  # shuffled input order
+    assert len(polys) == 2  # outer-with-hole + island
+    sizes = sorted(len(p) for p in polys)
+    assert sizes == [1, 2]  # island has no holes; outer has one
+
+
+def test_assemble_full():
+    # outer as two segments + closed hole
+    a = np.array([[0, 0], [10, 0], [10, 10]], dtype=float)
+    b = np.array([[10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = _sq(3, 3, 2)
+    polys = assemble_multipolygon([a, b, hole])
+    assert len(polys) == 1
+    assert len(polys[0]) == 2  # exterior + hole
+    # exterior is the big ring
+    ext = polys[0][0]
+    assert ext[:, 0].max() == 10
+
+
+def test_unclosable_dropped():
+    dangling = np.array([[0, 0], [5, 5]], dtype=float)
+    polys = assemble_multipolygon([dangling, _sq(0, 0, 2)])
+    assert len(polys) == 1  # only the closed square survives

@@ -1,0 +1,48 @@
+"""OSM-style way ⋈ node shuffle-join pipeline tests."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_way_assembly_matches_oracle(ray_session):
+    from planetiler_ray.pipelines import osm
+
+    df = osm.assemble_ways(SF).to_pandas().sort_values("way_id", ignore_index=True)
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(osm.sql_way_assembly()).fetchdf().sort_values(
+        "way_id", ignore_index=True
+    )
+    assert len(df) == len(exp)
+    for col in ["way_id", "n_nodes", "len2_sum", "first_node", "last_node"]:
+        assert (df[col].astype("int64") == exp[col].astype("int64")).all(), col
+
+
+def test_way_lines(ray_session):
+    from planetiler_ray.geo import wkb
+    from planetiler_ray.pipelines import osm
+
+    df = osm.way_lines_ds(SF).to_pandas()
+    assert len(df) > 0
+    k, coords = wkb.decode_wkb(df.iloc[0]["geom_wkb"])
+    assert k == "linestring" and len(coords) == df.iloc[0]["n_nodes"]
+
+
+def test_shard_layout_roundtrip(ray_session, tmp_path):
+    from planetiler_ray.geo import mvt
+    from planetiler_ray.pipelines import flagship
+    from planetiler_ray.sinks.files import read_shard_tile
+
+    out = str(tmp_path / "shards")
+    df = flagship.build_archive(SF, out, zooms=[2, 6], n_buckets=32, layout="shard")
+    assert df.n_tiles.sum() > 0
+    blob = read_shard_tile(out, 6, 32, 22, n_buckets=32)
+    assert blob is not None
+    d = mvt.decode_tile(mvt.gunzip_tile(blob))
+    assert "places" in d
+    # resume skips
+    df2 = flagship.build_archive(SF, out, zooms=[2, 6], n_buckets=32, layout="shard")
+    assert df2.skipped.all()

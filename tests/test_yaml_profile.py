@@ -1,0 +1,37 @@
+"""No-code YAML profile tests (custommap analogue)."""
+
+import numpy as np
+import pytest
+
+from planetiler_ray.geo import mvt
+from planetiler_ray.pipelines import yamlprofile as Y
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_schema_to_profile():
+    schema = Y.load_schema(Y.SAMPLE_SCHEMA)
+    prof = Y.profile_from_schema(schema)
+    assert set(prof.layers) == {"en_places", "hot_admin"}
+    spec = prof.layers["en_places"]
+    assert spec.attr_cols == ("lang", "cls")
+    assert spec.label_grid_px.at(3) == 64.0
+    assert spec.label_grid_px.at(8) is None
+
+
+def test_yaml_pipeline_end_to_end(ray_session):
+    ds = Y.build_yaml_tiles(SF, Y.SAMPLE_SCHEMA, zooms=[2, 6], n_buckets=16)
+    df = ds.to_pandas()
+    assert len(df) > 0
+    # decode one tile: only configured layers, constant attr present
+    row = df.sort_values("n_features", ascending=False).iloc[0]
+    d = mvt.decode_tile(mvt.gunzip_tile(row.tile_gz))
+    assert set(d) <= {"en_places", "hot_admin"}
+    f = d["en_places"]["features"][0]
+    assert f["attrs"]["cls"] == "latin"
+    assert f["attrs"]["lang"] in ("en", "fr")
+    # hot_admin filter admin_id == 17 -> only tiles containing such points
+    if "hot_admin" in d:
+        assert all(
+            ft["attrs"].get("admin") == "17" for ft in d["hot_admin"]["features"]
+        )
