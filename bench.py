@@ -23,8 +23,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ZOOMS = [0, 2, 4, 6, 8, 10, 12, 14]
 # corpus amplification: documents tables are small; replicate deterministically
-# (each replica gets perturbed coordinates) so the bench moves real volume
-BENCH_REPL = int(os.environ.get("BENCH_REPL", "20"))
+# (each replica gets perturbed coordinates) so the bench moves real volume and
+# compute dominates fixed pipeline-startup overhead (matters for --scaling)
+BENCH_REPL = int(os.environ.get("BENCH_REPL", "60"))
 
 
 def run_bench() -> dict:

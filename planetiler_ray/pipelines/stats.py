@@ -1,0 +1,106 @@
+"""Archive statistics — ``util/TilesetSummaryStatistics.java`` /
+``util/TileSizeStats.java`` / ``util/LayerAttrStats.java`` analogues:
+per-zoom tile counts + size percentiles, top-N biggest tiles, per-layer
+attribute schema stats ("tilestats" metadata).
+
+All computed as Dataset aggregations over the assembled tiles / tile rows —
+partial per batch, tiny groupby over partials (no driver-side loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+
+def zoom_summary(tiles_ds) -> pd.DataFrame:
+    """Per zoom: n_tiles, total/max/mean bytes (weighted avg like the
+    reference's archive stats)."""
+    out = (
+        tiles_ds.groupby("z")
+        .aggregate(
+            Count(alias_name="n_tiles"),
+            Sum("n_bytes", alias_name="total_bytes"),
+            Max("n_bytes", alias_name="max_bytes"),
+            Mean("n_bytes", alias_name="mean_bytes"),
+            Sum("n_features", alias_name="n_features"),
+        )
+        .to_pandas()
+        .sort_values("z", ignore_index=True)
+    )
+    return out
+
+
+def biggest_tiles(tiles_ds, n: int = 10) -> pd.DataFrame:
+    """Top-N tiles by encoded size (the reference's biggest-tiles report)."""
+    return (
+        tiles_ds.select_columns(["z", "tile_x", "tile_y", "n_bytes", "n_features"])
+        .sort("n_bytes", descending=True)
+        .limit(n)
+        .to_pandas()
+    )
+
+
+def layer_attr_stats(tile_rows_ds, attr_cols: list[str]) -> pd.DataFrame:
+    """Per (layer, attribute): count + inferred type — LayerAttrStats'
+    "tilestats" metadata.  Partial counts per batch, groupby-sum over
+    partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        layer = batch.column("layer").to_pylist()
+        rows = []
+        for c in attr_cols:
+            if c not in batch.column_names:
+                continue
+            col = batch.column(c)
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            typ = str(col.type)
+            df = pd.DataFrame({"layer": layer, "valid": valid})
+            g = df[df["valid"]].groupby("layer").size()
+            for lname, cnt in g.items():
+                rows.append((lname, c, typ, int(cnt)))
+        if not rows:
+            return pa.table(
+                {"layer": pa.array([], pa.string()),
+                 "attribute": pa.array([], pa.string()),
+                 "type": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        la, at, ty, np_ = zip(*rows)
+        return pa.table(
+            {"layer": pa.array(la, pa.string()),
+             "attribute": pa.array(at, pa.string()),
+             "type": pa.array(ty, pa.string()),
+             "n_part": pa.array(np_, pa.int64())}
+        )
+
+    return (
+        tile_rows_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["layer", "attribute", "type"])
+        .aggregate(Sum("n_part", alias_name="n_values"))
+        .to_pandas()
+    )
+
+
+def archive_metadata(tiles_ds, profile, extra: dict | None = None) -> dict:
+    """The metadata.json document written next to archives (tilestats)."""
+    zs = zoom_summary(tiles_ds)
+    big = biggest_tiles(tiles_ds, 10)
+    return {
+        "name": profile.name,
+        "description": profile.description,
+        "layers": list(profile.layers),
+        "minzoom": int(zs["z"].min()) if len(zs) else 0,
+        "maxzoom": int(zs["z"].max()) if len(zs) else 0,
+        "tile_count": int(zs["n_tiles"].sum()) if len(zs) else 0,
+        "total_bytes": int(zs["total_bytes"].sum()) if len(zs) else 0,
+        "by_zoom": zs.to_dict(orient="records"),
+        "biggest_tiles": big.to_dict(orient="records"),
+        **(extra or {}),
+    }

@@ -149,14 +149,16 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
 
 def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
     """Mentions + admin + poi + s2/hex cells: the full feature table that
-    feeds the tile shuffle."""
+    feeds the tile shuffle.  ONE fused actor-pool stage (indexes built once
+    per actor from the ray.put broadcast)."""
+    from ..stages.joins import Enricher
+
     admin = ray.put(load_admin_polygons(sf_dir))
     pois = ray.put(load_pois(sf_dir))
-    return (
-        mentions_ds(sf_dir, repl)
-        .map_batches(PIPJoiner, fn_constructor_args=(admin,), batch_format="pyarrow",
-                     concurrency=(1, 4), num_cpus=0.5)
-        .map_batches(KNNJoiner, fn_constructor_args=(pois,), batch_format="pyarrow",
-                     concurrency=(1, 4), num_cpus=0.5)
-        .map_batches(assign_cells, batch_format="pyarrow")
+    return mentions_ds(sf_dir, repl).map_batches(
+        Enricher,
+        fn_constructor_args=(admin, pois),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=0.5,
     )

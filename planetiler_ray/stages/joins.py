@@ -58,6 +58,39 @@ class PIPJoiner:
         return batch.append_column(self.out_col, pa.array(ids, pa.int64()))
 
 
+class Enricher:
+    """Fused spatial-enrichment actor: PIP join + kNN + S2/hex cells in ONE
+    actor-pool stage (both indexes built once per actor from broadcast
+    handles; fewer pools = less startup + fewer inter-stage hops)."""
+
+    def __init__(self, polygons_handle, pois_handle, s2_level: int = 12,
+                 hex_res: int = 9):
+        self.pip = PolygonIndex(_resolve(polygons_handle))
+        ids, lon, lat = _resolve(pois_handle)
+        self.knn = PointIndex(np.asarray(ids), np.asarray(lon), np.asarray(lat))
+        self.s2_level = s2_level
+        self.hex_res = hex_res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geo import hexgrid, mercator, s2
+
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        out = batch.append_column(
+            "admin_id", pa.array(self.pip.get_containing(lon, lat), pa.int64())
+        )
+        nid, _ = self.knn.get_nearest(lon, lat)
+        out = out.append_column("poi_id", pa.array(nid, pa.int64()))
+        out = out.append_column(
+            "s2_cell", pa.array(s2.cell_id(lon, lat, self.s2_level), pa.int64())
+        )
+        wx = mercator.lon_to_world_x(lon)
+        wy = mercator.lat_to_world_y(lat)
+        return out.append_column(
+            "hex_cell", pa.array(hexgrid.hex_cell(wx, wy, self.hex_res), pa.int64())
+        )
+
+
 class KNNJoiner:
     """Nearest-POI enrichment: adds ``poi_id`` (+ optionally ``poi_d2`` and a
     radius count), euclidean in degrees, ties -> smallest id.
