@@ -25,7 +25,7 @@ BENCH_ZOOMS = [0, 2, 4, 6, 8, 10, 12, 14]
 # corpus amplification: documents tables are small; replicate deterministically
 # (each replica gets perturbed coordinates) so the bench moves real volume and
 # compute dominates fixed pipeline-startup overhead (matters for --scaling)
-BENCH_REPL = int(os.environ.get("BENCH_REPL", "60"))
+BENCH_REPL = int(os.environ.get("BENCH_REPL", "120"))
 
 
 def run_bench() -> dict:

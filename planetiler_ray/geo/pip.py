@@ -124,12 +124,28 @@ class PolygonIndex:
     def get_containing(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """First containing polygon's payload id per point, -1 if none.
 
-        Vectorized per candidate polygon: points are grouped by grid cell,
-        each candidate polygon tests all its points at once.
+        Two strategies: few polygons -> one vectorized bbox+crossing sweep per
+        polygon over all unresolved points (no per-cell Python loop); many
+        polygons -> grid-cell candidate grouping.
         """
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         out = np.full(len(px), -1, dtype=np.int64)
+        if len(self.ids) <= 256:
+            unresolved = np.ones(len(px), dtype=bool)
+            for ci in range(len(self.ids)):
+                if not unresolved.any():
+                    break
+                x0, y0, x1, y1 = self.boxes[ci]
+                m = unresolved & (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                if not m.any():
+                    continue
+                idx = np.flatnonzero(m)
+                inside = points_in_polygon(px[idx], py[idx], self.rings[ci])
+                hit = idx[inside]
+                out[hit] = self.ids[ci]
+                unresolved[hit] = False
+            return out
         cx, cy = self._cells_vec(px, py)
         cell_key = cx * np.int64(self.grid) + cy
         order = np.argsort(cell_key, kind="stable")
@@ -210,17 +226,33 @@ class PointIndex:
         n = len(px)
         out_id = np.full(n, -1, dtype=np.int64)
         out_d = np.full(n, np.inf)
-        if len(self.x) == 0 or n == 0:
+        m = len(self.x)
+        if m == 0 or n == 0:
             return out_id, out_d
-        chunk = max(1, 8_000_000 // max(len(self.x), 1))
+        # BLAS GEMM candidate scoring (argmin of -2 p.q + |q|^2), then EXACT
+        # re-score of the top candidates with the oracle's (dx*dx + dy*dy)
+        # expression so ordering is bit-identical to the SQL twin.
+        ncand = min(4, m)
+        qmat = np.column_stack([self.x, self.y])  # (m, 2)
+        qn = self.x * self.x + self.y * self.y
+        chunk = max(1, 32_000_000 // m)
         for s in range(0, n, chunk):
-            dx = px[s : s + chunk, None] - self.x[None, :]
-            dy = py[s : s + chunk, None] - self.y[None, :]
+            pc = np.column_stack([px[s : s + chunk], py[s : s + chunk]])  # (c, 2)
+            score = pc @ (-2.0 * qmat.T)
+            score += qn[None, :]
+            if ncand < m:
+                cand = np.argpartition(score, ncand - 1, axis=1)[:, :ncand]
+            else:
+                cand = np.broadcast_to(np.arange(m), (len(pc), m))
+            dx = pc[:, 0:1] - self.x[cand]
+            dy = pc[:, 1:2] - self.y[cand]
             d = dx * dx + dy * dy
-            k = np.argmin(d, axis=1)  # argmin -> first (= smallest id) on ties
-            rows = np.arange(len(k))
-            out_id[s : s + chunk] = self.ids[k]
-            out_d[s : s + chunk] = d[rows, k]
+            cid = self.ids[cand]
+            # order by (exact d2, poi_id): min d2, then min id among exact ties
+            min_d = d.min(axis=1, keepdims=True)
+            tied_ids = np.where(d == min_d, cid, np.int64(1) << np.int64(62))
+            out_id[s : s + chunk] = tied_ids.min(axis=1)
+            out_d[s : s + chunk] = min_d[:, 0]
         if max_radius is not None:
             r2 = max_radius * max_radius
             far = out_d > r2

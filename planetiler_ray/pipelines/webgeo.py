@@ -159,6 +159,6 @@ def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
         Enricher,
         fn_constructor_args=(admin, pois),
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=0.5,
+        concurrency=(1, 24),  # ceiling above the largest CPU level so the
+        num_cpus=1,           # pool itself never caps cluster scaling
     )
