@@ -60,7 +60,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_assembly": _q_way_assembly,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
         "yaml_tiles": _q_yaml_tiles,
+        # line layer: assembled ways -> sliced -> per-tile merged lines
+        "route_tiles": _q_route_tiles,
+        # archive statistics (tilestats analogue)
+        "zoom_summary": _q_zoom_summary,
     }
+
+
+def _q_route_tiles(sf_dir: str):
+    from planetiler_ray.pipelines import routes
+
+    return routes.route_tiles_ds(sf_dir, zooms=[0, 4, 8]).select_columns(
+        ["tile_id", "z", "tile_x", "tile_y", "n_features", "n_bytes"]
+    )
+
+
+def _q_zoom_summary(sf_dir: str):
+    import ray.data
+
+    from planetiler_ray.pipelines import flagship, stats
+
+    tiles = flagship.tiles_ds(sf_dir, zooms=[2, 6], n_buckets=64)
+    import pandas as pd
+
+    return stats.zoom_summary(tiles)
 
 
 def _sql_way_assembly() -> str:

@@ -113,25 +113,41 @@ def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
 
     Output (all exact ints): way_id, n_nodes, len2_sum (Σ squared deltas in
     mdeg²), first/last node ids — the assembled-way oracle row.
+
+    Grouped by a way-id BUCKET (not per way) so each map_groups call
+    processes thousands of ways with vectorized pandas — the per-tiny-group
+    overhead lesson from the tile assembler applied to the way regroup.
     """
 
-    def per_way(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seq", "node_id"])
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq", "node_id"])
+        wid = g["way_id"].to_numpy()
         lat = g["lat_mdeg"].to_numpy()
         lon = g["lon_mdeg"].to_numpy()
-        d2 = np.diff(lat) ** 2 + np.diff(lon) ** 2
-        return pd.DataFrame(
-            {
-                "way_id": [int(g["way_id"].iloc[0])],
-                "n_nodes": [len(g)],
-                "len2_sum": [int(d2.sum()) if len(d2) else 0],
-                "first_node": [int(g["node_id"].iloc[0])],
-                "last_node": [int(g["node_id"].iloc[-1])],
-            }
-        )
+        nid = g["node_id"].to_numpy()
+        same = np.concatenate([[False], wid[1:] == wid[:-1]])
+        dlat = np.diff(lat, prepend=lat[:1])
+        dlon = np.diff(lon, prepend=lon[:1])
+        d2 = np.where(same, dlat * dlat + dlon * dlon, 0)
+        df = pd.DataFrame({"way_id": wid, "d2": d2, "node_id": nid})
+        out = df.groupby("way_id", sort=True).agg(
+            n_nodes=("node_id", "size"),
+            len2_sum=("d2", "sum"),
+            first_node=("node_id", "first"),
+            last_node=("node_id", "last"),
+        ).reset_index()
+        return out.astype("int64")
 
-    return join_way_nodes(sf_dir, n_buckets).groupby("way_id").map_groups(
-        per_way, batch_format="pandas"
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
+                    batch_format="pandas")
     )
 
 
@@ -140,23 +156,41 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     layer of the tiling demo)."""
     from ..geo import wkb
 
-    def per_way(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seq", "node_id"])
-        if len(g) < 2:
-            return pd.DataFrame({"way_id": [], "geom_wkb": [], "n_nodes": []})
-        coords = np.column_stack(
-            [g["lon_mdeg"].to_numpy() / 1000.0, g["lat_mdeg"].to_numpy() / 1000.0]
-        )
-        return pd.DataFrame(
-            {
-                "way_id": [int(g["way_id"].iloc[0])],
-                "geom_wkb": [wkb.encode_wkb("linestring", coords)],
-                "n_nodes": [len(g)],
-            }
-        )
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
-    return join_way_nodes(sf_dir, n_buckets).groupby("way_id").map_groups(
-        per_way, batch_format="pandas"
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq", "node_id"])
+        wid = g["way_id"].to_numpy()
+        # LOCAL geometry: a way is a road-scale line near a per-way anchor
+        # (raw node coords are world-scattered, which would make every way an
+        # intercontinental bbox — unrealistic and clipping-hostile).  The
+        # anchor comes from way_id, node offsets (±1 deg) from the node
+        # coords, all deterministic integers.
+        base_lat = (wid * 9176) % 160000 - 80000
+        base_lon = (wid * 7351) % 350000 - 175000
+        lat = (base_lat + (g["lat_mdeg"].to_numpy() % 2000) - 1000) / 1000.0
+        lon = (base_lon + (g["lon_mdeg"].to_numpy() % 2000) - 1000) / 1000.0
+        bounds = np.flatnonzero(np.diff(wid)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(wid)]])
+        ids, blobs, nn = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            coords = np.column_stack([lon[s:e], lat[s:e]])
+            ids.append(int(wid[s]))
+            blobs.append(wkb.encode_wkb("linestring", coords))
+            nn.append(e - s)
+        return pd.DataFrame({"way_id": ids, "geom_wkb": blobs, "n_nodes": nn})
+
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
+                    batch_format="pandas")
     )
 
 

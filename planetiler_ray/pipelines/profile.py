@@ -47,8 +47,11 @@ class LayerSpec:
     buffer_px: float = 4.0
     min_zoom: int = 0
     max_zoom: int = 14
-    # post-processing in the assembler
-    merge_points: bool = False
+    # post-processing in the assembler (FeatureMerge analogues)
+    merge_points: bool = False      # mergeMultiPoint: attr-grouped multipoint
+    merge_lines: bool = False       # mergeLineStrings via LoopLineMerger-lite
+    merge_polygons: bool = False    # mergeMultiPolygon: attr-grouped concat
+    merge_min_length: float = 0.0   # px; drop merged chains shorter than this
 
 
 @dataclass

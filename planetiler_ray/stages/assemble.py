@@ -31,6 +31,41 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
+def merge_layer_features(feats: list[dict], spec) -> list[dict]:
+    """FeatureMerge analogues applied inside the assembler: group features by
+    identical attrs, then merge geometries per group
+    (``FeatureMerge.java:101-231`` mergeLineStrings via LoopLineMerger-lite,
+    ``:116-162`` mergeMultiPoint / mergeMultiPolygon concatenation).  Merged
+    feature id = the group's min id; group order is deterministic (min id)."""
+    from ..geo.linemerge import merge_lines
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in feats:
+        key = (f["kind"],) + tuple(sorted(f["attrs"].items()))
+        groups.setdefault(key, []).append(f)
+    out: list[dict] = []
+    for key in sorted(groups, key=lambda k: min(f["id"] for f in groups[k])):
+        fs = groups[key]
+        kind = fs[0]["kind"]
+        if kind == "point" and spec.merge_points:
+            parts = [np.vstack([p for f in fs for p in f["parts"]])]
+            out.append({"id": min(f["id"] for f in fs), "kind": "multipoint",
+                        "parts": parts, "attrs": fs[0]["attrs"]})
+        elif kind == "linestring" and spec.merge_lines:
+            segs = [p for f in fs for p in f["parts"]]
+            merged = merge_lines(segs, spec.merge_min_length)
+            if merged:
+                out.append({"id": min(f["id"] for f in fs), "kind": "multilinestring",
+                            "parts": merged, "attrs": fs[0]["attrs"]})
+        elif kind == "polygon" and spec.merge_polygons:
+            parts = [p for f in sorted(fs, key=lambda f: f["id"]) for p in f["parts"]]
+            out.append({"id": min(f["id"] for f in fs), "kind": "multipolygon",
+                        "parts": parts, "attrs": fs[0]["attrs"]})
+        else:
+            out.extend(sorted(fs, key=lambda f: f["id"]))
+    return out
+
+
 TILE_SCHEMA = pa.schema(
     [
         ("tile_id", pa.int64()),
@@ -135,6 +170,7 @@ def make_bucket_assembler(profile: TilingProfile):
                     continue
                 grid_px = resolve_zoom(spec.label_grid_px, z)
                 limit = resolve_zoom(spec.label_grid_limit, z)
+                needs_parts = spec.merge_points or spec.merge_lines or spec.merge_polygons
                 feats: list[dict] = []
                 seen: dict[int, int] = {}
                 use_grid = bool(grid_px and limit)
@@ -147,29 +183,42 @@ def make_bucket_assembler(profile: TilingProfile):
                             continue
                         seen[c] = cnt + 1
                     kind = kinds[i]
+                    commands = parts_out = None
                     if kind == "point" and not np.isnan(pxi):
                         kind_out = "point"
-                        commands = mvt.point_commands(pxi, py[i])
+                        if needs_parts:
+                            parts_out = [np.array([[pxi, py[i]]])]
+                        else:
+                            commands = mvt.point_commands(pxi, py[i])
                     else:
                         blob = geom_px[i]
-                        hit = cmd_cache.get(blob)
-                        if hit is None:
+                        if needs_parts:
                             gk, gd = wkb.decode_wkb(blob)
-                            parts = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
-                            if gk == "multilinestring":
-                                gk = "linestring"
-                            hit = (gk, mvt.encode_commands(gk, parts))
-                            cmd_cache[blob] = hit
-                        kind_out, commands = hit
+                            parts_out = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
+                            kind_out = "linestring" if gk == "multilinestring" else gk
+                        else:
+                            hit = cmd_cache.get(blob)
+                            if hit is None:
+                                gk, gd = wkb.decode_wkb(blob)
+                                parts = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
+                                if gk == "multilinestring":
+                                    gk = "linestring"
+                                hit = (gk, mvt.encode_commands(gk, parts))
+                                cmd_cache[blob] = hit
+                            kind_out, commands = hit
                     attrs = {}
                     for c in spec.attr_cols:
                         vals = attr_data.get(c)
                         if vals is not None and vals[i] is not None:
                             attrs[c] = vals[i]
-                    feats.append(
-                        {"id": int(fid[i]), "kind": kind_out, "commands": commands,
-                         "attrs": attrs}
-                    )
+                    f = {"id": int(fid[i]), "kind": kind_out, "attrs": attrs}
+                    if commands is not None:
+                        f["commands"] = commands
+                    else:
+                        f["parts"] = parts_out
+                    feats.append(f)
+                if feats and needs_parts:
+                    feats = merge_layer_features(feats, spec)
                 if feats:
                     layers_out[spec.name] = feats
                     n_features += len(feats)

@@ -1,0 +1,46 @@
+"""Line merging + routes line-layer pipeline tests."""
+
+import numpy as np
+import pytest
+
+from planetiler_ray.geo.linemerge import merge_lines
+
+
+def test_merge_joins_degree2():
+    a = np.array([[0.0, 0.0], [10.0, 0.0]])
+    b = np.array([[10.0, 0.0], [20.0, 0.0]])
+    out = merge_lines([a, b])
+    assert len(out) == 1 and len(out[0]) == 3
+    # reversed second segment still joins
+    out2 = merge_lines([a, b[::-1]])
+    assert len(out2) == 1
+
+
+def test_merge_preserves_junctions():
+    a = np.array([[0.0, 0.0], [10.0, 0.0]])
+    b = np.array([[10.0, 0.0], [20.0, 0.0]])
+    c = np.array([[10.0, 0.0], [10.0, 10.0]])  # third edge at the junction
+    out = merge_lines([a, b, c])
+    assert len(out) == 3  # degree-3 endpoint never merged through
+
+
+def test_merge_drops_short():
+    a = np.array([[0.0, 0.0], [1.0, 0.0]])
+    b = np.array([[50.0, 0.0], [80.0, 0.0]])
+    out = merge_lines([a, b], min_length=5.0)
+    assert len(out) == 1 and out[0][0, 0] == 50.0
+
+
+def test_route_tiles_merge_lines(ray_session):
+    from planetiler_ray.geo import mvt
+    from planetiler_ray.pipelines import routes
+
+    df = routes.route_tiles_ds("/root/testdata/sf0.001", zooms=[0, 4]).to_pandas()
+    assert len(df) > 0
+    # decode the z0 tile: all ways merged per cls -> at most 4 features
+    row = df[df.z == 0].iloc[0]
+    d = mvt.decode_tile(mvt.gunzip_tile(row.tile_gz))
+    feats = d["routes"]["features"]
+    assert 0 < len(feats) <= 4
+    assert all(f["type"] == mvt.GEOM_LINESTRING for f in feats)
+    assert {f["attrs"]["cls"] for f in feats} <= {"c0", "c1", "c2", "c3"}
