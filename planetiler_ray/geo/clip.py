@@ -252,10 +252,17 @@ def polygon_tiles(rings_world: list[np.ndarray], z: int, buffer_px: float = DEFA
 
 
 def point_tiles_vec(world_x: np.ndarray, world_y: np.ndarray, z: int,
-                    buffer_px: float = DEFAULT_BUFFER_PX, extent: int = DEFAULT_EXTENT):
+                    buffer_px: float = DEFAULT_BUFFER_PX, extent: int = DEFAULT_EXTENT,
+                    wrap_x: bool = True):
     """Vectorized point slicing: each point lands in its tile plus any of the
     8 neighbors whose buffered box contains it (cf. the point fast-path,
     ``TiledGeometry.java:245-268``).
+
+    ``wrap_x``: x wraps across the antimeridian (the reference re-slices with
+    a ±2^z offset, ``TiledGeometry.sliceIntoTiles:201-208``): the virtual
+    neighbor tile -1 becomes 2^z - 1 with local pixel coords computed from
+    the virtual position, so a point at lon≈180 also buffers into the
+    westmost column and vice versa.
 
     Returns ``(src_index, tile_x, tile_y, px, py)`` arrays; ``px, py`` are
     tile-local pixel coordinates (may lie in [-buffer, extent+buffer]).
@@ -266,25 +273,30 @@ def point_tiles_vec(world_x: np.ndarray, world_y: np.ndarray, z: int,
     sy = np.asarray(world_y, dtype=np.float64) * np.float64(n)
     base_x = np.clip(np.floor(sx).astype(np.int64), 0, n - 1)
     base_y = np.clip(np.floor(sy).astype(np.int64), 0, n - 1)
-    src, txs, tys = [], [], []
+    src, txs, tys, pxs = [], [], [], []
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             tx = base_x + dx
             ty = base_y + dy
-            ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+            if wrap_x and n > 1:
+                x_ok = np.ones_like(tx, dtype=bool)
+            else:
+                x_ok = (tx >= 0) & (tx < n)
+            ok = x_ok & (ty >= 0) & (ty < n)
             ok &= (sx >= tx - buf) & (sx <= tx + 1 + buf)
             ok &= (sy >= ty - buf) & (sy <= ty + 1 + buf)
             idx = np.flatnonzero(ok)
             if len(idx):
                 src.append(idx)
-                txs.append(tx[idx])
+                txs.append(tx[idx] % n if wrap_x else tx[idx])
                 tys.append(ty[idx])
+                pxs.append((sx[idx] - tx[idx]) * extent)
     if not src:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, np.empty(0), np.empty(0)
     src = np.concatenate(src)
     tx = np.concatenate(txs)
     ty = np.concatenate(tys)
-    px = (sx[src] - tx) * extent
+    px = np.concatenate(pxs)
     py = (sy[src] - ty) * extent
     return src, tx, ty, px, py

@@ -52,6 +52,9 @@ class LayerSpec:
     merge_lines: bool = False       # mergeLineStrings via LoopLineMerger-lite
     merge_polygons: bool = False    # mergeMultiPolygon: attr-grouped concat
     merge_min_length: float = 0.0   # px; drop merged chains shorter than this
+    # zoom-gated attributes (ZoomFunction-in-attrs semantics,
+    # FeatureCollector.java:994-1027): attr col -> min zoom it appears at
+    attr_min_zoom: dict = field(default_factory=dict)
 
 
 @dataclass

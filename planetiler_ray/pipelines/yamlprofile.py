@@ -54,6 +54,10 @@ def profile_from_schema(schema: dict) -> TilingProfile:
             grid = ZoomFunction({0: float(lg["px"]), below: None})
             limit = ZoomFunction({0: int(lg["limit"]), below: None})
         attr_cols = tuple(a["key"] for a in layer.get("attrs", []))
+        attr_min_zoom = {
+            a["key"]: int(a["min_zoom"]) for a in layer.get("attrs", [])
+            if "min_zoom" in a
+        }
         prof.add(
             LayerSpec(
                 name=layer["name"],
@@ -62,6 +66,7 @@ def profile_from_schema(schema: dict) -> TilingProfile:
                 max_zoom=int(layer.get("max_zoom", 14)),
                 label_grid_px=grid,
                 label_grid_limit=limit,
+                attr_min_zoom=attr_min_zoom,
             )
         )
     return prof

@@ -208,6 +208,8 @@ def make_bucket_assembler(profile: TilingProfile):
                             kind_out, commands = hit
                     attrs = {}
                     for c in spec.attr_cols:
+                        if z < spec.attr_min_zoom.get(c, 0):
+                            continue  # zoom-gated attr (ZoomFunction-in-attrs)
                         vals = attr_data.get(c)
                         if vals is not None and vals[i] is not None:
                             attrs[c] = vals[i]

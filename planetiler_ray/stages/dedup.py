@@ -48,6 +48,28 @@ def tokenize_words(text: pd.Series) -> pd.Series:
     return text.str.lower().str.findall(r"[a-z0-9]+")
 
 
+def _fnv64(s: str) -> int:
+    v = 14695981039346656037
+    for b in s.encode("utf-8"):
+        v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return v
+
+
+# natural-language shingle/word distributions are heavy-tailed: a bounded
+# memo on string->hash turns the per-doc hashing loop into dict lookups
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 1 << 20
+
+
+def _fnv64_cached(s: str) -> int:
+    h = _HASH_CACHE.get(s)
+    if h is None:
+        h = _fnv64(s)
+        if len(_HASH_CACHE) < _HASH_CACHE_MAX:
+            _HASH_CACHE[s] = h
+    return h
+
+
 def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:
     """k-word shingle hash sets per doc (list of uint64 per row)."""
     toks = tokenize_words(text)
@@ -57,13 +79,10 @@ def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:
             joined = [" ".join(ws)] if ws else []
         else:
             joined = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-        out = np.empty(len(joined), dtype=np.uint64)
-        for i, s in enumerate(joined):
-            v = 14695981039346656037
-            for b in s.encode("utf-8"):
-                v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            out[i] = v
-        return np.unique(out)
+        return np.unique(
+            np.fromiter((_fnv64_cached(s) for s in joined), dtype=np.uint64,
+                        count=len(joined))
+        )
 
     return toks.map(shingle)
 
@@ -190,26 +209,33 @@ def lsh_candidate_pairs(sig_ds):
 
 # ---------------------------------------------------------------- simhash --
 
+_WORD_BITS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _word_bits(w: str) -> np.ndarray:
+    bits = _WORD_BITS_CACHE.get(w)
+    if bits is None:
+        h = np.uint64(_fnv64_cached(w))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        if len(_WORD_BITS_CACHE) < _HASH_CACHE_MAX:
+            _WORD_BITS_CACHE[w] = bits
+    return bits
+
+
 def simhash64(text: pd.Series) -> np.ndarray:
-    """Classic 64-bit SimHash over word features (vectorized accumulate)."""
+    """Classic 64-bit SimHash over word features (cached per-word bit
+    vectors; vocabulary is heavy-tailed so the cache hit rate is ~100%)."""
     toks = tokenize_words(text)
     out = np.zeros(len(text), dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for i, ws in enumerate(toks):
         if not ws:
             continue
-        hs = np.empty(len(ws), dtype=np.uint64)
-        for j, w in enumerate(ws):
-            v = 14695981039346656037
-            for b in w.encode("utf-8"):
-                v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-            hs[j] = v
-        bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
-        score = bits.sum(axis=0) * 2 - len(ws)
-        out[i] = np.uint64(0)
-        for k in range(64):
-            if score[k] > 0:
-                out[i] |= np.uint64(1) << np.uint64(k)
+        score = np.zeros(64, dtype=np.int64)
+        for w in ws:
+            score += _word_bits(w)
+        pos = score * 2 > len(ws)
+        out[i] = np.uint64(weights[pos].sum())
     return out
 
 

@@ -304,3 +304,22 @@ def test_mvt_roundtrip():
     assert p["attrs"]["ok"] is True
     # gzip round trip
     assert mvt.gunzip_tile(mvt.gzip_tile(data)) == data
+
+
+def test_point_antimeridian_wrap():
+    # point just west of the antimeridian buffers into the EASTmost column's
+    # wrap (x=0) and vice versa (FIXTURES golden case 2)
+    wx = np.array([0.9999])  # ~lon 179.96, z4: tile x=15, near right edge
+    wy = np.array([0.5])
+    src, tx, ty, px, py = clip.point_tiles_vec(wx, wy, 4, buffer_px=4)
+    tiles = set(zip(tx.tolist(), ty.tolist()))
+    assert (15, 7) in tiles or (15, 8) in tiles
+    assert any(t[0] == 0 for t in tiles)  # wrapped into x=0 with px ≈ -buffer
+    wrapped_px = px[tx == 0]
+    assert (wrapped_px < 0).all() and (wrapped_px >= -4.1).all()
+    # and the westmost point wraps into x = 15
+    src2, tx2, _, px2, _ = clip.point_tiles_vec(np.array([0.0001]), wy, 4)
+    assert any(tx2 == 15) and (px2[tx2 == 15] > 256).all()
+    # no wrap at z0
+    src3, tx3, *_ = clip.point_tiles_vec(np.array([0.9999]), wy, 0)
+    assert set(tx3.tolist()) == {0}

@@ -35,3 +35,26 @@ def test_yaml_pipeline_end_to_end(ray_session):
         assert all(
             ft["attrs"].get("admin") == "17" for ft in d["hot_admin"]["features"]
         )
+
+
+def test_attr_min_zoom_gating(ray_session):
+    """FIXTURES golden case 6: attrs varying by zoom (zoom-gated attr)."""
+    schema = Y.load_schema(Y.SAMPLE_SCHEMA)
+    schema["layers"][0]["attrs"][0]["min_zoom"] = 5  # lang only at z>=5
+    ds = Y.build_yaml_tiles(SF, schema, zooms=[2, 6], n_buckets=16)
+    df = ds.to_pandas()
+    low = df[df.z == 2].iloc[0]
+    high = df[df.z == 6].iloc[0]
+    d_low = mvt.decode_tile(mvt.gunzip_tile(low.tile_gz))
+    d_high = mvt.decode_tile(mvt.gunzip_tile(high.tile_gz))
+    for name, layer in d_low.items():
+        if name == "en_places":
+            assert all("lang" not in f["attrs"] for f in layer["features"])
+    found = False
+    for row in df[df.z == 6].itertuples():
+        d = mvt.decode_tile(mvt.gunzip_tile(row.tile_gz))
+        if "en_places" in d:
+            assert all("lang" in f["attrs"] for f in d["en_places"]["features"])
+            found = True
+            break
+    assert found
