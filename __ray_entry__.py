@@ -54,8 +54,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": training.q_sessionize,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
-        # plain wide aggregate
+        # plain wide aggregate / relational ops
         "lineitem_agg": training.q_lineitem_agg,
+        "distinct_langs": training.q_distinct_langs,
+        "semi_join": training.q_semi_join,
+        "hash_sample": training.q_hash_sample,
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
@@ -126,6 +129,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),
+        "distinct_langs": oracle.sql_distinct_langs(),
+        "semi_join": oracle.sql_semi_join(),
+        "hash_sample": oracle.sql_hash_sample(),
         "way_assembly": _sql_way_assembly(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,

@@ -1,0 +1,104 @@
+"""CLI runner — the fluent-runner analogue (``Planetiler.java:88-610``):
+
+    python -m planetiler_ray build  --sf /root/testdata/sf0.001 \
+        --out /tmp/tiles --format files|shard|mbtiles|pmtiles \
+        [--zooms 0,2,4,6] [--repl 1] [--cpus 8] [--yaml schema.yml]
+    python -m planetiler_ray verify --archive /tmp/tiles
+    python -m planetiler_ray compare --a X --b Y
+
+Owns its Ray session (guarded init + shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="planetiler_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the flagship (or YAML) build")
+    b.add_argument("--sf", required=True, help="sf dir with the parquet tables")
+    b.add_argument("--out", required=True, help="output path (dir or archive file)")
+    b.add_argument("--format", default="files",
+                   choices=["files", "shard", "mbtiles", "pmtiles"])
+    b.add_argument("--zooms", default="0,2,4,6,8,10,12,14")
+    b.add_argument("--repl", type=int, default=1)
+    b.add_argument("--cpus", type=int, default=8)
+    b.add_argument("--yaml", default=None, help="no-code YAML schema path")
+
+    v = sub.add_parser("verify", help="validity-check an archive")
+    v.add_argument("--archive", required=True)
+
+    c = sub.add_parser("compare", help="tile-by-tile diff of two archives")
+    c.add_argument("--a", required=True)
+    c.add_argument("--b", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd in ("verify", "compare"):
+        from .tools import compare_archives, verify_archive
+
+        if args.cmd == "verify":
+            print(json.dumps(verify_archive(args.archive)))
+            return 0
+        res = compare_archives(args.a, args.b)
+        print(json.dumps({
+            "identical": res.identical, "n_a": res.n_a, "n_b": res.n_b,
+            "n_match": res.n_match, "only_a": res.only_a[:5],
+            "only_b": res.only_b[:5], "diff": res.diff[:5],
+        }))
+        return 0 if res.identical else 1
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    zooms = [int(z) for z in args.zooms.split(",")]
+    try:
+        from .pipelines import flagship
+
+        if args.yaml:
+            from .pipelines.yamlprofile import build_yaml_tiles, load_schema, profile_from_schema
+            from .sinks.mbtiles import write_mbtiles
+
+            with open(args.yaml) as f:
+                schema = load_schema(f.read())
+            tiles = build_yaml_tiles(args.sf, schema, zooms=zooms).materialize()
+            if args.format == "mbtiles":
+                stats = write_mbtiles(tiles, args.out)
+            else:
+                from .sinks.pmtiles import write_pmtiles
+
+                stats = write_pmtiles(tiles, args.out)
+            print(json.dumps(stats))
+            return 0
+        if args.format in ("files", "shard"):
+            df = flagship.build_archive(args.sf, args.out, zooms=zooms,
+                                        repl=args.repl, layout=args.format)
+            print(json.dumps({
+                "n_tiles": int(df.n_tiles.sum()),
+                "n_bytes": int(df.n_bytes.sum()),
+                "n_buckets": len(df),
+                "skipped": int(df.skipped.sum()),
+            }))
+        elif args.format == "mbtiles":
+            print(json.dumps(flagship.build_mbtiles(args.sf, args.out, zooms=zooms,
+                                                    repl=args.repl)))
+        else:
+            print(json.dumps(flagship.build_pmtiles(args.sf, args.out, zooms=zooms,
+                                                    repl=args.repl)))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

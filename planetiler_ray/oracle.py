@@ -323,3 +323,25 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem GROUP BY 1, 2
 """
+
+
+def sql_distinct_langs() -> str:
+    return "SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2"
+
+
+def sql_semi_join() -> str:
+    return """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE o.o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+"""
+
+
+def sql_hash_sample() -> str:
+    return """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE (event_id * 2654435761 % 4294967296) % 16 = 0
+"""

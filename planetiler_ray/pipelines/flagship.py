@@ -128,6 +128,36 @@ def tile_summary_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:
     )
 
 
+def build_mbtiles(sf_dir: str, path: str, zooms=None, profile=None,
+                  n_buckets: int = 256, repl: int = 1) -> dict:
+    """End-to-end build into a single MBTiles file (driver-side single
+    writer, like the reference's writer thread) + tilestats metadata."""
+    import json as _json
+
+    from ..sinks.mbtiles import write_mbtiles
+    from .stats import archive_metadata
+
+    profile = profile or flagship_profile()
+    tiles = tiles_ds(sf_dir, zooms, profile, n_buckets, repl).materialize()
+    meta = archive_metadata(tiles, profile, {"sf_dir": sf_dir})
+    stats = write_mbtiles(tiles, path, metadata={"name": profile.name,
+                                                "json": _json.dumps(meta)})
+    return {**stats, **{"minzoom": meta["minzoom"], "maxzoom": meta["maxzoom"]}}
+
+
+def build_pmtiles(sf_dir: str, path: str, zooms=None, profile=None,
+                  n_buckets: int = 256, repl: int = 1) -> dict:
+    """End-to-end build into a single PMTiles v3 file (global Hilbert sort ->
+    driver-side packer) + metadata."""
+    from ..sinks.pmtiles import write_pmtiles
+    from .stats import archive_metadata
+
+    profile = profile or flagship_profile()
+    tiles = tiles_ds(sf_dir, zooms, profile, n_buckets, repl).materialize()
+    meta = archive_metadata(tiles, profile, {"sf_dir": sf_dir})
+    return write_pmtiles(tiles, path, metadata=meta)
+
+
 def build_archive(sf_dir: str, out_dir: str, zooms=None, profile=None,
                   n_buckets: int = 1024, repl: int = 1, layout: str = "files"):
     """Full build into an archive (assemble+write fused per bucket, one

@@ -201,3 +201,62 @@ def q_lineitem_agg(sf_dir: str):
             Sum("n_part", alias_name="n_rows"),
         )
     )
+
+
+def q_distinct_langs(sf_dir: str):
+    """DISTINCT over two columns (ds.unique analogue via groupby)."""
+    from ray.data.aggregate import Count
+
+    return (
+        docs_ds(sf_dir, ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join: orders whose customer is in the AUTOMOBILE
+    segment.  The small key set is broadcast (ray.put) and applied as a
+    vectorized filter inside map_batches — no shuffle (SURVEY §2.4 broadcast
+    pattern / bloom-filter semi-join analogue)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keyset = set(
+        k
+        for k, seg in zip(
+            keys.column("c_custkey").to_pylist(), keys.column("c_mktsegment").to_pylist()
+        )
+        if seg == "AUTOMOBILE"
+    )
+    handle = ray.put(np.array(sorted(keyset), dtype=np.int64))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(handle) if isinstance(handle, ray.ObjectRef) else handle
+        ok = np.isin(batch.column("o_custkey").to_numpy(), ks)
+        return batch.filter(pa.array(ok))
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+        .map_batches(semi, batch_format="pyarrow")
+        .select_columns(["o_orderkey", "o_custkey"])
+    )
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 1/16 sample by key hash (reproducible sampling — the
+    engine's deterministic alternative to random_sample)."""
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        k = batch.column("event_id").to_numpy()
+        ok = (k * 2654435761 % 2**32) % 16 == 0
+        return batch.filter(pa.array(ok))
+
+    return events_ds(sf_dir, ["event_id", "user_id", "event_type"]).map_batches(
+        sample, batch_format="pyarrow"
+    )
