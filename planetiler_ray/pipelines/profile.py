@@ -55,16 +55,23 @@ class LayerSpec:
     # zoom-gated attributes (ZoomFunction-in-attrs semantics,
     # FeatureCollector.java:994-1027): attr col -> min zoom it appears at
     attr_min_zoom: dict = field(default_factory=dict)
+    # user hook: fn(features: list[dict], z: int) -> list[dict], applied after
+    # merging (Profile.postProcessLayerFeatures, Profile.java:219-227 region)
+    post_process: object = None
 
 
 @dataclass
 class TilingProfile:
-    """A complete tiling profile: layers + archive metadata."""
+    """A complete tiling profile: layers + archive metadata + hooks."""
 
     name: str
     layers: dict[str, LayerSpec] = field(default_factory=dict)
     attribution: str = ""
     description: str = ""
+    # user hook: fn(layers: dict[str, list[dict]], z, x, y) -> same shape,
+    # applied across ALL layers of a tile just before MVT encoding
+    # (Profile.postProcessTileFeatures)
+    post_process_tile: object = None
 
     def add(self, spec: LayerSpec) -> "TilingProfile":
         self.layers[spec.name] = spec

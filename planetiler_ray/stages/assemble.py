@@ -221,9 +221,16 @@ def make_bucket_assembler(profile: TilingProfile):
                     feats.append(f)
                 if feats and needs_parts:
                     feats = merge_layer_features(feats, spec)
+                if feats and spec.post_process is not None:
+                    feats = spec.post_process(feats, z)
                 if feats:
                     layers_out[spec.name] = feats
                     n_features += len(feats)
+            if profile.post_process_tile is not None:
+                layers_out = profile.post_process_tile(
+                    layers_out, z, int(tx_arr[i0]), int(ty_arr[i0])
+                )
+                n_features = sum(len(v) for v in layers_out.values())
             data = mvt.encode_tile(layers_out)
             gz = mvt.gzip_tile(data)
             out_tid.append(int(tid_s[s]))

@@ -107,3 +107,32 @@ def test_tiles_deterministic_across_parallelism(ray_session, tmp_path):
     b = b.sort_values("tile_id", ignore_index=True)
     assert (a["content_hash"] == b["content_hash"]).all()
     assert (a["n_features"] == b["n_features"]).all()
+
+
+def test_post_process_hooks(ray_session):
+    """Profile.postProcessLayerFeatures / postProcessTileFeatures analogues."""
+    from planetiler_ray.pipelines import flagship
+    from planetiler_ray.pipelines.profile import flagship_profile
+    from planetiler_ray.geo import mvt
+
+    prof = flagship_profile()
+
+    def drop_pois(feats, z):
+        for f in feats:
+            f["attrs"].pop("poi_id", None)
+        return feats
+
+    def tag_tile(layers, z, x, y):
+        for feats in layers.values():
+            for f in feats:
+                f["attrs"]["zxy"] = f"{z}/{x}/{y}"
+        return layers
+
+    prof.layers["places"].post_process = drop_pois
+    prof.post_process_tile = tag_tile
+    df = flagship.tiles_ds(SF, zooms=[2], n_buckets=8, profile=prof).to_pandas()
+    row = df.sort_values("n_features", ascending=False).iloc[0]
+    d = mvt.decode_tile(mvt.gunzip_tile(row.tile_gz))
+    for f in d["places"]["features"]:
+        assert "poi_id" not in f["attrs"]
+        assert f["attrs"]["zxy"] == f"2/{int(row.tile_x)}/{int(row.tile_y)}"
