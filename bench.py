@@ -66,11 +66,20 @@ def run_bench() -> dict:
     queries["flagship_build"] = round(headline, 3)
     n_docs *= BENCH_REPL
 
+    from planetiler_ray.pipelines import training
+
     timed("pages_meta", lambda: webgeo.q_pages_meta(SF_DIR).count())
     timed("geoparse", lambda: webgeo.q_geoparse(SF_DIR).count())
     timed("tile_counts", lambda: webgeo.q_tile_counts(SF_DIR).count())
     timed("pip_join", lambda: webgeo.q_pip(SF_DIR).count())
     timed("knn_join", lambda: webgeo.q_knn(SF_DIR).count())
+    timed("exact_dedup", lambda: training.q_exact_dedup(SF_DIR).count())
+    timed("minhash_lsh", lambda: training.q_minhash_lsh(SF_DIR).count())
+    timed("ann_brute", lambda: training.q_ann_brute(SF_DIR).count())
+    timed("window", lambda: training.q_window(SF_DIR).count())
+    timed("way_assembly", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["assemble_ways"]
+    ).assemble_ways(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to files archive)",

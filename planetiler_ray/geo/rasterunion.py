@@ -1,0 +1,164 @@
+"""Polygon union + buffer-union-unbuffer on the tile raster grid.
+
+The reference's ``FeatureMerge.mergeNearbyPolygons`` (FeatureMerge.java:291-394)
+does buffer(+b) ∘ union ∘ buffer(-b) with JTS.  Without a vector boolean-ops
+kernel we compute the same semantics on the tile's integer lattice: tile-space
+polygons are rasterized (even-odd scanline fill) onto a grid, dilated/eroded
+by the buffer radius (square structuring element — a documented approximation
+of JTS's round joins), unioned as a boolean mask, and traced back to rings
+with a marching-squares contour follower + collinear-point elimination.
+
+This is exact on the raster lattice and deterministic; output coordinates are
+quantized to ``extent_px / resolution`` pixels (default 256/512 = 0.5 px =
+twice the MVT lattice) — per SURVEY §7.4 we pin OUR behavior with tests, not
+JTS's bit-for-bit output.  Cost is O(resolution² + total edge length) per
+tile, independent of polygon count — the right trade for the z13 building
+merge workload (thousands of tiny polygons per tile).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_RES = 512
+
+
+def rasterize_rings(rings: list[np.ndarray], res: int = DEFAULT_RES,
+                    extent_px: float = 256.0, pad: float = 4.0) -> np.ndarray:
+    """Even-odd scanline rasterization of rings (pixel coords) -> bool mask.
+
+    The grid covers [-pad, extent_px + pad] so buffered tile edges stay in
+    frame.  A cell is inside iff its CENTER is inside (even-odd).
+    """
+    scale = res / (extent_px + 2 * pad)
+    mask = np.zeros((res, res), dtype=bool)
+    ys = (np.arange(res) + 0.5) / scale - pad  # cell-center y in px coords
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        for gy in range(res):
+            yc = ys[gy]
+            m = (y0 <= yc) != (y1 <= yc)
+            if not m.any():
+                continue
+            t = (yc - y0[m]) / (y1[m] - y0[m])
+            xs = np.sort(x0[m] + t * (x1[m] - x0[m]))
+            cols = np.clip(((xs + pad) * scale).astype(np.int64), 0, res)
+            for i in range(0, len(cols) - 1, 2):
+                mask[gy, cols[i] : cols[i + 1]] ^= True
+    return mask
+
+
+def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
+    out = mask.copy()
+    for _ in range(r):
+        nxt = out.copy()
+        nxt[1:, :] |= out[:-1, :]
+        nxt[:-1, :] |= out[1:, :]
+        nxt[:, 1:] |= out[:, :-1]
+        nxt[:, :-1] |= out[:, 1:]
+        out = nxt
+    return out
+
+
+def _erode(mask: np.ndarray, r: int) -> np.ndarray:
+    return ~_dilate(~mask, r)
+
+
+def trace_contours(mask: np.ndarray) -> list[np.ndarray]:
+    """Boundary tracing of a binary mask -> closed rings of lattice corners.
+
+    Every boundary unit edge is a DIRECTED edge with the inside cell on its
+    right: top edges run E, right edges S, bottom edges W, left edges N.
+    Following successor edges yields CW exterior rings and CCW hole rings
+    (row-down coordinates).  At checkerboard corners the successor choice
+    prefers the right turn, which keeps diagonal touches separated — a pinned
+    behavior.  Collinear runs are collapsed.
+    """
+    res = mask.shape[0]
+    ins = np.zeros((res + 2, res + 2), dtype=bool)
+    ins[1:-1, 1:-1] = mask
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    cells = np.argwhere(ins)
+    for r, c in cells:
+        if not ins[r - 1, c]:
+            add((r, c), (r, c + 1))        # top: E
+        if not ins[r, c + 1]:
+            add((r, c + 1), (r + 1, c + 1))  # right: S
+        if not ins[r + 1, c]:
+            add((r + 1, c + 1), (r + 1, c))  # bottom: W
+        if not ins[r, c - 1]:
+            add((r + 1, c), (r, c))        # left: N
+    rings: list[np.ndarray] = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop(0)
+            else:
+                # checkerboard corner: prefer the right turn relative to the
+                # incoming direction (deterministic)
+                def turn(o):
+                    d = (o[0] - cur[0], o[1] - cur[1])
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    return cross
+                outs.sort(key=turn)
+                nxt = outs.pop(0)
+            if not edges.get(cur):
+                edges.pop(cur, None)
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        if len(ring) >= 4:
+            arr = np.array(ring, dtype=np.float64)
+            keep = np.ones(len(arr), dtype=bool)
+            keep[1:-1] = ~(
+                ((arr[1:-1, 0] == arr[:-2, 0]) & (arr[1:-1, 0] == arr[2:, 0]))
+                | ((arr[1:-1, 1] == arr[:-2, 1]) & (arr[1:-1, 1] == arr[2:, 1]))
+            )
+            arr = arr[keep]
+            rings.append(np.vstack([arr, arr[:1]]))
+    return rings
+
+
+def union_buffer_unbuffer(polygons: list[list[np.ndarray]], buffer_px: float,
+                          res: int = DEFAULT_RES, extent_px: float = 256.0,
+                          pad: float = 4.0, min_area_px: float = 1.0) -> list[np.ndarray]:
+    """mergeNearbyPolygons semantics on the raster lattice.
+
+    ``polygons``: list of ring-lists in tile pixel coords.  Returns merged
+    rings in pixel coords (exteriors + holes mixed; winding distinguishes).
+    """
+    scale = res / (extent_px + 2 * pad)
+    mask = np.zeros((res, res), dtype=bool)
+    for rings in polygons:
+        mask |= rasterize_rings(rings, res, extent_px, pad)
+    r = max(0, int(round(buffer_px * scale)))
+    if r:
+        mask = _erode(_dilate(mask, r), r)
+    rings_grid = trace_contours(mask)
+    out = []
+    min_area_grid = min_area_px * scale * scale
+    for g in rings_grid:
+        # grid corner (row, col) -> pixel (x, y)
+        px = g[:, 1] / scale - pad
+        py = g[:, 0] / scale - pad
+        ring = np.column_stack([px, py])
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+        if area * scale * scale >= min_area_grid:
+            out.append(ring)
+    return out

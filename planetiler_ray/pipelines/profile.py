@@ -51,6 +51,11 @@ class LayerSpec:
     merge_points: bool = False      # mergeMultiPoint: attr-grouped multipoint
     merge_lines: bool = False       # mergeLineStrings via LoopLineMerger-lite
     merge_polygons: bool = False    # mergeMultiPolygon: attr-grouped concat
+    # mergeNearbyPolygons (buffer∘union∘unbuffer on the tile raster lattice,
+    # geo/rasterunion.py) — the z13 building-merge capability
+    merge_polygons_union: bool = False
+    merge_buffer_px: float = 0.0    # dilation radius for the union merge
+    merge_min_area_px: float = 1.0  # drop merged rings smaller than this
     merge_min_length: float = 0.0   # px; drop merged chains shorter than this
     # zoom-gated attributes (ZoomFunction-in-attrs semantics,
     # FeatureCollector.java:994-1027): attr col -> min zoom it appears at

@@ -57,6 +57,16 @@ def merge_layer_features(feats: list[dict], spec) -> list[dict]:
             if merged:
                 out.append({"id": min(f["id"] for f in fs), "kind": "multilinestring",
                             "parts": merged, "attrs": fs[0]["attrs"]})
+        elif kind == "polygon" and spec.merge_polygons_union:
+            from ..geo.rasterunion import union_buffer_unbuffer
+
+            polys = [f["parts"] for f in sorted(fs, key=lambda f: f["id"])]
+            merged = union_buffer_unbuffer(
+                polys, spec.merge_buffer_px, min_area_px=spec.merge_min_area_px
+            )
+            if merged:
+                out.append({"id": min(f["id"] for f in fs), "kind": "multipolygon",
+                            "parts": merged, "attrs": fs[0]["attrs"]})
         elif kind == "polygon" and spec.merge_polygons:
             parts = [p for f in sorted(fs, key=lambda f: f["id"]) for p in f["parts"]]
             out.append({"id": min(f["id"] for f in fs), "kind": "multipolygon",
@@ -170,7 +180,8 @@ def make_bucket_assembler(profile: TilingProfile):
                     continue
                 grid_px = resolve_zoom(spec.label_grid_px, z)
                 limit = resolve_zoom(spec.label_grid_limit, z)
-                needs_parts = spec.merge_points or spec.merge_lines or spec.merge_polygons
+                needs_parts = (spec.merge_points or spec.merge_lines
+                               or spec.merge_polygons or spec.merge_polygons_union)
                 feats: list[dict] = []
                 seen: dict[int, int] = {}
                 use_grid = bool(grid_px and limit)
@@ -258,113 +269,6 @@ def make_bucket_assembler(profile: TilingProfile):
 
 
 def make_tile_assembler(profile: TilingProfile):
-    """Returns the body assembling one tile's rows -> one tile row."""
-
-    layer_order = list(profile.layers)
-
-    def assemble(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return TILE_SCHEMA.empty_table()
-        z = int(group.column("z")[0].as_py())
-        tx = int(group.column("tile_x")[0].as_py())
-        ty = int(group.column("tile_y")[0].as_py())
-        tile_id = int(group.column("tile_id")[0].as_py())
-        cols = set(group.column_names)
-        layers_out: dict[str, list[dict]] = {}
-        n_features = 0
-        layer_col = group.column("layer").to_pylist()
-        for lname in layer_order:
-            spec = profile.layers[lname]
-            if not (spec.min_zoom <= z <= spec.max_zoom):
-                continue
-            sel = [i for i, v in enumerate(layer_col) if v == lname]
-            if not sel:
-                continue
-            sub = group.take(pa.array(sel, pa.int64()))
-            # deterministic order: (sort_key, feature_id)
-            sk = (
-                sub.column(spec.sort_key_col).to_numpy()
-                if spec.sort_key_col and spec.sort_key_col in cols
-                else np.zeros(sub.num_rows, dtype=np.int64)
-            )
-            fid = sub.column("feature_id").to_numpy()
-            order = np.lexsort((fid, sk))
-            sub = sub.take(pa.array(order, pa.int64()))
-            sk = sk[order]
-            # label grid limit (points only)
-            grid_px = resolve_zoom(spec.label_grid_px, z)
-            limit = resolve_zoom(spec.label_grid_limit, z)
-            keep = np.ones(sub.num_rows, dtype=bool)
-            if grid_px and limit and "px" in cols:
-                px = sub.column("px").to_numpy()
-                py = sub.column("py").to_numpy()
-                pts = ~np.isnan(px)
-                cell = (
-                    np.floor_divide(px, grid_px).astype(np.int64) * 100003
-                    + np.floor_divide(py, grid_px).astype(np.int64)
-                )
-                seen: dict[int, int] = {}
-                for i in range(sub.num_rows):
-                    if not pts[i]:
-                        continue
-                    c = int(cell[i])
-                    cnt = seen.get(c, 0)
-                    if cnt >= limit:
-                        keep[i] = False
-                    else:
-                        seen[c] = cnt + 1
-            feats: list[dict] = []
-            kinds = sub.column("kind").to_pylist()
-            fids = sub.column("feature_id").to_numpy()
-            geom_px = sub.column("geom_px").to_pylist() if "geom_px" in cols else None
-            pxs = sub.column("px").to_numpy() if "px" in cols else None
-            pys = sub.column("py").to_numpy() if "py" in cols else None
-            attr_arrays = {
-                c: sub.column(c).to_pylist() for c in spec.attr_cols if c in cols
-            }
-            for i in range(sub.num_rows):
-                if not keep[i]:
-                    continue
-                kind = kinds[i]
-                if kind == "point" and pxs is not None and not np.isnan(pxs[i]):
-                    parts = [np.array([[pxs[i], pys[i]]])]
-                else:
-                    gk, gd = wkb.decode_wkb(geom_px[i])
-                    kind = gk
-                    parts = (
-                        gd
-                        if gk in ("linestring", "polygon", "multilinestring")
-                        else [gd]
-                    )
-                    if gk == "multilinestring":
-                        kind = "linestring"
-                attrs = {
-                    c: v[i]
-                    for c, v in attr_arrays.items()
-                    if v[i] is not None
-                }
-                feats.append(
-                    {"id": int(fids[i]), "kind": kind, "parts": parts, "attrs": attrs}
-                )
-            if feats:
-                layers_out[lname] = feats
-                n_features += len(feats)
-        data = mvt.encode_tile(layers_out)
-        gz = mvt.gzip_tile(data)
-        h = fnv1a64(data)
-        return pa.table(
-            {
-                "tile_id": pa.array([tile_id], pa.int64()),
-                "z": pa.array([z], pa.int64()),
-                "tile_x": pa.array([tx], pa.int64()),
-                "tile_y": pa.array([ty], pa.int64()),
-                "n_features": pa.array([n_features], pa.int64()),
-                "n_bytes": pa.array([len(gz)], pa.int64()),
-                "tile_gz": pa.array([gz], pa.binary()),
-                "content_hash": pa.array(
-                    [np.int64(np.uint64(h))], pa.int64()
-                ),
-            }
-        )
-
-    return assemble
+    """Single-tile assembly body — delegates to the bucket assembler (one
+    tile is a trivial bucket), so there is exactly ONE assembly code path."""
+    return make_bucket_assembler(profile)
