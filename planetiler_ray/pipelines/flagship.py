@@ -36,14 +36,17 @@ ROW_COLUMNS = [
     "feature_id", "px", "py", "lang", "admin_id", "poi_id", "name", "iso_code",
 ]
 
+# narrow types + dictionary-encoded constant strings: the tile-row table is
+# what crosses the ONE shuffle — every byte here is multiplied by rows x 2
 _TYPES = {
-    "tile_id": pa.int64(), "z": pa.int64(), "tile_x": pa.int64(),
-    "tile_y": pa.int64(), "layer": pa.string(), "kind": pa.string(),
+    "tile_id": pa.int64(), "z": pa.int16(), "tile_x": pa.int32(),
+    "tile_y": pa.int32(), "layer": pa.string(), "kind": pa.string(),
     "geom_px": pa.binary(), "is_fill": pa.bool_(), "feature_id": pa.int64(),
-    "px": pa.float64(), "py": pa.float64(), "lang": pa.string(),
-    "admin_id": pa.int64(), "poi_id": pa.int64(), "name": pa.string(),
+    "px": pa.float32(), "py": pa.float32(), "lang": pa.string(),
+    "admin_id": pa.int32(), "poi_id": pa.int32(), "name": pa.string(),
     "iso_code": pa.string(),
 }
+_DICT_COLS = ("layer", "kind", "lang")
 
 
 def _conform(batch: pa.Table) -> pa.Table:
@@ -52,9 +55,15 @@ def _conform(batch: pa.Table) -> pa.Table:
     cols = {}
     for name in ROW_COLUMNS:
         if name in batch.column_names:
-            cols[name] = batch.column(name).cast(_TYPES[name])
+            col = batch.column(name).cast(_TYPES[name])
         else:
-            cols[name] = pa.nulls(n, _TYPES[name])
+            col = pa.nulls(n, _TYPES[name])
+        if name in _DICT_COLS:
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            if not chunks:
+                chunks = [pa.array([], _TYPES[name])]
+            col = pa.chunked_array([c.dictionary_encode() for c in chunks])
+        cols[name] = col
     return pa.table(cols)
 
 
