@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_meta": webgeo.q_pages_meta,
         "geoparse": webgeo.q_geoparse,
         "tile_counts": webgeo.q_tile_counts,
+        "cell_counts": webgeo.q_cell_counts,
         "pip_join": webgeo.q_pip,
         "knn_join": webgeo.q_knn,
         # dedup suite

@@ -162,3 +162,34 @@ def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
         concurrency=(1, 24),  # ceiling above the largest CPU level so the
         num_cpus=1,           # pool itself never caps cluster scaling
     )
+
+
+def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
+    """Counts per coarse S2 cell (level 6) and hex cell (res 4) — the
+    cell-index aggregation surface (rows-only: S2/hex ids have no SQL twin).
+
+    Scale pattern: partial counts per batch, groupby-sum over partials.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..geo import hexgrid, s2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s2c = s2.parent(batch.column("s2_cell").to_numpy(), 6)
+        hxc = hexgrid.hex_parent(batch.column("hex_cell").to_numpy(), 4)
+        df = (
+            pd.DataFrame({"s2_l6": s2c, "hex_r4": hxc})
+            .groupby(["s2_l6", "hex_r4"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        enriched_points_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["s2_l6", "hex_r4"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
