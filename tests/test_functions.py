@@ -109,3 +109,42 @@ def test_wayzorder():
         tunnel=pd.Series([None, "yes", None]),
     )
     np.testing.assert_array_equal(z, [29, -7, 0])
+
+
+def test_simhash_semantics():
+    """Pinned: identical texts -> hamming 0; near texts small; unrelated large
+    (regression for the unsigned-underflow bug where every bit was set)."""
+    from planetiler_ray.stages.dedup import simhash64
+
+    t = pd.Series([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely unrelated content here",
+        "the quick brown fox jumps over the lazy dog",
+    ])
+    h = simhash64(t)
+    assert h[0] != np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[0], h[3]) == 0
+    assert 0 < ham(h[0], h[1]) < 16
+    assert ham(h[0], h[2]) > 20
+
+
+def test_minhash_jaccard_estimate():
+    """MinHash signature similarity approximates word-shingle Jaccard."""
+    from planetiler_ray.stages.dedup import minhash_of_shingles, word_shingles
+
+    t = pd.Series([
+        "a b c d e f g h i j k l m n o p",
+        "a b c d e f g h i j k l m n o q",   # ~high overlap
+        "z y x w v u t s r q p o n m l k",   # low overlap with first
+    ])
+    sh = word_shingles(t, k=3)
+    sigs = [minhash_of_shingles(s) for s in sh]
+    sim01 = (sigs[0] == sigs[1]).mean()
+    sim02 = (sigs[0] == sigs[2]).mean()
+    assert sim01 > sim02
+    assert sim01 > 0.5
