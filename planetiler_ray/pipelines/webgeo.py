@@ -193,3 +193,39 @@ def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
         .groupby(["s2_l6", "hex_r4"])
         .aggregate(Sum("n_part", alias_name="n"))
     )
+
+
+# ------------------------------------------------- real pages-table inputs --
+
+def write_pages_parquet(sf_dir: str, out_dir: str, repl: int = 1):
+    """Materialize the synthetic pages table to parquet — produces a REAL
+    input dataset in the exact BASELINE.json input_hint shape
+    (url, warc_ts, html, text, lang [+ doc_id])."""
+    pages_ds(sf_dir, repl).write_parquet(out_dir)
+    return out_dir
+
+
+def mentions_from_pages(pages_path: str) -> ray.data.Dataset:
+    """Consume an ACTUAL pages parquet dataset (the production entry point: a
+    user with real Common-Crawl-style pages starts here — no synthesis).
+
+    Columns required: url, html (binary), lang; doc_id optional (derived from
+    a hash of url when absent so downstream keys stay stable).
+    """
+    ds = ray.data.read_parquet(pages_path)
+
+    def ensure_doc_id(batch: pa.Table) -> pa.Table:
+        if "doc_id" in batch.column_names:
+            return batch
+        urls = batch.column("url").to_pylist()
+        ids = np.array(
+            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+             for u in urls], dtype=np.int64,
+        )
+        return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    return (
+        ds.map_batches(ensure_doc_id, batch_format="pyarrow")
+        .map_batches(extract_stage, batch_format="pyarrow")
+        .map_batches(geoparse_stage, batch_format="pyarrow")
+    )

@@ -94,3 +94,48 @@ def test_queries_have_oracles():
     assert set(os_) <= set(qs)
     # the core 5 are oracle-checked
     assert {"pages_meta", "geoparse", "tile_counts", "pip_join", "knn_join"} <= set(os_)
+
+
+def test_real_pages_parquet_input(ray_session, tmp_path):
+    """Production entry: materialized pages parquet -> identical mentions."""
+    from planetiler_ray.pipelines import webgeo
+
+    out = str(tmp_path / "pages")
+    webgeo.write_pages_parquet("/root/testdata/sf0.001", out)
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(schema.names)
+    a = (
+        webgeo.mentions_from_pages(out)
+        .to_pandas()
+        .sort_values(["doc_id", "mention_idx"], ignore_index=True)
+    )
+    b = (
+        webgeo.mentions_ds("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_id", "mention_idx"], ignore_index=True)
+    )
+    assert (a["lat_mdeg"] == b["lat_mdeg"]).all()
+    assert (a["lon_mdeg"] == b["lon_mdeg"]).all()
+
+
+def test_progress_counters(ray_session):
+    import ray
+
+    from planetiler_ray.pipelines import webgeo
+    from planetiler_ray.state.progress import Counters, count_stage
+
+    counters = Counters.get()
+    ray.get(counters.reset.remote())
+    ds = webgeo.mentions_ds("/root/testdata/sf0.001").map_batches(
+        count_stage("mentions"), batch_format="pyarrow"
+    )
+    n = ds.count()
+    import time
+
+    time.sleep(1)  # fire-and-forget increments drain
+    snap = ray.get(counters.snapshot.remote())
+    assert snap["counts"].get("mentions") == n
