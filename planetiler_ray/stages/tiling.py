@@ -75,6 +75,9 @@ def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
     partials are the salt partitions; determinism is test-pinned).
 
     ``grid_by_zoom`` / ``limit_by_zoom``: callables z -> px / k (None = keep).
+    ``sort_cols`` MUST match the assembler's within-cell ordering
+    (sort_key then feature_id when a sort-key column exists) or the partial
+    top-k would keep different rows than the final exact top-k.
     """
     z = batch.column("z").to_numpy()
     px = batch.column("px").to_numpy()

@@ -148,3 +148,14 @@ def test_minhash_jaccard_estimate():
     sim02 = (sigs[0] == sigs[2]).mean()
     assert sim01 > sim02
     assert sim01 > 0.5
+
+
+def test_zoom_function():
+    from planetiler_ray.pipelines.profile import ZoomFunction, resolve_zoom
+
+    zf = ZoomFunction({0: 10, 8: None, 12: 4}, default=99)
+    assert zf.at(0) == 10 and zf.at(7) == 10
+    assert zf.at(8) is None and zf.at(11) is None
+    assert zf.at(12) == 4 and zf.at(14) == 4
+    assert resolve_zoom(zf, 3) == 10
+    assert resolve_zoom(7, 3) == 7  # plain values pass through
