@@ -151,17 +151,25 @@ def _parity_intervals(rings: list[np.ndarray], x_line: float) -> np.ndarray:
 
 
 def line_tiles(coords_world: np.ndarray, z: int, buffer_px: float = DEFAULT_BUFFER_PX,
-               extent: int = DEFAULT_EXTENT) -> Iterator[tuple[int, int, list[np.ndarray]]]:
+               extent: int = DEFAULT_EXTENT, wrap_x: bool = True
+               ) -> Iterator[tuple[int, int, list[np.ndarray]]]:
     """Slice one world-coordinate polyline at zoom z.
 
     Yields ``(tile_x, tile_y, [piece_px, ...])`` with pieces in tile-local
     pixel coordinates.
+
+    ``wrap_x`` (antimeridian, ``TiledGeometry.sliceIntoTiles:201-208``):
+    crossing geometries are represented with CONTINUOUS world x beyond [0, 1]
+    (lon past ±180, same as the reference's mercator coords) and emitted
+    columns are taken mod 2^z — no clamping of the x slice range.
     """
     n = 1 << z
     buf = buffer_px / extent
     scaled = coords_world * n
-    x0 = max(0, int(np.floor(scaled[:, 0].min() - buf)))
-    x1 = min(n - 1, int(np.floor(scaled[:, 0].max() + buf)))
+    x0 = int(np.floor(scaled[:, 0].min() - buf))
+    x1 = int(np.floor(scaled[:, 0].max() + buf))
+    if not (wrap_x and n > 1):
+        x0, x1 = max(0, x0), min(n - 1, x1)
     for cx in range(x0, x1 + 1):
         col_pieces = clip_line_slab(scaled, 0, cx - buf, cx + 1 + buf)
         if not col_pieces:
@@ -178,7 +186,7 @@ def line_tiles(coords_world: np.ndarray, z: int, buffer_px: float = DEFAULT_BUFF
                     if len(local) >= 2:
                         out.append(local)
             if out:
-                yield cx, cy, out
+                yield cx % n, cy, out
 
 
 def fill_ring_px(buffer_px: float = DEFAULT_BUFFER_PX, extent: int = DEFAULT_EXTENT) -> np.ndarray:
@@ -189,7 +197,7 @@ def fill_ring_px(buffer_px: float = DEFAULT_BUFFER_PX, extent: int = DEFAULT_EXT
 
 
 def polygon_tiles(rings_world: list[np.ndarray], z: int, buffer_px: float = DEFAULT_BUFFER_PX,
-                  extent: int = DEFAULT_EXTENT
+                  extent: int = DEFAULT_EXTENT, wrap_x: bool = True
                   ) -> Iterator[tuple[int, int, list[np.ndarray], bool]]:
     """Slice one world-coordinate polygon (exterior + holes) at zoom z.
 
@@ -197,13 +205,17 @@ def polygon_tiles(rings_world: list[np.ndarray], z: int, buffer_px: float = DEFA
     canonical full-square ring and were detected via center-line parity
     without clipping (generator — callers stream fills instead of
     materializing millions of interior-tile rows at once).
+    ``wrap_x``: crossing polygons use continuous world x beyond [0, 1];
+    emitted columns are taken mod 2^z.
     """
     n = 1 << z
     buf = buffer_px / extent
     scaled = [r * n for r in rings_world]
     ext = scaled[0]
-    x0 = max(0, int(np.floor(ext[:, 0].min() - buf)))
-    x1 = min(n - 1, int(np.floor(ext[:, 0].max() + buf)))
+    x0 = int(np.floor(ext[:, 0].min() - buf))
+    x1 = int(np.floor(ext[:, 0].max() + buf))
+    if not (wrap_x and n > 1):
+        x0, x1 = max(0, x0), min(n - 1, x1)
     for cx in range(x0, x1 + 1):
         lo, hi = cx - buf, cx + 1 + buf
         col_rings: list[np.ndarray] = []
@@ -240,7 +252,7 @@ def polygon_tiles(rings_world: list[np.ndarray], z: int, buffer_px: float = DEFA
                 yc = cy + 0.5
                 k = np.searchsorted(inside_iv, yc)
                 if k % 2 == 1:  # center inside -> filled tile
-                    yield cx, cy, [fill_ring_px(buffer_px, extent)], True
+                    yield cx % n, cy, [fill_ring_px(buffer_px, extent)], True
                 continue
             out: list[np.ndarray] = []
             for r in col_rings:
@@ -248,7 +260,7 @@ def polygon_tiles(rings_world: list[np.ndarray], z: int, buffer_px: float = DEFA
                 if cr is not None and abs(_ring_area(cr)) > 1e-12:
                     out.append((cr - np.array([cx, cy])) * extent)
             if out:
-                yield cx, cy, out, False
+                yield cx % n, cy, out, False
 
 
 def point_tiles_vec(world_x: np.ndarray, world_y: np.ndarray, z: int,

@@ -323,3 +323,26 @@ def test_point_antimeridian_wrap():
     # no wrap at z0
     src3, tx3, *_ = clip.point_tiles_vec(np.array([0.9999]), wy, 0)
     assert set(tx3.tolist()) == {0}
+
+
+def test_line_antimeridian_wrap():
+    # crossing lines use CONTINUOUS x past 1.0 (lon beyond 180), like the
+    # reference's mercator coords; world x 0.97 -> 1.03 wraps into column 0
+    line = np.array([[0.97, 0.4], [1.03, 0.4]])
+    tiles = {(x, y) for x, y, _ in clip.line_tiles(line, 3)}
+    # z3: crossing means columns 7 and 0 only (NOT the long way around 1..6)
+    assert (7, 3) in tiles and (0, 3) in tiles
+    assert not any(t[0] in (2, 3, 4, 5) for t in tiles)
+    # non-crossing line unaffected
+    line2 = np.array([[0.2, 0.4], [0.3, 0.4]])
+    tiles2 = {(x, y) for x, y, _ in clip.line_tiles(line2, 3)}
+    assert all(1 <= t[0] <= 2 for t in tiles2)
+
+
+def test_polygon_antimeridian_wrap():
+    # polygon straddling the date line with continuous x in [0.96, 1.04]
+    ring = np.array([[0.96, 0.45], [1.04, 0.45], [1.04, 0.55], [0.96, 0.55], [0.96, 0.45]])
+    got = {(x, y) for x, y, _, _ in clip.polygon_tiles([ring], 4)}
+    xs = {t[0] for t in got}
+    assert 15 in xs and 0 in xs
+    assert not any(x in (3, 4, 5, 6, 7, 8, 9, 10, 11, 12) for x in xs)
