@@ -346,3 +346,20 @@ def test_polygon_antimeridian_wrap():
     xs = {t[0] for t in got}
     assert 15 in xs and 0 in xs
     assert not any(x in (3, 4, 5, 6, 7, 8, 9, 10, 11, 12) for x in xs)
+
+
+def test_z15_supported():
+    """z15 ids fit the 33-bit tile field; fills work at z15 (FIXTURES case 5)."""
+    tid = T.encode_tile_id(15, 32767, 32767)
+    z, x, y = T.decode_tile_id(tid)
+    assert (int(z), int(x), int(y)) == (15, 32767, 32767)
+    assert T.num_tiles_through(15) < (1 << 31)
+    key = T.encode_sort_key(tid, 5, 0, 0)
+    t2, l2, *_ = T.decode_sort_key(key)
+    assert int(t2) == int(tid) and int(l2) == 5
+    # a tiny polygon produces fills at z15 in its interior
+    ring = np.array([[0.50000, 0.50000], [0.50030, 0.50000],
+                     [0.50030, 0.50030], [0.50000, 0.50030], [0.50000, 0.50000]])
+    res = list(clip.polygon_tiles([ring], 15))
+    assert any(f for *_, f in res)  # at least one filled interior tile
+    assert len(res) >= 25

@@ -139,3 +139,20 @@ def test_progress_counters(ray_session):
     time.sleep(1)  # fire-and-forget increments drain
     snap = ray.get(counters.snapshot.remote())
     assert snap["counts"].get("mentions") == n
+
+
+def test_min_pixel_size_suppression():
+    """FIXTURES golden case 4: small polygons are suppressed at low zooms."""
+    import numpy as np
+
+    from planetiler_ray.stages.render import render_geometry_rows
+
+    # ~0.1 deg square: ~0.07px at z0, big at z10
+    ring = np.array([[10.0, 10.0], [10.1, 10.0], [10.1, 10.1], [10.0, 10.1], [10.0, 10.0]])
+    rows = list(render_geometry_rows(1, "polygon", [ring], "t", {}, 0, 10,
+                                     min_pixel_size=1.0))
+    zs = sorted({r["z"] for r in rows})
+    assert 0 not in zs and 2 not in zs  # suppressed at low zoom
+    assert 10 in zs                      # present at high zoom
+    # threshold monotone: once visible, stays visible
+    assert zs == list(range(zs[0], 11))
