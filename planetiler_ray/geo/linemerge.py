@@ -7,10 +7,10 @@
 * stubs shorter than ``min_length`` that dangle off junctions are dropped;
 * remaining chains shorter than ``min_length`` are dropped.
 
-Junction-preserving: endpoints with degree != 2 are never merged through, so
-road intersections survive (the reference's "merge strokes by straightest
-angle" picks one continuation; we keep chains split at junctions — a
-documented simplification that preserves geometry, only splitting differs).
+Junction handling: by default endpoints with degree != 2 are never merged
+through (geometry-preserving splits); with ``strokes=True`` the straightest
+pair is merged through each junction (:func:`merge_strokes`), matching the
+reference's "merge strokes by straightest angle" phase.
 """
 
 from __future__ import annotations
@@ -29,8 +29,81 @@ def _length(c: np.ndarray) -> float:
     return float(np.hypot(d[:, 0], d[:, 1]).sum())
 
 
-def merge_lines(segments: list[np.ndarray], min_length: float = 0.0) -> list[np.ndarray]:
-    """Join segments at degree-2 snapped endpoints; drop short pieces."""
+def _angle_between(a_dir: np.ndarray, b_dir: np.ndarray) -> float:
+    """Turn angle (radians, 0 = straight through) between an incoming
+    direction and an outgoing direction."""
+    na = np.hypot(*a_dir)
+    nb = np.hypot(*b_dir)
+    if na == 0 or nb == 0:
+        return np.pi
+    cosv = float(np.clip(np.dot(a_dir, b_dir) / (na * nb), -1.0, 1.0))
+    return float(np.arccos(cosv))
+
+
+def merge_strokes(chains: list[np.ndarray], max_turn: float = np.pi / 4) -> list[np.ndarray]:
+    """Straightest-angle stroke merging at junctions (the reference's "merge
+    strokes by straightest angle", ``LoopLineMerger`` stroke phase): chains
+    meeting at a shared snapped endpoint are greedily paired by smallest turn
+    angle (must be < ``max_turn``) and joined through the junction; remaining
+    arms stay split.  Deterministic: junctions processed in sorted key order,
+    candidate pairs in (angle, chain index) order."""
+    chains = [np.asarray(c, dtype=np.float64) for c in chains]
+    # endpoint -> [(chain idx, is_start)]
+    while True:
+        adj: dict[tuple[int, int], list[tuple[int, bool]]] = {}
+        for i, c in enumerate(chains):
+            adj.setdefault(_key(c[0]), []).append((i, True))
+            adj.setdefault(_key(c[-1]), []).append((i, False))
+        merged_any = False
+        for k in sorted(adj):
+            arms = adj[k]
+            if len(arms) < 2:
+                continue
+            # direction INTO the junction for each arm
+            dirs = []
+            for i, at_start in arms:
+                c = chains[i]
+                if c is None:
+                    dirs.append(None)
+                    continue
+                v = (c[0] - c[1]) if at_start else (c[-1] - c[-2])
+                dirs.append(-v)  # incoming direction
+            pairs = []
+            for a in range(len(arms)):
+                for b in range(a + 1, len(arms)):
+                    if dirs[a] is None or dirs[b] is None or arms[a][0] == arms[b][0]:
+                        continue
+                    turn = _angle_between(dirs[a], -dirs[b])
+                    if turn < max_turn:
+                        pairs.append((turn, a, b))
+            used: set[int] = set()
+            for turn, a, b in sorted(pairs):
+                if a in used or b in used:
+                    continue
+                ia, sa = arms[a]
+                ib, sb = arms[b]
+                if chains[ia] is None or chains[ib] is None:
+                    continue
+                ca = chains[ia] if not sa else chains[ia][::-1]  # ends at k
+                cb = chains[ib] if sb else chains[ib][::-1]      # starts at k
+                chains[ia] = np.vstack([ca, cb[1:]])
+                chains[ib] = None
+                used.add(a)
+                used.add(b)
+                merged_any = True
+            if merged_any:
+                break  # adjacency is stale; rebuild
+        chains = [c for c in chains if c is not None]
+        if not merged_any:
+            return chains
+
+
+def merge_lines(segments: list[np.ndarray], min_length: float = 0.0,
+                strokes: bool = False) -> list[np.ndarray]:
+    """Join segments at degree-2 snapped endpoints; drop short pieces.
+
+    ``strokes=True`` additionally merges the straightest pair through
+    junctions of degree > 2 (see :func:`merge_strokes`)."""
     segs = [np.asarray(s, dtype=np.float64) for s in segments if len(s) >= 2]
     if not segs:
         return []
@@ -69,8 +142,10 @@ def merge_lines(segments: list[np.ndarray], min_length: float = 0.0) -> list[np.
                     chain = np.vstack([chain, piece[1:]])
                 else:
                     chain = np.vstack([piece[::-1][:-1], chain])
-        if _length(chain) >= min_length:
-            out.append(chain)
+        out.append(chain)
+    if strokes:
+        out = merge_strokes(out)
+    out = [c for c in out if _length(c) >= min_length]
     # deterministic order: by first coordinate
     out.sort(key=lambda c: (c[0, 0], c[0, 1], len(c)))
     return out

@@ -57,6 +57,7 @@ class LayerSpec:
     merge_buffer_px: float = 0.0    # dilation radius for the union merge
     merge_min_area_px: float = 1.0  # drop merged rings smaller than this
     merge_min_length: float = 0.0   # px; drop merged chains shorter than this
+    merge_strokes: bool = False     # merge straightest pair through junctions
     # zoom-gated attributes (ZoomFunction-in-attrs semantics,
     # FeatureCollector.java:994-1027): attr col -> min zoom it appears at
     attr_min_zoom: dict = field(default_factory=dict)

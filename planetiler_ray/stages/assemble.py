@@ -53,7 +53,8 @@ def merge_layer_features(feats: list[dict], spec) -> list[dict]:
                         "parts": parts, "attrs": fs[0]["attrs"]})
         elif kind == "linestring" and spec.merge_lines:
             segs = [p for f in fs for p in f["parts"]]
-            merged = merge_lines(segs, spec.merge_min_length)
+            merged = merge_lines(segs, spec.merge_min_length,
+                                 strokes=spec.merge_strokes)
             if merged:
                 out.append({"id": min(f["id"] for f in fs), "kind": "multilinestring",
                             "parts": merged, "attrs": fs[0]["attrs"]})

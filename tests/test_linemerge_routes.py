@@ -44,3 +44,18 @@ def test_route_tiles_merge_lines(ray_session):
     assert 0 < len(feats) <= 4
     assert all(f["type"] == mvt.GEOM_LINESTRING for f in feats)
     assert {f["attrs"]["cls"] for f in feats} <= {"c0", "c1", "c2", "c3"}
+
+
+def test_stroke_merging_through_junction():
+    """With strokes=True the straight pair merges through a degree-3 node;
+    the perpendicular arm stays separate (straightest-angle semantics)."""
+    a = np.array([[0.0, 0.0], [10.0, 0.0]])
+    b = np.array([[10.0, 0.0], [20.0, 0.0]])
+    c = np.array([[10.0, 0.0], [10.0, 10.0]])
+    out = merge_lines([a, b, c], strokes=True)
+    assert len(out) == 2
+    lens = sorted(len(o) for o in out)
+    straight = max(out, key=len)
+    assert straight[0, 0] == 0.0 and straight[-1, 0] == 20.0
+    # default (strokes=False) behavior unchanged
+    assert len(merge_lines([a, b, c])) == 3
