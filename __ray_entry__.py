@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": training.q_media_features,
         # stream-shaped ops
         "window": training.q_window,
+        "sliding_window": training.q_sliding_window,
+        "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.sql_quality(),
         "fingerprint": oracle.sql_fingerprint(),
         "window": oracle.sql_window(),
+        "sliding_window": oracle.sql_sliding_window(),
+        "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),

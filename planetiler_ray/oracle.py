@@ -345,3 +345,35 @@ SELECT event_id, user_id, event_type
 FROM events
 WHERE (event_id * 2654435761 % 4294967296) % 16 = 0
 """
+
+
+def sql_sliding_window(window_us: int = 3600_000_000, slide_us: int = 1800_000_000) -> str:
+    k = window_us // slide_us
+    return f"""
+WITH j AS (SELECT UNNEST(range({k})) AS j),
+e AS (
+    SELECT user_id, epoch_us(ts) AS tsu,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT e.user_id,
+           ((e.tsu - j.j * {slide_us}) // {window_us}) * {window_us}
+               + j.j * {slide_us} AS win_start,
+           e.cents
+    FROM e CROSS JOIN j
+    WHERE ((e.tsu - j.j * {slide_us}) // {window_us}) * {window_us}
+              + j.j * {slide_us} >= 0
+)
+SELECT user_id, win_start, count(*) AS n_events, sum(cents) AS sum_cents
+FROM w GROUP BY 1, 2
+"""
+
+
+def sql_median_by_type() -> str:
+    return """
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS median_cents,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""

@@ -260,3 +260,11 @@ def q_hash_sample(sf_dir: str):
     return events_ds(sf_dir, ["event_id", "user_id", "event_type"]).map_batches(
         sample, batch_format="pyarrow"
     )
+
+
+def q_sliding_window(sf_dir: str):
+    return events.sliding_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
+
+
+def q_median_by_type(sf_dir: str):
+    return events.median_by_type(events_ds(sf_dir, ["event_type", "value"]))

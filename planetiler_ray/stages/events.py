@@ -90,3 +90,66 @@ def asof_join_views(ds):
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_window(ds, window_us: int = WINDOW_US, slide_us: int = WINDOW_US // 2):
+    """Sliding windows (1h window, 30min slide): each event lands in
+    window_us/slide_us windows; per (user, window start): count + sum cents.
+
+    Expressed as a flat-map (emit one row per covering window) + the partial
+    aggregation combiner — the standard batch restatement of sliding windows.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    k = window_us // slide_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        tsu = df["ts"].astype("int64").to_numpy()
+        cents = (df["value"] * 100).round().astype("int64").to_numpy()
+        user = df["user_id"].to_numpy()
+        rows = {"user_id": [], "win_start": [], "cents": []}
+        for j in range(k):
+            start = ((tsu - j * slide_us) // window_us) * window_us + j * slide_us
+            ok = start >= 0
+            rows["user_id"].append(user[ok])
+            rows["win_start"].append(start[ok])
+            rows["cents"].append(cents[ok])
+        out = pd.DataFrame(
+            {
+                "user_id": np.concatenate(rows["user_id"]),
+                "win_start": np.concatenate(rows["win_start"]),
+                "cents": np.concatenate(rows["cents"]),
+            }
+        )
+        g = out.groupby(["user_id", "win_start"], as_index=False).agg(
+            n_part=("cents", "size"), cents_part=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "win_start"])
+        .aggregate(Sum("n_part", alias_name="n_events"),
+                   Sum("cents_part", alias_name="sum_cents"))
+    )
+
+
+def median_by_type(ds):
+    """Exact lower-median (quantile_disc 0.5) of value-cents per event_type —
+    deterministic integer output, groupby + sorted per-group rank."""
+    import pyarrow as pa
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort((g["value"] * 100).round().astype("int64").to_numpy())
+        # discrete quantile: smallest value with cumulative probability >= q
+        # (1-based index ceil(q*n)) — matches DuckDB quantile_disc
+        idx = int(np.ceil(0.5 * len(cents))) - 1
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "median_cents": [int(cents[idx])],
+             "n_events": [len(cents)]}
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
