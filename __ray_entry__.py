@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": webgeo.q_tile_counts,
         "cell_counts": webgeo.q_cell_counts,
         "pip_join": webgeo.q_pip,
+        "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         # dedup suite
         "exact_dedup": training.q_exact_dedup,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracle.sql_mentions(),
         "tile_counts": oracle.sql_tile_counts(),
         "pip_join": oracle.sql_admin_join(),
+        "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
         "exact_dedup": oracle.sql_exact_dedup(),
         "jaccard_pairs": oracle.sql_jaccard_pairs(),

@@ -377,3 +377,32 @@ SELECT event_type,
        count(*) AS n_events
 FROM events GROUP BY 1
 """
+
+
+def sql_pip_nearest() -> str:
+    """Containing-or-nearest over the EVEN admin rects: distance to a rect is
+    the clamped-delta euclidean (0 when contained); first by dist2, then id."""
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W}"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H}"
+    return f"""
+WITH {POINTS_CTE},
+rects AS (
+    SELECT n.n_nationkey AS admin_id,
+           {lon_w} AS lon0, {lon_w} + {W.ADMIN_LON_W} AS lon1,
+           {lat_s} AS lat0, {lat_s} + {W.ADMIN_LAT_H} AS lat1
+    FROM nation n WHERE n.n_nationkey % 2 = 0
+),
+dists AS (
+    SELECT p.doc_id, p.mention_idx, r.admin_id,
+           greatest(r.lon0 - p.lon, p.lon - r.lon1, 0.0) AS dx,
+           greatest(r.lat0 - p.lat, p.lat - r.lat1, 0.0) AS dy
+    FROM points p CROSS JOIN rects r
+),
+ranked AS (
+    SELECT doc_id, mention_idx, admin_id,
+           row_number() OVER (PARTITION BY doc_id, mention_idx
+                              ORDER BY dx * dx + dy * dy, admin_id) AS rn
+    FROM dists
+)
+SELECT doc_id, mention_idx, admin_id FROM ranked WHERE rn = 1
+"""

@@ -229,3 +229,23 @@ def mentions_from_pages(pages_path: str) -> ray.data.Dataset:
         .map_batches(extract_stage, batch_format="pyarrow")
         .map_batches(geoparse_stage, batch_format="pyarrow")
     )
+
+
+def q_pip_nearest(sf_dir: str) -> ray.data.Dataset:
+    """Containing-OR-NEAREST polygon join (``PolygonIndex.getContainingOrNearest``,
+    PolygonIndex.java:93-130): only the even-keyed admin rects are loaded, so
+    points falling in the odd gaps exercise the nearest-boundary fallback.
+    Ties (exact equidistance) break on smallest admin_id — mirrored in SQL."""
+    polys = [p for p in load_admin_polygons(sf_dir) if p[0] % 2 == 0]
+    handle = ray.put(polys)
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle, "nearest"),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            num_cpus=0.5,
+        )
+        .select_columns(["doc_id", "mention_idx", "admin_id"])
+    )
