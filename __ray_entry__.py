@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": training.q_hash_sample,
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
+        "relation_assembly": _q_relation_assembly,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
         "yaml_tiles": _q_yaml_tiles,
         # line layer: assembled ways -> sliced -> per-tile merged lines
@@ -99,10 +100,22 @@ def _sql_way_assembly() -> str:
     return osm.sql_way_assembly()
 
 
+def _sql_relation_assembly() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_relation_assembly()
+
+
 def _q_way_assembly(sf_dir: str):
     from planetiler_ray.pipelines import osm
 
     return osm.assemble_ways(sf_dir)
+
+
+def _q_relation_assembly(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.assemble_relations(sf_dir)
 
 
 def _q_yaml_tiles(sf_dir: str):
@@ -140,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),
         "way_assembly": _sql_way_assembly(),
+        "relation_assembly": _sql_relation_assembly(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
         #   media_features

@@ -220,3 +220,115 @@ SELECT way_id,
        min(last_node) AS last_node
 FROM deltas GROUP BY way_id
 """
+
+
+# ------------------------------------------------ relations / multipolygons --
+
+REL_X_MULT, REL_Y_MULT = 48611, 39829
+
+
+def _rel_rect(custkey: np.ndarray):
+    """Deterministic rectangle (mdeg ints) per relation (= customer)."""
+    c = np.asarray(custkey, dtype=np.int64)
+    x0 = (c * REL_X_MULT) % 300000 - 150000
+    y0 = (c * REL_Y_MULT) % 140000 - 70000
+    w = 5000 + (c % 7) * 1000
+    h = 4000 + (c % 5) * 1000
+    return x0, y0, w, h
+
+
+def relation_members_ds(sf_dir: str) -> ray.data.Dataset:
+    """Member ways per relation: each relation's outer ring arrives as TWO
+    open way segments (the second reversed); every third relation adds a hole
+    as two more segments — the multipolygon member gather of
+    ``OsmReader.java:922-962``."""
+    from ..geo import wkb as W
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        cust = batch.column("c_custkey").to_numpy().astype(np.int64)
+        rel, wid, blobs = [], [], []
+        for c in cust:
+            x0, y0, w, h = (int(v) for v in np.broadcast_arrays(*_rel_rect(np.array([c]))))
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            a = np.array(corners[:3], dtype=np.float64)
+            b = np.array([corners[2], corners[3], corners[0]], dtype=np.float64)
+            rel += [c, c]
+            wid += [c * 10, c * 10 + 1]
+            blobs += [W.encode_wkb("linestring", a),
+                      W.encode_wkb("linestring", b[::-1])]  # reversed on purpose
+            if c % 3 == 0:
+                hx0, hy0 = x0 + w // 4, y0 + h // 4
+                hw, hh = w // 2, h // 2
+                hc = [(hx0, hy0), (hx0 + hw, hy0), (hx0 + hw, hy0 + hh), (hx0, hy0 + hh)]
+                ha = np.array(hc[:3], dtype=np.float64)
+                hb = np.array([hc[2], hc[3], hc[0]], dtype=np.float64)
+                rel += [c, c]
+                wid += [c * 10 + 2, c * 10 + 3]
+                blobs += [W.encode_wkb("linestring", ha),
+                          W.encode_wkb("linestring", hb)]
+        return pa.table(
+            {
+                "rel_id": pa.array(rel, pa.int64()),
+                "way_id": pa.array(wid, pa.int64()),
+                "geom_wkb": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(to_members, batch_format="pyarrow")
+
+
+def assemble_relations(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """groupby(rel_id bucket) -> stitch member ways into nested multipolygons
+    (``geo/multipolygon.py``).  Output (exact ints): rel_id, n_polygons,
+    n_rings, area2_sum = Σ |2·shoelace| over all rings in mdeg²."""
+    from ..geo import wkb as W
+    from ..geo.multipolygon import assemble_multipolygon
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("rel_id").to_numpy() % n_buckets
+        return batch.append_column("rbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rel_id", "way_id"])
+        out = {"rel_id": [], "n_polygons": [], "n_rings": [], "area2_sum": []}
+        for rel_id, grp in g.groupby("rel_id", sort=True):
+            segs = [W.decode_wkb(b)[1] for b in grp["geom_wkb"]]
+            polys = assemble_multipolygon(segs)
+            n_rings = sum(len(p) for p in polys)
+            area2 = 0
+            for rings in polys:
+                for r in rings:
+                    ri = np.rint(r).astype(np.int64)
+                    x, y = ri[:, 0], ri[:, 1]
+                    area2 += abs(int(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+            out["rel_id"].append(int(rel_id))
+            out["n_polygons"].append(len(polys))
+            out["n_rings"].append(n_rings)
+            out["area2_sum"].append(area2)
+        return pd.DataFrame(out)
+
+    return (
+        relation_members_ds(sf_dir)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["rbucket"])),
+                    batch_format="pandas")
+    )
+
+
+def sql_relation_assembly() -> str:
+    """Oracle: areas from the rectangle arithmetic directly — if stitching,
+    reversal handling or hole nesting broke, counts/areas mismatch."""
+    return f"""
+SELECT c.c_custkey AS rel_id,
+       1 AS n_polygons,
+       CASE WHEN c.c_custkey % 3 = 0 THEN 2 ELSE 1 END AS n_rings,
+       2 * (5000 + (c.c_custkey % 7) * 1000) * (4000 + (c.c_custkey % 5) * 1000)
+       + CASE WHEN c.c_custkey % 3 = 0
+              THEN 2 * ((5000 + (c.c_custkey % 7) * 1000) // 2)
+                     * ((4000 + (c.c_custkey % 5) * 1000) // 2)
+              ELSE 0 END AS area2_sum
+FROM customer c
+"""
