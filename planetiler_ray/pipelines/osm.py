@@ -332,3 +332,19 @@ SELECT c.c_custkey AS rel_id,
               ELSE 0 END AS area2_sum
 FROM customer c
 """
+
+
+def join_way_nodes_native(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """The same way ⋈ node join via Ray Data's native hash-partitioned
+    ``Dataset.join`` (available in recent releases) — equivalent results to
+    :func:`join_way_nodes`; the explicit bucketed form remains the default
+    because it keeps the partitioning/skew story visible and version-proof.
+    Size ``num_partitions`` well below available CPUs — the hash-join
+    aggregator actors stall a small local session when oversubscribed.
+    """
+    return way_refs_ds(sf_dir).join(
+        nodes_ds(sf_dir),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("node_id",),
+    )

@@ -46,3 +46,24 @@ def test_shard_layout_roundtrip(ray_session, tmp_path):
     # resume skips
     df2 = flagship.build_archive(SF, out, zooms=[2, 6], n_buckets=32, layout="shard")
     assert df2.skipped.all()
+
+
+def test_native_join_equivalent(ray_session):
+    """Ray's native Dataset.join produces the same joined rows as our
+    explicit bucketed hash join."""
+    from planetiler_ray.pipelines import osm
+
+    cols = ["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg"]
+    a = (
+        osm.join_way_nodes(SF)
+        .to_pandas()[cols]
+        .sort_values(cols, ignore_index=True)
+    )
+    b = (
+        osm.join_way_nodes_native(SF, num_partitions=4)
+        .to_pandas()[cols]
+        .sort_values(cols, ignore_index=True)
+    )
+    assert len(a) == len(b)
+    for c in cols:
+        assert (a[c].astype("int64") == b[c].astype("int64")).all(), c
