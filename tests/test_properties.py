@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the geo kernel — beyond the
+reference's test strategy (SURVEY §5.7 notes it has no randomized testing)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from planetiler_ray.geo import mercator as M
+from planetiler_ray.geo import tile as T
+from planetiler_ray.geo import wkb
+from planetiler_ray.geo.linemerge import _length, merge_lines
+from planetiler_ray.geo.mvt import decode_commands, encode_commands, unzigzag, zigzag
+from planetiler_ray.geo.simplify import simplify_dp
+
+
+@given(st.integers(0, 15), st.data())
+@settings(max_examples=200, deadline=None)
+def test_tile_id_roundtrip_property(z, data):
+    n = 1 << z
+    x = data.draw(st.integers(0, n - 1))
+    y = data.draw(st.integers(0, n - 1))
+    for order in (T.XYZ, T.TMS, T.HILBERT):
+        z2, x2, y2 = T.decode_tile_id(T.encode_tile_id(z, x, y, order), order)
+        assert (int(z2), int(x2), int(y2)) == (z, x, y)
+
+
+@given(st.integers(0, T.num_tiles_through(15) - 1), st.integers(0, 255),
+       st.integers(T.SORT_KEY_MIN, T.SORT_KEY_MAX), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_sort_key_roundtrip_property(tile, layer, sk, hg):
+    t, l, s, h = T.decode_sort_key(T.encode_sort_key(tile, layer, sk, int(hg)))
+    assert (int(t), int(l), int(s), int(h)) == (tile, layer, sk, int(hg))
+
+
+@given(st.integers(-(2**40), 2**40))
+@settings(max_examples=300, deadline=None)
+def test_zigzag_roundtrip_property(v):
+    assert int(unzigzag(zigzag(v))) == v
+
+
+@given(st.floats(-180, 180), st.floats(-85, 85))
+@settings(max_examples=200, deadline=None)
+def test_mercator_roundtrip_property(lon, lat):
+    x = float(M.lon_to_world_x(lon))
+    y = float(M.lat_to_world_y(lat))
+    assert 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0
+    assert abs(float(M.world_x_to_lon(x)) - lon) < 1e-9
+    assert abs(float(M.world_y_to_lat(y)) - lat) < 1e-7
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=2, max_size=30),
+       st.floats(0, 10))
+@settings(max_examples=200, deadline=None)
+def test_simplify_dp_properties(pts, tol):
+    coords = np.array(pts, dtype=np.float64)
+    out = simplify_dp(coords, tol)
+    # endpoints preserved, output is a subsequence of input
+    assert (out[0] == coords[0]).all() and (out[-1] == coords[-1]).all()
+    assert len(out) <= len(coords)
+    i = 0
+    for p in out:
+        while i < len(coords) and not (coords[i] == p).all():
+            i += 1
+        assert i < len(coords), "output point not in input order"
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                min_size=3, max_size=12, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_wkb_roundtrip_property(pts):
+    ring = np.array(pts + [pts[0]], dtype=np.float64)
+    k, rings = wkb.decode_wkb(wkb.encode_wkb("polygon", [ring]))
+    assert k == "polygon"
+    np.testing.assert_array_equal(rings[0], ring)
+    k2, line = wkb.decode_wkb(wkb.encode_wkb("linestring", ring[:-1]))
+    np.testing.assert_array_equal(line, ring[:-1])
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40), st.integers(0, 40),
+              st.integers(0, 40)).filter(lambda t: (t[0], t[1]) != (t[2], t[3])),
+    min_size=1, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_merge_lines_preserves_length(segs):
+    segments = [np.array([[a, b], [c, d]], dtype=np.float64) for a, b, c, d in segs]
+    total = sum(_length(s) for s in segments)
+    merged = merge_lines(segments, min_length=0.0)
+    merged_total = sum(_length(c) for c in merged)
+    assert abs(total - merged_total) < 1e-6
+
+
+@given(st.lists(st.tuples(st.floats(0, 256), st.floats(0, 256)),
+                min_size=2, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_mvt_line_roundtrip_property(pts):
+    line = np.array(pts, dtype=np.float64)
+    # drop consecutive duplicates at MVT resolution to make roundtrip exact
+    q = np.rint(line * 16) / 16
+    keep = np.concatenate([[True], (np.diff(np.rint(q * 16), axis=0) != 0).any(axis=1)])
+    q = q[keep]
+    if len(q) < 2:
+        return
+    cmds = encode_commands("linestring", [q])
+    back = decode_commands(cmds, 2)
+    assert len(back) == 1
+    np.testing.assert_allclose(back[0], q, atol=1 / 32)

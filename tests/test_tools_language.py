@@ -53,3 +53,32 @@ def test_compare_and_verify_archives(ray_session, tmp_path):
     flagship.build_archive(SF, c, zooms=[2, 4], n_buckets=16, layout="shard")
     res2 = compare_archives(a, c)
     assert res2.identical
+
+
+def test_cli_compare_exit_codes(ray_session, tmp_path):
+    """CLI compare: exit 0 on identical archives, 1 on diff."""
+    import subprocess
+    import sys
+
+    from planetiler_ray.pipelines import flagship
+
+    a = str(tmp_path / "ca")
+    b = str(tmp_path / "cb")
+    flagship.build_archive(SF, a, zooms=[2], n_buckets=8)
+    flagship.build_archive(SF, b, zooms=[2], n_buckets=8)
+    r = subprocess.run([sys.executable, "-m", "planetiler_ray", "compare",
+                        "--a", a, "--b", b], capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    # mutate one tile -> exit 1
+    import os
+
+    zdir = os.path.join(b, "2")
+    xdir = os.path.join(zdir, os.listdir(zdir)[0])
+    victim = os.path.join(xdir, os.listdir(xdir)[0])
+    with open(victim, "ab") as f:
+        f.write(b"x")
+    r2 = subprocess.run([sys.executable, "-m", "planetiler_ray", "compare",
+                         "--a", a, "--b", b], capture_output=True, text=True,
+                        cwd="/root/repo")
+    assert r2.returncode == 1
