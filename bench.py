@@ -82,7 +82,7 @@ def run_bench() -> dict:
     ).assemble_ways(SF_DIR).count())
 
     result = {
-        "metric": "flagship build seconds (sf dir end-to-end to files archive)",
+        "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,

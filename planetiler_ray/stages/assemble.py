@@ -39,6 +39,16 @@ def merge_layer_features(feats: list[dict], spec) -> list[dict]:
     feature id = the group's min id; group order is deterministic (min id)."""
     from ..geo.linemerge import merge_lines
 
+    from ..geo.hilbert import xy_to_hilbert
+
+    def _hilbert_of(f):
+        # order merged parts along the Hilbert curve of their first vertex
+        # (FeatureMerge.sortByHilbertIndex, FeatureMerge.java:396-402)
+        p = f["parts"][0][0]
+        x = int(min(max(p[0], 0.0), 255.0))
+        y = int(min(max(p[1], 0.0), 255.0))
+        return int(xy_to_hilbert(8, np.array([x]), np.array([y]))[0])
+
     groups: dict[tuple, list[dict]] = {}
     for f in feats:
         key = (f["kind"],) + tuple(sorted(f["attrs"].items()))
@@ -48,6 +58,7 @@ def merge_layer_features(feats: list[dict], spec) -> list[dict]:
         fs = groups[key]
         kind = fs[0]["kind"]
         if kind == "point" and spec.merge_points:
+            fs = sorted(fs, key=lambda f: (_hilbert_of(f), f["id"]))
             parts = [np.vstack([p for f in fs for p in f["parts"]])]
             out.append({"id": min(f["id"] for f in fs), "kind": "multipoint",
                         "parts": parts, "attrs": fs[0]["attrs"]})
@@ -69,7 +80,8 @@ def merge_layer_features(feats: list[dict], spec) -> list[dict]:
                 out.append({"id": min(f["id"] for f in fs), "kind": "multipolygon",
                             "parts": merged, "attrs": fs[0]["attrs"]})
         elif kind == "polygon" and spec.merge_polygons:
-            parts = [p for f in sorted(fs, key=lambda f: f["id"]) for p in f["parts"]]
+            parts = [p for f in sorted(fs, key=lambda f: (_hilbert_of(f), f["id"]))
+                     for p in f["parts"]]
             out.append({"id": min(f["id"] for f in fs), "kind": "multipolygon",
                         "parts": parts, "attrs": fs[0]["attrs"]})
         else:
