@@ -71,6 +71,10 @@ def main(argv=None):
 
             with open(args.yaml) as f:
                 schema = load_schema(f.read())
+            if args.format not in ("mbtiles", "pmtiles"):
+                print(json.dumps({"error": "--yaml builds support --format "
+                                           "mbtiles|pmtiles only"}))
+                return 2
             tiles = build_yaml_tiles(args.sf, schema, zooms=zooms).materialize()
             if args.format == "mbtiles":
                 stats = write_mbtiles(tiles, args.out)

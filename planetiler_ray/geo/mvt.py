@@ -344,7 +344,7 @@ def decode_tile(data: bytes) -> dict:
                 v, loff = _read_varint(layer_buf, loff)
                 if fno == 5:
                     extent = v
-        scale = extent // PX_EXTENT
+        scale = extent / PX_EXTENT if extent else 1.0
         features = []
         for fb in feats_raw:
             foff = 0

@@ -250,9 +250,22 @@ class PointIndex:
             cid = self.ids[cand]
             # order by (exact d2, poi_id): min d2, then min id among exact ties
             min_d = d.min(axis=1, keepdims=True)
-            tied_ids = np.where(d == min_d, cid, np.int64(1) << np.int64(62))
+            tied = d == min_d
+            tied_ids = np.where(tied, cid, np.int64(1) << np.int64(62))
             out_id[s : s + chunk] = tied_ids.min(axis=1)
             out_d[s : s + chunk] = min_d[:, 0]
+            if ncand < m:
+                # if EVERY preselected candidate ties exactly, the true
+                # min-id tie-mate may have been cut by the approximate
+                # preselection — re-score those rows exactly over all points
+                saturated = np.flatnonzero(tied.all(axis=1))
+                for ri in saturated:
+                    dx = pc[ri, 0] - self.x
+                    dy = pc[ri, 1] - self.y
+                    dall = dx * dx + dy * dy
+                    mind = dall.min()
+                    out_id[s + ri] = self.ids[dall == mind].min()
+                    out_d[s + ri] = mind
         if max_radius is not None:
             r2 = max_radius * max_radius
             far = out_d > r2

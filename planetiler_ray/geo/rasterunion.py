@@ -153,9 +153,10 @@ def union_buffer_unbuffer(polygons: list[list[np.ndarray]], buffer_px: float,
     out = []
     min_area_grid = min_area_px * scale * scale
     for g in rings_grid:
-        # grid corner (row, col) -> pixel (x, y)
-        px = g[:, 1] / scale - pad
-        py = g[:, 0] / scale - pad
+        # corner (r, c) of the PADDED lattice -> mask lattice is (r-1, c-1)
+        # -> pixel (x, y)
+        px = (g[:, 1] - 1.0) / scale - pad
+        py = (g[:, 0] - 1.0) / scale - pad
         ring = np.column_stack([px, py])
         x, y = ring[:, 0], ring[:, 1]
         area = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))

@@ -80,6 +80,12 @@ def point_rows_ds(sf_dir: str, zooms=None, repl: int = 1,
 
     def to_rows(batch: pa.Table) -> pa.Table:
         t = slice_points(batch, zooms=zooms)
+        # cast px/py to their shuffle dtype BEFORE the prune combiner so the
+        # partial top-k sees the same cell assignments as the assembler
+        # (float64->float32 rounding could flip a boundary cell otherwise)
+        for c in ("px", "py"):
+            t = t.set_column(t.column_names.index(c), c,
+                             t.column(c).cast(pa.float32()))
         n = t.num_rows
         t = t.append_column("layer", pa.array(["places"] * n, pa.string()))
         t = t.append_column("kind", pa.array(["point"] * n, pa.string()))

@@ -82,8 +82,19 @@ def read_ndjson_features(paths) -> ray.data.Dataset:
     """
 
     def convert(batch: pa.Table) -> pa.Table:
-        rows = [json.loads(t) for t in batch.column("text").to_pylist() if t.strip()]
-        out = [_feature_to_row(r, i) for i, r in enumerate(rows)]
+        import hashlib
+
+        lines = [t for t in batch.column("text").to_pylist() if t.strip()]
+        rows = [json.loads(t) for t in lines]
+        # features without an 'id' get a stable content hash, not a per-batch
+        # index (batches restart at 0, which would collide across batches)
+        out = [
+            _feature_to_row(
+                r,
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 1,
+            )
+            for t, r in zip(lines, rows)
+        ]
         return pa.table(
             {
                 "feature_id": pa.array([r["feature_id"] for r in out]),

@@ -165,7 +165,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     escaping.  This is the per-row invariant surface (BASELINE.json
     input_hint: "byte-identical extracted text per url").
     """
-    body = html.str.extract(r"<article>(.*)</article>", expand=False)
+    body = html.str.extract(r"(?s)<article>(.*)</article>", expand=False)
     return _unescape(body)
 
 

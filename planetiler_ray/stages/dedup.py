@@ -30,20 +30,6 @@ import pyarrow as pa
 _M61 = (1 << 61) - 1
 
 
-def _hash_tokens64(tokens: pd.Series) -> pd.Series:
-    """Stable 64-bit hash per token string (FNV-1a via numpy ops on bytes is
-    slow in python; use pandas hash — NOT stable across processes — so we use
-    a vectorized polynomial hash over utf-8 bytes instead)."""
-    # polynomial rolling hash base 1099511628211 mod 2^61-1, vectorized per char
-    def h(s: str) -> int:
-        v = 14695981039346656037
-        for b in s.encode("utf-8"):
-            v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        return v
-
-    return tokens.map(h)
-
-
 def tokenize_words(text: pd.Series) -> pd.Series:
     return text.str.lower().str.findall(r"[a-z0-9]+")
 

@@ -61,14 +61,21 @@ def iter_archive(path: str):
     elif path.endswith(".mbtiles"):
         yield from _iter_mbtiles(path)
     elif path.endswith(".pmtiles"):
-        from .sinks.pmtiles import PMTilesReader
+        import gzip as _gzip
+
+        from .geo import tile as T
+        from .sinks.pmtiles import PMTilesReader, deserialize_directory
 
         r = PMTilesReader(path)
-        # walk the directory entries
-        entries = r.root
-        for tid, off, ln, rl in entries:
-            from .geo import tile as T
-
+        if r.has_leaves:
+            # root entries point into the leaf section; walk each leaf
+            tile_entries = []
+            for tid, off, ln, rl in r.root:
+                r.f.seek(r.leaf_off + off)
+                tile_entries.extend(deserialize_directory(_gzip.decompress(r.f.read(ln))))
+        else:
+            tile_entries = r.root
+        for tid, off, ln, rl in tile_entries:
             for k in range(max(rl, 1)):
                 z, x, y = T.decode_tile_id(tid + k, T.HILBERT)
                 r.f.seek(r.data_off + off)

@@ -46,10 +46,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
             print(f"  [{name}] col {col} compare error: {e}")
             match = False
         if not match:
-            diff = (av.astype(str) != bv.astype(str))
-            print(f"  [{name}] VALUES differ in col {col}: {int(diff.sum())} rows")
-            print(pd.concat([a[diff].head(3).add_prefix("ray_"), b[diff].head(3).add_prefix("sql_")], axis=1))
             ok = False
+            if len(av) == len(bv):
+                diff = (av.astype(str) != bv.astype(str))
+                print(f"  [{name}] VALUES differ in col {col}: {int(diff.sum())} rows")
+                print(pd.concat([a[diff].head(3).add_prefix("ray_"),
+                                 b[diff].head(3).add_prefix("sql_")], axis=1))
+            else:
+                print(f"  [{name}] col {col}: cannot diff (row counts differ)")
     return ok
 
 
