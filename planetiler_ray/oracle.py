@@ -266,7 +266,7 @@ def sql_window() -> str:
 SELECT user_id,
        epoch_us(ts) // 3600000000 AS window_id,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -282,8 +282,8 @@ m AS (
 ),
 s AS (
     SELECT user_id, tsu,
-           sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+           CAST(sum(new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
     FROM m
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -318,8 +318,8 @@ LIMIT {k}
 def sql_lineitem_agg() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
        count(*) AS n_rows
 FROM lineitem GROUP BY 1, 2
 """
@@ -365,7 +365,8 @@ w AS (
     WHERE ((e.tsu - j.j * {slide_us}) // {window_us}) * {window_us}
               + j.j * {slide_us} >= 0
 )
-SELECT user_id, win_start, count(*) AS n_events, sum(cents) AS sum_cents
+SELECT user_id, win_start, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM w GROUP BY 1, 2
 """
 

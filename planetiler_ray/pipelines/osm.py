@@ -215,7 +215,7 @@ deltas AS (
 )
 SELECT way_id,
        count(*) AS n_nodes,
-       COALESCE(sum(dlat * dlat + dlon * dlon), 0) AS len2_sum,
+       CAST(COALESCE(sum(dlat * dlat + dlon * dlon), 0) AS BIGINT) AS len2_sum,
        min(first_node) AS first_node,
        min(last_node) AS last_node
 FROM deltas GROUP BY way_id

@@ -36,7 +36,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     for col in a.columns:
         av, bv = a[col], b[col]
         try:
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            if (ak == "f") != (bk == "f"):
+                # int-on-one-side / float-on-the-other: the driver's value
+                # hash sees different representations even when numerically
+                # equal (e.g. DuckDB HUGEINT -> pandas float64).  Hard fail.
+                print(f"  [{name}] DTYPE col {col}: ray={av.dtype} sql={bv.dtype}")
+                ok = False
+                continue
+            if ak == "f":
                 import numpy as np
 
                 match = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
