@@ -77,11 +77,14 @@ def merge_strokes(chains: list[np.ndarray], max_turn: float = np.pi / 4) -> list
                     if turn < max_turn:
                         pairs.append((turn, a, b))
             used: set[int] = set()
+            used_chains: set[int] = set()  # a merged chain's endpoints/flags are stale
             for turn, a, b in sorted(pairs):
                 if a in used or b in used:
                     continue
                 ia, sa = arms[a]
                 ib, sb = arms[b]
+                if ia in used_chains or ib in used_chains:
+                    continue  # e.g. a loop whose other arm was already merged
                 if chains[ia] is None or chains[ib] is None:
                     continue
                 ca = chains[ia] if not sa else chains[ia][::-1]  # ends at k
@@ -90,6 +93,7 @@ def merge_strokes(chains: list[np.ndarray], max_turn: float = np.pi / 4) -> list
                 chains[ib] = None
                 used.add(a)
                 used.add(b)
+                used_chains.update((ia, ib))
                 merged_any = True
             if merged_any:
                 break  # adjacency is stale; rebuild

@@ -130,7 +130,7 @@ def encode_commands(kind: str, parts: list[np.ndarray], scale: int = SCALE) -> n
         inter[1::2] = zigzag(dy)
         cmds.append(inter)
         return np.concatenate(cmds)
-    for part in parts:
+    for pi, part in enumerate(parts):
         q = np.rint(np.asarray(part) * scale).astype(np.int64)
         closed = gtype == GEOM_POLYGON
         if closed and len(q) > 1 and (q[0] == q[-1]).all():
@@ -141,6 +141,16 @@ def encode_commands(kind: str, parts: list[np.ndarray], scale: int = SCALE) -> n
             q = q[keep]
         if len(q) < (3 if closed else 2):
             continue
+        if closed and kind == "polygon":
+            # MVT winding (spec 4.3.3.3, y-down shoelace): exterior = ring 0
+            # positive area, holes negative.  Only enforceable here for the
+            # single-polygon kind, where ring order gives the structure;
+            # multipolygon parts must arrive pre-oriented (render/_orient_
+            # polygon, multipolygon.nest_rings, rasterunion.trace_contours
+            # all guarantee it).
+            sa = np.dot(q[:, 0], np.roll(q[:, 1], -1)) - np.dot(np.roll(q[:, 0], -1), q[:, 1])
+            if (int(sa) < 0) == (pi == 0):
+                q = q[::-1].copy()
         dx = np.diff(np.concatenate([[cx], q[:, 0]]))
         dy = np.diff(np.concatenate([[cy], q[:, 1]]))
         cx, cy = int(q[-1, 0]), int(q[-1, 1])

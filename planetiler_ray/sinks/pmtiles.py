@@ -104,7 +104,8 @@ def deserialize_directory(data: bytes) -> list[tuple[int, int, int, int]]:
 
 def _header(root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
             data_off, data_len, n_addressed, n_entries, n_contents,
-            min_zoom, max_zoom) -> bytes:
+            min_zoom, max_zoom,
+            bounds_e7=(-180_0000000, -85_0000000, 180_0000000, 85_0000000)) -> bytes:
     h = bytearray(HEADER_LEN)
     h[0:7] = MAGIC
     h[7] = SPEC_VERSION
@@ -119,21 +120,20 @@ def _header(root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
     struct.pack_into("<Q", h, 72, n_addressed)
     struct.pack_into("<Q", h, 80, n_entries)
     struct.pack_into("<Q", h, 88, n_contents)
-    h[96] = 0  # not clustered flag (we ARE clustered: 1)
-    h[96] = 1
+    h[96] = 1  # clustered (tile data is in hilbert order)
     h[97] = COMPRESSION_GZIP  # internal compression
     h[98] = COMPRESSION_GZIP  # tile compression
     h[99] = TILE_TYPE_MVT
     h[100] = min_zoom
     h[101] = max_zoom
-    # bounds (E7 ints): world
-    struct.pack_into("<i", h, 102, -180_0000000)
-    struct.pack_into("<i", h, 106, -85_0000000)
-    struct.pack_into("<i", h, 110, 180_0000000)
-    struct.pack_into("<i", h, 114, 85_0000000)
-    h[118] = 0  # center zoom
-    struct.pack_into("<i", h, 119, 0)
-    struct.pack_into("<i", h, 123, 0)
+    # bounds (E7 ints) from actual tile coverage; center = bounds midpoint
+    struct.pack_into("<i", h, 102, bounds_e7[0])
+    struct.pack_into("<i", h, 106, bounds_e7[1])
+    struct.pack_into("<i", h, 110, bounds_e7[2])
+    struct.pack_into("<i", h, 114, bounds_e7[3])
+    h[118] = min_zoom  # center zoom
+    struct.pack_into("<i", h, 119, (bounds_e7[0] + bounds_e7[2]) // 2)
+    struct.pack_into("<i", h, 123, (bounds_e7[1] + bounds_e7[3]) // 2)
     return bytes(h)
 
 
@@ -153,11 +153,21 @@ def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
     data = bytearray()
     n_addressed = 0
     minz, maxz = 99, 0
+    wx0 = wy0 = 1.0  # world-coordinate coverage box (y down)
+    wx1 = wy1 = 0.0
     for batch in hl.iter_batches(batch_size=4096, batch_format="pyarrow"):
         hids = batch.column("hilbert_id").to_numpy()
         blobs = batch.column("tile_gz").to_pylist()
         hashes = batch.column("content_hash").to_numpy()
         zs = batch.column("z").to_numpy()
+        if len(zs):
+            inv = 1.0 / (1 << zs.astype(np.int64))
+            txs = batch.column("tile_x").to_numpy() * inv
+            tys = batch.column("tile_y").to_numpy() * inv
+            wx0 = min(wx0, float(txs.min()))
+            wx1 = max(wx1, float((txs + inv).max()))
+            wy0 = min(wy0, float(tys.min()))
+            wy1 = max(wy1, float((tys + inv).max()))
         for hid, blob, h, z in zip(hids, blobs, hashes, zs):
             n_addressed += 1
             minz, maxz = min(minz, int(z)), max(maxz, int(z))
@@ -197,9 +207,21 @@ def write_pmtiles(tiles_ds, path: str, metadata: dict | None = None) -> dict:
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta_gz)
     data_off = leaf_off + len(leaves)
+    if n_addressed:
+        from ..geo import mercator
+
+        bounds_e7 = (
+            int(round(mercator.world_x_to_lon(wx0) * 1e7)),
+            int(round(mercator.world_y_to_lat(wy1) * 1e7)),  # y down: wy1 = south
+            int(round(mercator.world_x_to_lon(wx1) * 1e7)),
+            int(round(mercator.world_y_to_lat(wy0) * 1e7)),
+        )
+    else:
+        bounds_e7 = (-180_0000000, -85_0000000, 180_0000000, 85_0000000)
     header = _header(root_off, len(root), meta_off, len(meta_gz), leaf_off,
                      len(leaves), data_off, len(data), n_addressed,
-                     len(entries), len(blob_off), minz if n_addressed else 0, maxz)
+                     len(entries), len(blob_off), minz if n_addressed else 0, maxz,
+                     bounds_e7=bounds_e7)
     with open(path, "wb") as f:
         f.write(header)
         f.write(root)

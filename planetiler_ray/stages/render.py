@@ -32,9 +32,30 @@ def _project_ring(ring_lonlat: np.ndarray) -> np.ndarray:
     )
 
 
-def _ring_area_world(ring: np.ndarray) -> float:
+def _ring_area_signed(ring: np.ndarray) -> float:
     x, y = ring[:, 0], ring[:, 1]
-    return 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def _ring_area_world(ring: np.ndarray) -> float:
+    return abs(_ring_area_signed(ring))
+
+
+def _orient_polygon(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Normalize MVT winding in y-down coords: exterior (ring 0) positive
+    shoelace area, holes negative (``VectorTile.java`` enforces the same
+    before encode).  Lon/lat sources are typically OGC CCW, which flips to
+    negative under the y-down mercator projection — without this, spec
+    decoders read exteriors as holes.  Clipping preserves orientation, so
+    normalizing once here covers every sliced tile downstream."""
+    out = []
+    for i, r in enumerate(rings):
+        a = _ring_area_signed(r)
+        want_pos = i == 0
+        if (a < 0) == want_pos:
+            r = r[::-1].copy()
+        out.append(r)
+    return out
 
 
 def render_geometry_rows(
@@ -58,7 +79,7 @@ def render_geometry_rows(
     zoom_iter = [z for z in (zooms if zooms is not None else range(min_zoom, max_zoom + 1))
                  if min_zoom <= z <= max_zoom]
     if kind == "polygon":
-        rings_w = [_project_ring(r) for r in geom_lonlat]
+        rings_w = _orient_polygon([_project_ring(r) for r in geom_lonlat])
         area_w = _ring_area_world(rings_w[0])
         for z in zoom_iter:
             px_per_world = 256.0 * (1 << z)

@@ -86,6 +86,16 @@ def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
     n = len(z)
     keep = np.ones(n, dtype=bool)
     sort_arrays = [batch.column(c).to_numpy() for c in sort_cols]
+    # the assembler applies label-grid limits PER LAYER — the partial top-k
+    # must group the same way or multi-layer streams would over-prune
+    if "layer" in batch.schema.names:
+        _, layer_code = np.unique(
+            np.asarray(batch.column("layer").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        layer_code = layer_code.astype(np.int64)
+    else:
+        layer_code = np.zeros(n, dtype=np.int64)
     for zz in np.unique(z):
         grid = grid_by_zoom(int(zz))
         limit = limit_by_zoom(int(zz))
@@ -98,12 +108,14 @@ def label_grid_prune(batch: pa.Table, grid_by_zoom, limit_by_zoom,
         )
         # pure-numpy "keep first `limit` per (tile, cell) in sort order":
         # lexsort, then rank-within-run via a running group-start index
-        keys = [a[m] for a in reversed(sort_arrays)] + [cell, tile_id[m]]
+        keys = [a[m] for a in reversed(sort_arrays)] + [cell, layer_code[m], tile_id[m]]
         order = np.lexsort(keys)
         tid_s = tile_id[m][order]
+        lay_s = layer_code[m][order]
         cell_s = cell[order]
         new_grp = np.concatenate(
-            [[True], (tid_s[1:] != tid_s[:-1]) | (cell_s[1:] != cell_s[:-1])]
+            [[True], (tid_s[1:] != tid_s[:-1]) | (lay_s[1:] != lay_s[:-1])
+             | (cell_s[1:] != cell_s[:-1])]
         )
         seq = np.arange(len(order), dtype=np.int64)
         start = np.maximum.accumulate(np.where(new_grp, seq, 0))

@@ -363,3 +363,35 @@ def test_z15_supported():
     res = list(clip.polygon_tiles([ring], 15))
     assert any(f for *_, f in res)  # at least one filled interior tile
     assert len(res) >= 25
+
+
+def _shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def test_mvt_polygon_winding_enforced():
+    """Spec 4.3.3.3: exterior positive y-down shoelace, holes negative —
+    regardless of input winding (ADVICE round 1, high)."""
+    ext_ccw = np.array([[10.0, 10], [10, 200], [200, 200], [200, 10], [10, 10]])
+    hole_cw = np.array([[50.0, 50], [120, 50], [120, 120], [50, 120], [50, 50]])
+    assert _shoelace(ext_ccw) < 0 and _shoelace(hole_cw) > 0  # wrong on purpose
+    cmds = mvt.encode_commands("polygon", [ext_ccw, hole_cw])
+    rings = mvt.decode_commands(cmds, mvt.GEOM_POLYGON)
+    assert len(rings) == 2
+    assert _shoelace(rings[0]) > 0  # exterior now positive
+    assert _shoelace(rings[1]) < 0  # hole now negative
+
+
+def test_render_polygon_winding_fill_and_edge_agree():
+    """CCW lon/lat exterior (OGC default): every emitted tile ring — edge
+    tiles AND interior fill tiles — must decode with positive-area exterior."""
+    from planetiler_ray.stages.render import render_geometry_rows
+
+    ring = np.array([[0.0, 0.0], [30.0, 0.0], [30.0, 25.0], [0.0, 25.0], [0.0, 0.0]])
+    rows = list(render_geometry_rows(1, "polygon", [ring], "admin", {}, 6, 6))
+    assert len(rows) > 1 and any(r["is_fill"] for r in rows)
+    for r in rows:
+        kind, rings = wkb.decode_wkb(r["geom_px"])
+        assert kind == "polygon"
+        assert _shoelace(rings[0]) > 0, (r["tile_x"], r["tile_y"], r["is_fill"])

@@ -59,3 +59,22 @@ def test_stroke_merging_through_junction():
     assert straight[0, 0] == 0.0 and straight[-1, 0] == 20.0
     # default (strokes=False) behavior unchanged
     assert len(merge_lines([a, b, c])) == 3
+
+
+def test_merge_strokes_loop_at_junction_preserves_length():
+    """A loop with both endpoints at one junction: after its first arm is
+    merged, the second pair at the junction must not reuse the (now stale)
+    orientation flag — total polyline length is invariant under merging
+    (ADVICE round 1, linemerge)."""
+    from planetiler_ray.geo.linemerge import merge_strokes
+
+    loop = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    a = np.array([[-20.0, 0], [0, 0]])
+    b = np.array([[0.0, 0], [0, -20]])
+
+    def total_len(chains):
+        return sum(float(np.hypot(*np.diff(c, axis=0).T).sum()) for c in chains)
+
+    before = total_len([loop, a, b])
+    merged = merge_strokes([loop, a, b])
+    assert abs(total_len(merged) - before) < 1e-9
