@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "exact_dedup": training.q_exact_dedup,
         "jaccard_pairs": training.q_jaccard_pairs,
+        "jaccard_rare": training.q_jaccard_rare,
         "minhash_lsh": training.q_minhash_lsh,
         "simhash": training.q_simhash,
         "embedding_neardup": training.q_embedding_neardup,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": oracle.sql_knn(),
         "exact_dedup": oracle.sql_exact_dedup(),
         "jaccard_pairs": oracle.sql_jaccard_pairs(),
+        "jaccard_rare": oracle.sql_jaccard_rare(),
         "ann_brute": oracle.sql_ann_brute(),
         "text_stats": oracle.sql_text_stats(),
         "quality": oracle.sql_quality(),

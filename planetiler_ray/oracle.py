@@ -181,6 +181,36 @@ FROM documents GROUP BY text
 """
 
 
+def sql_jaccard_rare(threshold: float = 0.5, df_cap: int = 80) -> str:
+    """Mirror of ``dedup.jaccard_pairs(df_cap=...)``: Jaccard over tokens
+    with document frequency <= df_cap on the sampled corpus."""
+    t = int(threshold * 1000)
+    return f"""
+WITH ws AS (
+    SELECT doc_id, list_distinct({TOKENS_EXPR}) AS toks
+    FROM documents WHERE doc_id % 5 = 0
+),
+alltoks AS (
+    SELECT doc_id, UNNEST(toks) AS token FROM ws
+),
+df AS (SELECT token, count(*) AS df FROM alltoks GROUP BY 1),
+rare AS (
+    SELECT a.doc_id, a.token FROM alltoks a JOIN df USING (token)
+    WHERE df.df <= {df_cap}
+),
+n AS (SELECT doc_id, count(*) AS n_tok FROM rare GROUP BY 1),
+toks AS (SELECT r.doc_id, nn.n_tok, r.token FROM rare r JOIN n nn USING (doc_id)),
+pairs AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, t1.n_tok AS na, t2.n_tok AS nb,
+           count(*) AS shared
+    FROM toks t1 JOIN toks t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, (shared * 1000) // (na + nb - shared) AS j1000
+FROM pairs WHERE (shared * 1000) // (na + nb - shared) >= {t}
+"""
+
+
 def sql_jaccard_pairs(threshold: float = 0.5) -> str:
     t = int(threshold * 1000)
     return f"""

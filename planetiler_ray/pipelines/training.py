@@ -40,6 +40,21 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup.jaccard_pairs(ds, threshold=0.5)
 
 
+def q_jaccard_rare(sf_dir: str, df_cap: int = 80):
+    """Exact Jaccard over RARE tokens only (document frequency <= df_cap on
+    the same 1/5 sample) — the 100-TB scale path of :func:`q_jaccard_pairs`:
+    hot tokens are excluded from the similarity universe on BOTH the engine
+    and oracle side, bounding every inverted-index group at df_cap."""
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = batch.column("doc_id").to_numpy() % 5 == 0
+        return batch.filter(pa.array(keep))
+
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(sample, batch_format="pyarrow")
+    return dedup.jaccard_pairs(ds, threshold=0.5, df_cap=df_cap)
+
+
 def q_minhash_lsh(sf_dir: str):
     """Probabilistic near-dup candidates (rows-only check)."""
     sigs = dedup.minhash_signatures(docs_ds(sf_dir, ["doc_id", "text"]))
@@ -127,10 +142,11 @@ def q_embedding_neardup(sf_dir: str):
             }
         )
 
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     embs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(plant, batch_format="pyarrow")
-    return ann.embedding_neardup(embs, tau=0.99)
+    return ann.embedding_neardup(embs, tau=0.99, count_hint=2 * n_rows)
 
 
 def q_media_features(sf_dir: str):

@@ -164,44 +164,102 @@ def ivf_topk(ds, queries_handle, centroids_handle, k: int = 5, n_probe: int = 4,
     )
 
 
-def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
-                      col: str = "embedding", n_clusters: int = 16):
-    """Near-duplicate pairs (cosine >= tau, a < b) via centroid bucketing:
-    same-bucket pairs only (approximate; near-dups nearly always share the
-    nearest centroid).  groupby(bucket) -> pairwise cosine inside the group."""
-    import ray
+def _group_neardup_pairs(ids: np.ndarray, m: np.ndarray, tau: float,
+                         cap: int, depth: int = 0):
+    """All (a<b, cos>=tau) pairs within one bucket, bounded memory/work.
 
+    Buckets above ``cap`` are recursively bisected by a deterministic
+    projection split (direction = farthest vector from the min-id vector;
+    median threshold guarantees progress), so no group ever does an
+    O(n^2) GEMM over millions of rows — the round-1 scale fix.  Pairs
+    straddling a split are missed (the operator is approximate by design;
+    the multi-probe bucket emission upstream catches boundary near-dups).
+    """
+    n = len(ids)
+    if n < 2:
+        return []
+    if n <= cap or depth >= 24:
+        sims = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        mask = sims[ii, jj] >= tau
+        a, b = ids[ii[mask]], ids[jj[mask]]
+        swap = a > b
+        return [(np.where(swap, b, a), np.where(swap, a, b),
+                 (sims[ii[mask], jj[mask]] * 1000).astype(np.int64))]
+    anchor = m[int(np.argmin(ids))]
+    far = m[int(np.argmax(m @ anchor * -1.0))]
+    axis = far - anchor
+    norm = np.linalg.norm(axis)
+    proj = m @ (axis / norm) if norm > 0 else m[:, 0]
+    thr = np.median(proj)
+    left = proj <= thr
+    if left.all() or not left.any():  # degenerate (all identical): force halve
+        left = np.arange(n) < n // 2
+    out = _group_neardup_pairs(ids[left], m[left], tau, cap, depth + 1)
+    out += _group_neardup_pairs(ids[~left], m[~left], tau, cap, depth + 1)
+    return out
+
+
+def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
+                      col: str = "embedding", n_clusters: int | None = None,
+                      count_hint: int | None = None, n_probe: int = 2,
+                      cap: int = 4096):
+    """Near-duplicate pairs (cosine >= tau, a < b) via centroid bucketing.
+
+    Scale design (round-2 rework of the fixed-16-bucket version):
+    * ``n_clusters`` grows with the corpus (``count_hint`` rows / ~512 per
+      bucket) so bucket population is O(1), not O(N);
+    * each vector is emitted into its ``n_probe`` nearest centroid buckets
+      (multi-probe) so near-dups straddling a centroid boundary still
+      co-occur; duplicate pairs are removed by a combining aggregate;
+    * residual oversize buckets are recursively split inside the group
+      (:func:`_group_neardup_pairs`) — never an O(n^2) all-pairs blow-up.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    if n_clusters is None:
+        n = count_hint if count_hint is not None else ds.count()
+        n_clusters = int(max(16, min(1 << 20, np.ceil(n / 512))))
     sample = np.stack(ds.limit(2048).to_pandas()[col].to_numpy()).astype(np.float64)
     cent = train_centroids(sample, n_clusters)
     cent_ref = ray.put(cent)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        c = np.asarray(ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref)
         m = _normalize(_to_matrix(batch, col))
-        b = np.argmax(m @ np.asarray(c).T, axis=1)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(b.astype(np.int64), pa.int64()),
-                col: batch.column(col),
-            }
+        sims = m @ c.T
+        k = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        idx = np.tile(np.arange(len(m), dtype=np.int64), k)
+        rep = batch.select([id_col, col]).take(pa.array(idx))
+        return rep.append_column(
+            "bucket", pa.array(top.T.reshape(-1).astype(np.int64), pa.int64())
         )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # a vector probed into 2 buckets can appear twice in one group
+        group = group.drop_duplicates(subset=[id_col])
         ids = group[id_col].to_numpy()
         m = _normalize(np.stack(group[col].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        mask = sims[ii, jj] >= tau
-        a, b = ids[ii[mask]], ids[jj[mask]]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2, "b": b2,
-                             "sim1000": (sims[ii[mask], jj[mask]] * 1000).astype(np.int64)})
+        chunks = _group_neardup_pairs(ids, m, tau, cap)
+        if not chunks:
+            return pd.DataFrame({"a": [], "b": [], "sim1000": []}, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "a": np.concatenate([c[0] for c in chunks]),
+                "b": np.concatenate([c[1] for c in chunks]),
+                "sim1000": np.concatenate([c[2] for c in chunks]),
+            }
+        )
 
-    return (
+    cand = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
+    )
+    return (
+        cand.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"), Min("sim1000", alias_name="sim1000"))
+        .select_columns(["a", "b", "sim1000"])
     )

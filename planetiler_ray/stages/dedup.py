@@ -3,113 +3,181 @@
 Each operator is a Ray-Data pipeline builder over a ``documents``-shaped
 Dataset (doc_id:int64, text:string, ...):
 
-* :func:`exact_dedup` — content-hash partition + per-group first
+* :func:`exact_dedup` — 128-bit content-hash partition + per-group first
   (hash inside ``map_batches``, tiny ``groupby`` over partials).
 * :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash + banded
   LSH: shingle -> 64 minhashes -> band rows -> ``groupby(band)`` -> pairs.
-* :func:`simhash64` — 64-bit SimHash with 4-block hamming blocking.
+* :func:`simhash64` / :func:`simhash_candidates` — 64-bit SimHash with
+  Manku-style block blocking (6 blocks, any-3 exact => 20 tables of ~33-bit
+  keys; complete for hamming <= 3, bucket population ~N/2^33).
 * :func:`jaccard_pairs` — EXACT word-set Jaccard pairs via inverted-index
-  blocking (complete for any threshold > 0: J>0 implies a shared token) —
-  the oracle-checkable twin of the probabilistic LSH path.
+  blocking; ``df_cap`` excludes tokens above a document-frequency cap from
+  the similarity universe (mirrored by the oracle), bounding every index
+  group — the stop-word quadratic killer at 100 TB.
 * :func:`embedding_neardup` lives in ``stages/ann.py`` (cosine >= tau).
 
-Scale notes: minhash/simhash signatures are fixed-width int columns
-(vectorized numpy); candidate generation is the only shuffle and it is keyed
-by (band_id, band_hash) / simhash block — bounded fan-out, skew-safe because
-band buckets cap at the duplicate-cluster size.
+Scale notes (round-2 rework): all string hashing is vectorized over Arrow
+buffers (``functions/vhash.fnv64_arrow`` — no per-row Python); candidate
+buckets are bounded (wide block keys + ``pair_cap`` star-edge fallback for
+boilerplate mega-clusters); pair dedup across tables/bands is a combining
+``aggregate`` instead of a ``map_groups`` over millions of tiny groups.
 """
 
 from __future__ import annotations
+
+from itertools import chain, combinations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.vhash import fnv64_arrow
+
 # ---------------------------------------------------------------- hashing --
 
 _M61 = (1 << 61) - 1
+_COMBINE_PRIME = np.uint64(1099511628211)
 
 
 def tokenize_words(text: pd.Series) -> pd.Series:
     return text.str.lower().str.findall(r"[a-z0-9]+")
 
 
-def _fnv64(s: str) -> int:
-    v = 14695981039346656037
-    for b in s.encode("utf-8"):
-        v = ((v ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return v
+def _flat_tokens(text: pd.Series):
+    """Tokenize a batch -> (flat word list, per-doc lengths int64)."""
+    toks = tokenize_words(text)
+    lens = toks.map(len).to_numpy().astype(np.int64)
+    flat = list(chain.from_iterable(toks))
+    return flat, lens
 
 
-# natural-language shingle/word distributions are heavy-tailed: a bounded
-# memo on string->hash turns the per-doc hashing loop into dict lookups
-_HASH_CACHE: dict[str, int] = {}
-_HASH_CACHE_MAX = 1 << 20
+def _shingle_flat(text: pd.Series, k: int = 3):
+    """k-word shingle hashes for a batch, flat.
 
-
-def _fnv64_cached(s: str) -> int:
-    h = _HASH_CACHE.get(s)
-    if h is None:
-        h = _fnv64(s)
-        if len(_HASH_CACHE) < _HASH_CACHE_MAX:
-            _HASH_CACHE[s] = h
-    return h
+    Returns ``(sh, starts)``: doc i's shingle hashes are
+    ``sh[starts[i]:starts[i+1]]`` (uint64, not deduplicated — harmless for
+    min-based signatures).  Shingle hash = FNV-combine of the k word hashes
+    (words hashed once, vectorized; no joined-string construction).
+    Docs with 0 < n < k words contribute one combined all-words shingle.
+    """
+    flat, lens = _flat_tokens(text)
+    n = len(lens)
+    if not flat:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    wh = fnv64_arrow(pa.array(flat, pa.string()))
+    word_start = np.concatenate([[0], np.cumsum(lens)])
+    n_sh = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    starts = np.concatenate([[0], np.cumsum(n_sh)]).astype(np.int64)
+    sh = np.empty(int(starts[-1]), dtype=np.uint64)
+    # full k-windows, all docs at once: rolling combine over the flat word
+    # hashes, masked to windows that stay inside one doc
+    if len(wh) >= k:
+        roll = wh[: len(wh) - k + 1].copy()
+        for j in range(1, k):
+            roll = roll * _COMBINE_PRIME + wh[j : len(wh) - k + 1 + j]
+    big = np.flatnonzero(lens >= k)
+    for i in big:
+        s, e = starts[i], starts[i + 1]
+        sh[s:e] = roll[word_start[i] : word_start[i] + (e - s)]
+    # short docs (0 < n < k): one combined shingle over all their words
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+        for i in np.flatnonzero((lens > 0) & (lens < k)):
+            v = wh[word_start[i]]
+            for j in range(1, lens[i]):
+                v = v * _COMBINE_PRIME + wh[word_start[i] + j]
+            sh[starts[i]] = v
+    return sh, starts
 
 
 def word_shingles(text: pd.Series, k: int = 3) -> pd.Series:
-    """k-word shingle hash sets per doc (list of uint64 per row)."""
-    toks = tokenize_words(text)
-
-    def shingle(ws: list[str]) -> np.ndarray:
-        if len(ws) < k:
-            joined = [" ".join(ws)] if ws else []
-        else:
-            joined = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-        return np.unique(
-            np.fromiter((_fnv64_cached(s) for s in joined), dtype=np.uint64,
-                        count=len(joined))
-        )
-
-    return toks.map(shingle)
+    """k-word shingle hash sets per doc (list of sorted-unique uint64)."""
+    sh, starts = _shingle_flat(text, k)
+    return pd.Series(
+        [np.unique(sh[starts[i] : starts[i + 1]]) for i in range(len(text))],
+        index=text.index,
+    )
 
 
 # ------------------------------------------------------------- exact dedup --
 
 def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append hash_hi/hash_lo (md5 128-bit split into two int64).
+
+    64 bits birthday-collide around 2^32 items — guaranteed collisions at
+    10^12 docs, silently merging distinct content.  128 bits keep the
+    collision probability negligible at any practical corpus size.
+    """
     import hashlib
 
-    hs = [
-        int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=False)
-        for t in batch.column(col).to_pylist()
-    ]
+    his = np.empty(batch.num_rows, dtype=np.uint64)
+    los = np.empty(batch.num_rows, dtype=np.uint64)
+    for i, t in enumerate(batch.column(col).to_pylist()):
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        his[i] = int.from_bytes(d[:8], "big")
+        los[i] = int.from_bytes(d[8:], "big")
     return batch.append_column(
-        "content_hash", pa.array(np.array(hs, dtype=np.uint64).astype(np.int64), pa.int64())
-    )
+        "hash_hi", pa.array(his.astype(np.int64), pa.int64())
+    ).append_column("hash_lo", pa.array(los.astype(np.int64), pa.int64()))
 
 
 def exact_dedup(ds, col: str = "text"):
     """Dataset -> (content groups): keep_id = min doc_id, n_dups per group.
 
-    Scale pattern: hash per batch (vectorized-ish), partial (hash -> min,count)
-    per batch, then a small groupby over partials.
+    Scale pattern: hash per batch, partial (hash -> min,count) per batch,
+    then a small groupby over partials keyed by the full 128-bit hash.
     """
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_content_hash(batch, col)
         df = (
-            b.select(["content_hash", "doc_id"])
+            b.select(["hash_hi", "hash_lo", "doc_id"])
             .to_pandas()
-            .groupby("content_hash", as_index=False)
+            .groupby(["hash_hi", "hash_lo"], as_index=False)
             .agg(keep_part=("doc_id", "min"), n_part=("doc_id", "size"))
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("content_hash")
+        .groupby(["hash_hi", "hash_lo"])
         .aggregate(Min("keep_part", alias_name="keep_id"), Sum("n_part", alias_name="n_dups"))
     )
+
+
+# --------------------------------------------------------- pair utilities --
+
+PAIR_CAP = 256
+
+
+def _bucket_pairs(ids: np.ndarray, cap: int = PAIR_CAP):
+    """Candidate index pairs for one bucket, bounded.
+
+    Buckets up to ``cap``: all pairs.  Larger (a boilerplate mega-cluster):
+    star edges to the min id — m-1 edges keep the connected component (and
+    thus any dedup clustering) identical while avoiding the O(m^2) pair
+    explosion flagged in round 1.  ``ids`` must be sorted ascending.
+    """
+    m = len(ids)
+    if m < 2:
+        return (np.empty(0, np.int64),) * 2
+    if m <= cap:
+        ii, jj = np.triu_indices(m, k=1)
+        return ii.astype(np.int64), jj.astype(np.int64)
+    return np.zeros(m - 1, dtype=np.int64), np.arange(1, m, dtype=np.int64)
+
+
+def _dedup_pairs(cand, extra_min: dict | None = None):
+    """Distinct (a, b) via a combining aggregate (NOT map_groups over
+    millions of tiny groups); ``extra_min``: {col: alias} kept as Min."""
+    from ray.data.aggregate import Count, Min
+
+    aggs = [Count(alias_name="_n")]
+    keep = ["a", "b"]
+    for col, alias in (extra_min or {}).items():
+        aggs.append(Min(col, alias_name=alias))
+        keep.append(alias)
+    return cand.groupby(["a", "b"]).aggregate(*aggs).select_columns(keep)
 
 
 # ------------------------------------------------------------ minhash LSH --
@@ -138,27 +206,38 @@ def minhash_of_shingles(sh: np.ndarray) -> np.ndarray:
 
 
 def minhash_signatures(ds, col: str = "text", k: int = 3):
-    """Adds sig_0..sig_{BANDS-1}: each band value = hash of its 4 minhashes."""
+    """Adds band_0..band_{BANDS-1}: each band value = hash of its 4 minhashes.
+
+    Fully vectorized: one flat shingle array per batch, per-permutation
+    vector ops + ``minimum.reduceat`` at doc boundaries.
+    """
 
     def sig(batch: pa.Table) -> pa.Table:
         text = batch.column(col).to_pandas()
-        shingles = word_shingles(text, k)
-        sigs = np.stack([minhash_of_shingles(s) for s in shingles])  # (n, 64)
+        sh, starts = _shingle_flat(text, k)
+        n = len(text)
+        sigs = np.full((n, MINHASH_PERMS), np.uint64(_M61), dtype=np.uint64)
+        ne = np.flatnonzero(np.diff(starts) > 0)
+        if len(ne):
+            st = starts[:-1][ne]
+            x = sh % np.uint64(_M61)
+            for p in range(MINHASH_PERMS):
+                v = (_PERM_A[p] * x + _PERM_B[p]) % np.uint64(_M61)
+                sigs[ne, p] = np.minimum.reduceat(v, st)
         rows_per_band = MINHASH_PERMS // LSH_BANDS
         out = {"doc_id": batch.column("doc_id")}
         for b in range(LSH_BANDS):
             block = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            # mix the band rows into one uint64 bucket key
-            key = np.zeros(len(sigs), dtype=np.uint64)
+            key = np.zeros(n, dtype=np.uint64)
             for c in range(rows_per_band):
-                key = key * np.uint64(1099511628211) + block[:, c]
+                key = key * _COMBINE_PRIME + block[:, c]
             out[f"band_{b}"] = pa.array(key.astype(np.int64), pa.int64())
         return pa.table(out)
 
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs(sig_ds):
+def lsh_candidate_pairs(sig_ds, cap: int = PAIR_CAP):
     """Band signatures -> candidate near-dup pairs (a < b), deduplicated."""
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -178,9 +257,7 @@ def lsh_candidate_pairs(sig_ds):
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
+        ii, jj = _bucket_pairs(ids, cap)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     cand = (
@@ -188,40 +265,34 @@ def lsh_candidate_pairs(sig_ds):
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
     )
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(cand)
 
 
 # ---------------------------------------------------------------- simhash --
 
-_WORD_BITS_CACHE: dict[str, np.ndarray] = {}
-
-
-def _word_bits(w: str) -> np.ndarray:
-    bits = _WORD_BITS_CACHE.get(w)
-    if bits is None:
-        h = np.uint64(_fnv64_cached(w))
-        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        if len(_WORD_BITS_CACHE) < _HASH_CACHE_MAX:
-            _WORD_BITS_CACHE[w] = bits
-    return bits
-
-
 def simhash64(text: pd.Series) -> np.ndarray:
-    """Classic 64-bit SimHash over word features (cached per-word bit
-    vectors; vocabulary is heavy-tailed so the cache hit rate is ~100%)."""
-    toks = tokenize_words(text)
-    out = np.zeros(len(text), dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, ws in enumerate(toks):
-        if not ws:
-            continue
-        score = np.zeros(64, dtype=np.int64)
-        for w in ws:
-            score += _word_bits(w)
-        pos = score * 2 > len(ws)
-        out[i] = np.uint64(weights[pos].sum())
+    """Classic 64-bit SimHash over word features.
+
+    Vectorized: all words of the batch hashed in one ``fnv64_arrow`` call,
+    then 64 bit-column passes with ``add.reduceat`` at doc boundaries —
+    bit-identical to the round-1 per-doc loop.
+    """
+    flat, lens = _flat_tokens(text)
+    n = len(text)
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat:
+        return out
+    wh = fnv64_arrow(pa.array(flat, pa.string()))
+    word_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    ne = np.flatnonzero(lens > 0)
+    starts = word_start[ne]
+    half = lens[ne]
+    acc = np.zeros(len(ne), dtype=np.uint64)
+    for j in range(64):
+        bit = ((wh >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        sc = np.add.reduceat(bit, starts)
+        acc |= np.uint64(1 << j) * (sc * 2 > half).astype(np.uint64)
+    out[ne] = acc
     return out
 
 
@@ -230,23 +301,55 @@ def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sh.astype(np.int64), pa.int64()))
 
 
-def simhash_candidates(ds, max_hamming: int = 3, col: str = "text"):
-    """SimHash near-dup pairs: 4-block blocking (Hamming<=3 => one identical
-    16-bit block), verify hamming inside the group."""
+# Manku-style blocking (Detecting Near-Duplicates for Web Crawling, WWW'07):
+# split 64 bits into N_BLOCKS; hamming <= 3 flips bits in at most 3 blocks,
+# so at least N_BLOCKS-3 blocks are clean and SOME combination of
+# BLOCKS_EXACT clean blocks matches exactly -> one table per combination,
+# keyed by the concatenated block values (~33-bit keys, so bucket
+# population is ~N/2^33 instead of N/2^16 — the round-1 scale fix).
+N_BLOCKS = 6
+BLOCKS_EXACT = 3  # complete for max_hamming <= N_BLOCKS - BLOCKS_EXACT
+_BLOCK_WIDTHS = (11, 11, 11, 11, 10, 10)
+_BLOCK_OFFS = tuple(int(x) for x in np.concatenate([[0], np.cumsum(_BLOCK_WIDTHS)[:-1]]))
+_TABLES = tuple(combinations(range(N_BLOCKS), BLOCKS_EXACT))
+
+
+def _block_values(sh: np.ndarray) -> list[np.ndarray]:
+    return [
+        ((sh >> np.uint64(_BLOCK_OFFS[b])) & np.uint64((1 << _BLOCK_WIDTHS[b]) - 1))
+        for b in range(N_BLOCKS)
+    ]
+
+
+def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
+                       cap: int = PAIR_CAP):
+    """SimHash near-dup pairs with hamming <= ``max_hamming`` (<= 3).
+
+    Complete: any such pair shares all blocks of at least one table, so it
+    co-occurs in that table's bucket; hamming verified inside the group.
+    """
+    if max_hamming > N_BLOCKS - BLOCKS_EXACT:
+        raise ValueError(
+            f"blocking is complete only for hamming <= {N_BLOCKS - BLOCKS_EXACT}"
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         b2 = add_simhash(batch, col)
         sh = b2.column("simhash").to_numpy().astype(np.uint64)
         doc = b2.column("doc_id").to_numpy()
-        blocks, keys, docs, sigs = [], [], [], []
-        for blk in range(4):
-            blocks.append(np.full(len(sh), blk, dtype=np.int64))
-            keys.append(((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64))
+        blocks = _block_values(sh)
+        tabs, keys, docs, sigs = [], [], [], []
+        for t, combo in enumerate(_TABLES):
+            key = np.zeros(len(sh), dtype=np.uint64)
+            for b in combo:
+                key = (key << np.uint64(11)) | blocks[b]
+            tabs.append(np.full(len(sh), t, dtype=np.int64))
+            keys.append(key.astype(np.int64))
             docs.append(doc)
             sigs.append(sh.astype(np.int64))
         return pa.table(
             {
-                "block": pa.array(np.concatenate(blocks), pa.int64()),
+                "table": pa.array(np.concatenate(tabs), pa.int64()),
                 "key": pa.array(np.concatenate(keys), pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
                 "simhash": pa.array(np.concatenate(sigs), pa.int64()),
@@ -257,9 +360,9 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text"):
         g = group.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        ii, jj = _bucket_pairs(ids, cap)
+        if len(ii) == 0:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
         x = sh[ii] ^ sh[jj]
         ham = np.zeros(len(x), dtype=np.int64)
         while True:
@@ -273,27 +376,65 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text"):
 
     cand = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["block", "key"])
+        .groupby(["table", "key"])
         .map_groups(pairs, batch_format="pandas")
     )
-    return cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return _dedup_pairs(cand, extra_min={"hamming": "hamming"})
 
 
 # -------------------------------------------------- exact jaccard (oracle) --
 
-def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text"):
+def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
+                  df_cap: int | None = None):
     """EXACT distinct-word-set Jaccard >= threshold pairs (a < b).
 
     Inverted-index blocking: token -> docs groupby, pairwise counts summed,
-    then J = shared / (na + nb - shared).  Complete (no false negatives) —
-    the oracle twin of the MinHash estimate.  Output: a, b, j1000 (Jaccard in
-    integer permille, computed as floor to stay float-free).
+    then J = shared / (na + nb - shared).  Output: a, b, j1000 (Jaccard in
+    integer permille, floored to stay float-free).
+
+    ``df_cap`` (the 100-TB scale knob): tokens present in more than
+    ``df_cap`` docs are EXCLUDED from the similarity universe — Jaccard is
+    then over rare tokens only, exactly (the oracle mirrors the same
+    filter), and every inverted-index group is bounded at ``df_cap`` rows,
+    killing the stop-word quadratic blow-up.  The cap set is computed with
+    a first aggregate pass and broadcast (it is small by construction:
+    at most total-token-occurrences / df_cap distinct tokens).
+    ``df_cap=None`` keeps the full-vocabulary exact semantics (safe only
+    when no token is hot — e.g. pre-sampled corpora).
     """
+    import ray
     from ray.data.aggregate import Sum
 
+    stop_ref = None
+    if df_cap is not None:
+        from ray.data.aggregate import Count
+
+        def explode_distinct(batch: pa.Table) -> pa.Table:
+            toks = tokenize_words(batch.column(col).to_pandas()).map(
+                lambda ws: sorted(set(ws))
+            )
+            nt = toks.map(len).to_numpy().astype(np.int64)
+            return pa.table(
+                {"token": pa.array(list(chain.from_iterable(toks)), pa.string()),
+                 "_one": pa.array(np.ones(int(nt.sum()), np.int64), pa.int64())}
+            )
+
+        df_tbl = (
+            ds.map_batches(explode_distinct, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Count(alias_name="df"))
+        )
+        # hot-token set is tiny by construction — bounded driver pull
+        hot = df_tbl.map_batches(
+            lambda b: b.filter(pa.compute.greater(b.column("df"), df_cap)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        stop_ref = ray.put(frozenset(hot["token"].tolist()))
+
     def explode_tokens(batch: pa.Table) -> pa.Table:
+        stop = ray.get(stop_ref) if stop_ref is not None else frozenset()
         toks = tokenize_words(batch.column(col).to_pandas()).map(
-            lambda ws: sorted(set(ws))
+            lambda ws: sorted(set(ws) - stop)
         )
         doc = batch.column("doc_id").to_numpy()
         n = toks.map(len).to_numpy()

@@ -159,3 +159,56 @@ def test_zoom_function():
     assert zf.at(12) == 4 and zf.at(14) == 4
     assert resolve_zoom(zf, 3) == 10
     assert resolve_zoom(7, 3) == 7  # plain values pass through
+
+
+def test_fnv64_arrow_parity():
+    """Vectorized Arrow-buffer FNV-1a == scalar reference, incl. slices."""
+    import pyarrow as pa
+
+    from planetiler_ray.functions.vhash import fnv64_arrow, fnv64_scalar
+
+    strs = ["", "a", "hello world", "日本語テキスト", "x" * 300] + [
+        f"tok{i}" for i in range(50)
+    ]
+    got = fnv64_arrow(pa.array(strs))
+    exp = np.array([fnv64_scalar(s) for s in strs], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+    sl = pa.array(strs)[3:40]
+    np.testing.assert_array_equal(
+        fnv64_arrow(sl), np.array([fnv64_scalar(s) for s in strs[3:40]], dtype=np.uint64)
+    )
+
+
+def test_bucket_pairs_mega_cluster_bounded():
+    """A planted boilerplate mega-cluster must not explode into O(m^2)
+    pairs: above the cap, star edges keep the connected component."""
+    from planetiler_ray.stages.dedup import _bucket_pairs
+
+    ids = np.arange(100_000, dtype=np.int64)
+    ii, jj = _bucket_pairs(ids, cap=256)
+    assert len(ii) == len(ids) - 1  # not ~5e9
+    assert (ii == 0).all()  # star to the min id: component intact
+    # small buckets stay exact all-pairs
+    ii, jj = _bucket_pairs(np.arange(20, dtype=np.int64), cap=256)
+    assert len(ii) == 190
+
+
+def test_embedding_neardup_group_split_bounded():
+    """_group_neardup_pairs recursively splits oversize buckets instead of
+    one giant GEMM; planted near-identical siblings still pair up."""
+    from planetiler_ray.stages.ann import _group_neardup_pairs, _normalize
+
+    rng = np.random.default_rng(3)
+    base = _normalize(rng.normal(size=(4000, 16)))
+    sib = _normalize(base + rng.normal(0, 1e-3, size=base.shape))
+    m = np.concatenate([base, sib])
+    ids = np.concatenate([np.arange(4000), np.arange(4000) + 1_000_000])
+    order = rng.permutation(len(ids))
+    chunks = _group_neardup_pairs(ids[order], m[order], tau=0.999, cap=512)
+    pairs = set()
+    for a, b, _ in chunks:
+        pairs.update(zip(a.tolist(), b.tolist()))
+    # recursion keeps near-identical siblings on the same side of every
+    # median split in practice; require near-total recall
+    found = sum((i, i + 1_000_000) in pairs for i in range(4000))
+    assert found >= 3900, found
