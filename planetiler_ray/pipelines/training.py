@@ -149,6 +149,46 @@ def q_embedding_neardup(sf_dir: str):
     return ann.embedding_neardup(embs, tau=0.99, count_hint=2 * n_rows)
 
 
+def q_neardup_planted(sf_dir: str):
+    """Exact-oracle variant of :func:`q_embedding_neardup`: with planted
+    sibling pairs the correct answer is EXACTLY {(v, v+1e6)}; centroids are
+    trained from a deterministic sample (parquet head, bounded driver read)
+    so the bucketing — and hence full recall — is reproducible."""
+    import pyarrow as pa
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
+        pert = mat.copy()
+        for i, v in enumerate(ids):
+            rng = np.random.default_rng(int(v))
+            pert[i] += rng.normal(0, 0.01, mat.shape[1]).astype(np.float32)
+        out_ids = np.concatenate([ids, ids + 1_000_000])
+        out_mat = np.concatenate([mat, pert])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_mat), pa.list_(pa.float32())),
+            }
+        )
+
+    meta = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .slice(0, 2048)
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    n_clusters = int(max(16, np.ceil(2 * meta.num_rows / 512)))
+    cent = ann.train_centroids(sample, n_clusters)
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return ann.embedding_neardup(
+        embs, tau=0.99, centroids=cent
+    ).select_columns(["a", "b"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing demo (rows-only; stub decoder)."""
     from ..stages.multimodal import media_pipeline

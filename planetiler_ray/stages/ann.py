@@ -203,7 +203,7 @@ def _group_neardup_pairs(ids: np.ndarray, m: np.ndarray, tau: float,
 def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
                       col: str = "embedding", n_clusters: int | None = None,
                       count_hint: int | None = None, n_probe: int = 2,
-                      cap: int = 4096):
+                      cap: int = 4096, centroids=None):
     """Near-duplicate pairs (cosine >= tau, a < b) via centroid bucketing.
 
     Scale design (round-2 rework of the fixed-16-bucket version):
@@ -218,11 +218,16 @@ def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
     import ray
     from ray.data.aggregate import Count, Min
 
-    if n_clusters is None:
-        n = count_hint if count_hint is not None else ds.count()
-        n_clusters = int(max(16, min(1 << 20, np.ceil(n / 512))))
-    sample = np.stack(ds.limit(2048).to_pandas()[col].to_numpy()).astype(np.float64)
-    cent = train_centroids(sample, n_clusters)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        if n_clusters is None:
+            n = count_hint if count_hint is not None else ds.count()
+            n_clusters = int(max(16, min(1 << 20, np.ceil(n / 512))))
+        # NOTE: ds.limit() order depends on block layout — pass ``centroids``
+        # trained from a deterministic sample when reproducibility matters
+        sample = np.stack(ds.limit(2048).to_pandas()[col].to_numpy()).astype(np.float64)
+        cent = train_centroids(sample, n_clusters)
     cent_ref = ray.put(cent)
 
     def bucketize(batch: pa.Table) -> pa.Table:
