@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
         "relation_assembly": _q_relation_assembly,
+        "super_relations": _q_super_relations,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
         "yaml_tiles": _q_yaml_tiles,
         # line layer: assembled ways -> sliced -> per-tile merged lines
@@ -108,6 +109,12 @@ def _sql_relation_assembly() -> str:
     return osm.sql_relation_assembly()
 
 
+def _sql_super_relations() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_super_relations()
+
+
 def _q_way_assembly(sf_dir: str):
     from planetiler_ray.pipelines import osm
 
@@ -118,6 +125,12 @@ def _q_relation_assembly(sf_dir: str):
     from planetiler_ray.pipelines import osm
 
     return osm.assemble_relations(sf_dir)
+
+
+def _q_super_relations(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.super_relation_memberships(sf_dir)
 
 
 def _q_yaml_tiles(sf_dir: str):
@@ -159,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": oracle.sql_hash_sample(),
         "way_assembly": _sql_way_assembly(),
         "relation_assembly": _sql_relation_assembly(),
+        "super_relations": _sql_super_relations(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
         #   media_features

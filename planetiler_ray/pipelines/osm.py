@@ -348,3 +348,185 @@ def join_way_nodes_native(sf_dir: str, num_partitions: int = 32) -> ray.data.Dat
         num_partitions=num_partitions,
         on=("node_id",),
     )
+
+
+# ------------------------------------------------- super-relations + roles --
+
+# Role-encoded membership, mirroring the reference's packed long
+# (``OsmReader.java:679-701``: role id in the top bits, relation id below).
+ROLE_SHIFT = 48
+ROLE_MASK = (1 << 15) - 1
+ROLE_IDS = {"outer": 1, "inner": 2, "subarea": 3}  # dictionary-encoded roles
+
+
+def encode_membership(rel_id, role_id):
+    """rel_id | role_id << ROLE_SHIFT (vectorized int64)."""
+    return np.asarray(rel_id, dtype=np.int64) | (
+        np.asarray(role_id, dtype=np.int64) << np.int64(ROLE_SHIFT)
+    )
+
+
+def decode_membership(encoded):
+    """-> (rel_id, role_id)."""
+    e = np.asarray(encoded, dtype=np.int64)
+    return e & ~(np.int64(ROLE_MASK) << np.int64(ROLE_SHIFT)), (
+        e >> np.int64(ROLE_SHIFT)
+    ) & np.int64(ROLE_MASK)
+
+
+def way_direct_memberships_ds(sf_dir: str) -> ray.data.Dataset:
+    """Direct way -> relation membership with roles (synthetic, mirrorable):
+    relation c owns ways c*10+k; k<2 are 'outer' ring segments, k>=2 (every
+    third relation's hole) are 'inner'."""
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_custkey").to_numpy().astype(np.int64)
+        ks = [0, 1, 2, 3]
+        rel, wid, role = [], [], []
+        for k in ks:
+            m = c if k < 2 else c[c % 3 == 0]
+            rel.append(m)
+            wid.append(m * 10 + k)
+            role.append(np.full(len(m), 1 if k < 2 else 2, dtype=np.int64))
+        return pa.table(
+            {
+                "way_id": pa.array(np.concatenate(wid), pa.int64()),
+                "rel_id": pa.array(np.concatenate(rel), pa.int64()),
+                "role_id": pa.array(np.concatenate(role), pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(to_rows, batch_format="pyarrow")
+
+
+def relation_parent_edges(sf_dir: str) -> pd.DataFrame:
+    """relation -> parent-relation edges (role 'subarea'), two-level tree:
+    group-of-4 leader is the parent; leaders nest under group-of-16 leaders.
+    SMALL by construction (relations are a sliver of OSM data — the
+    reference keeps the same multimap fully in RAM, ``OsmReader.java:563``),
+    so the engine collects it driver-side and broadcasts the closure."""
+    import pyarrow.parquet as pq
+
+    c = (
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    keys = set(c.tolist())
+    child, parent = [], []
+    for cc in c:
+        p = (cc // 4) * 4 if cc % 4 != 0 else (cc // 16) * 16
+        if p != cc and p in keys:
+            child.append(int(cc))
+            parent.append(int(p))
+    return pd.DataFrame(
+        {"rel_id": child, "parent_id": parent,
+         "role_id": np.full(len(child), ROLE_IDS["subarea"], dtype=np.int64)}
+    )
+
+
+def _ancestor_closure(edges: pd.DataFrame) -> dict[int, list[tuple[int, int, int]]]:
+    """rel -> [(ancestor_id, role_id, depth>=1), ...] via DFS with a visited
+    set (cycle-safe — ``OsmReader.getRelationInfosForRelationId``'s visited
+    semantics, :563-607)."""
+    up: dict[int, list[tuple[int, int]]] = {}
+    for r, p, role in zip(edges["rel_id"], edges["parent_id"], edges["role_id"]):
+        up.setdefault(int(r), []).append((int(p), int(role)))
+    closure: dict[int, list[tuple[int, int, int]]] = {}
+    for start in up:
+        seen = {start}
+        out: list[tuple[int, int, int]] = []
+        frontier = [(p, role, 1) for p, role in up[start]]
+        while frontier:
+            p, role, d = frontier.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            out.append((p, role, d))
+            for gp, grole in up.get(p, []):
+                frontier.append((gp, grole, d + 1))
+        closure[start] = sorted(out)
+    return closure
+
+
+def super_relation_memberships(sf_dir: str) -> ray.data.Dataset:
+    """Every way's relation memberships, direct AND transitive through
+    super-relations, with role bits encoded — the Ray restatement of
+    ``OsmReader.getRelationMembershipForWay`` (:563-607): the tiny
+    relation->parent graph is closed on the driver and broadcast
+    (``ray.put``); the way-membership stream expands against it in
+    ``map_batches``.  Output: way_id, rel_id, role_id, depth (0 = direct),
+    encoded (= rel_id | role_id << 48)."""
+    closure_ref = ray.put(_ancestor_closure(relation_parent_edges(sf_dir)))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        closure = ray.get(closure_ref)
+        wid = batch.column("way_id").to_numpy()
+        rel = batch.column("rel_id").to_numpy()
+        role = batch.column("role_id").to_numpy()
+        anc = [closure.get(int(r), ()) for r in rel]
+        n_anc = np.fromiter((len(a) for a in anc), dtype=np.int64, count=len(anc))
+        out_w = np.concatenate([wid, np.repeat(wid, n_anc)])
+        out_r = np.concatenate(
+            [rel, np.array([p for a in anc for (p, _, _) in a], dtype=np.int64)]
+        )
+        out_role = np.concatenate(
+            [role, np.array([ro for a in anc for (_, ro, _) in a], dtype=np.int64)]
+        )
+        out_d = np.concatenate(
+            [np.zeros(len(wid), dtype=np.int64),
+             np.array([d for a in anc for (_, _, d) in a], dtype=np.int64)]
+        )
+        return pa.table(
+            {
+                "way_id": pa.array(out_w, pa.int64()),
+                "rel_id": pa.array(out_r, pa.int64()),
+                "role_id": pa.array(out_role, pa.int64()),
+                "depth": pa.array(out_d, pa.int64()),
+                "encoded": pa.array(encode_membership(out_r, out_role), pa.int64()),
+            }
+        )
+
+    return way_direct_memberships_ds(sf_dir).map_batches(expand, batch_format="pyarrow")
+
+
+def sql_super_relations() -> str:
+    """Oracle: direct memberships UNION one- and two-level ancestors from
+    the same group-of-4 / group-of-16 arithmetic."""
+    parent1 = "CASE WHEN c_custkey % 4 != 0 THEN (c_custkey // 4) * 4 ELSE (c_custkey // 16) * 16 END"
+    return f"""
+WITH rels AS (SELECT c_custkey AS rel_id FROM customer),
+ways AS (
+    SELECT rel_id * 10 + k.k AS way_id, rel_id,
+           CASE WHEN k.k < 2 THEN 1 ELSE 2 END AS role_id
+    FROM rels CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    WHERE k.k < 2 OR rel_id % 3 = 0
+),
+edges AS (
+    SELECT rel_id, {parent1.replace('c_custkey', 'rel_id')} AS parent_id
+    FROM rels
+    WHERE {parent1.replace('c_custkey', 'rel_id')} != rel_id
+      AND {parent1.replace('c_custkey', 'rel_id')} IN (SELECT rel_id FROM rels)
+),
+lvl1 AS (
+    SELECT w.way_id, e.parent_id AS rel_id, 3 AS role_id, 1 AS depth
+    FROM ways w JOIN edges e USING (rel_id)
+),
+lvl2 AS (
+    SELECT w.way_id, e2.parent_id AS rel_id, 3 AS role_id, 2 AS depth
+    FROM ways w
+    JOIN edges e1 ON w.rel_id = e1.rel_id
+    JOIN edges e2 ON e1.parent_id = e2.rel_id
+),
+allm AS (
+    SELECT way_id, rel_id, role_id, 0 AS depth FROM ways
+    UNION ALL SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2
+)
+SELECT way_id, rel_id, role_id, depth,
+       rel_id | (CAST(role_id AS BIGINT) << {ROLE_SHIFT}) AS encoded
+FROM allm
+"""

@@ -67,3 +67,32 @@ def test_native_join_equivalent(ray_session):
     assert len(a) == len(b)
     for c in cols:
         assert (a[c].astype("int64") == b[c].astype("int64")).all(), c
+
+
+def test_membership_role_encoding_roundtrip():
+    """rel_id | role << 48 packing (OsmReader.java:679-701 semantics)."""
+    import numpy as np
+
+    from planetiler_ray.pipelines.osm import decode_membership, encode_membership
+
+    rel = np.array([1, 999_999_999_999, 0, 123456], dtype=np.int64)
+    role = np.array([1, 2, 3, 15], dtype=np.int64)
+    enc = encode_membership(rel, role)
+    r2, ro2 = decode_membership(enc)
+    np.testing.assert_array_equal(r2, rel)
+    np.testing.assert_array_equal(ro2, role)
+
+
+def test_ancestor_closure_cycle_safe():
+    """DFS closure terminates on relation cycles (visited-set semantics of
+    OsmReader.getRelationInfosForRelationId)."""
+    import pandas as pd
+
+    from planetiler_ray.pipelines.osm import _ancestor_closure
+
+    edges = pd.DataFrame(
+        {"rel_id": [1, 2, 3, 10], "parent_id": [2, 3, 1, 11], "role_id": [3, 3, 3, 3]}
+    )
+    c = _ancestor_closure(edges)
+    assert {p for p, _, _ in c[1]} == {2, 3}  # cycle closed without 1 itself
+    assert c[10] == [(11, 3, 1)]
