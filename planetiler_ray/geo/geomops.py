@@ -135,3 +135,129 @@ def world_area_to_square_meters(area_world: float, lat_deg: float = 0.0) -> floa
 
 def world_length_to_meters(len_world: float, lat_deg: float = 0.0) -> float:
     return len_world * WORLD_CIRCUMFERENCE_METERS * np.cos(np.radians(lat_deg))
+
+
+# ------------------------------------------- convexity / innermost point --
+
+def is_convex_ring(ring: np.ndarray, threshold: float = 1e-3,
+                   min_points_to_check: int = 10) -> bool:
+    """Convexity test with rounding/concavity tolerance — the reference's
+    ``GeoUtils.isConvex`` semantics (``GeoUtils.java:497-566``): track the
+    largest positive and negative cross-product magnitude over sequential
+    point triples (repeated points skipped, wrap-around included); convex
+    iff the smaller side stays below ``threshold`` x the larger.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    # drop consecutive repeats
+    if len(pts) > 1:
+        keep = np.concatenate([[True], (np.diff(pts, axis=0) != 0).any(axis=1)])
+        pts = pts[keep]
+    n = len(pts)
+    if n < 3:
+        return False
+    d = np.diff(np.vstack([pts, pts[:2]]), axis=0)  # edge vectors, wrapped
+    z = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    neg_z = pos_z = 1e-20
+    checked = 0
+    for zz in z:
+        az = abs(zz)
+        extended = False
+        if zz < 0 and az > neg_z:
+            neg_z, extended = az, True
+        elif zz > 0 and az > pos_z:
+            pos_z, extended = az, True
+        checked += 1
+        if checked >= min_points_to_check and (extended or checked == min_points_to_check):
+            ratio = neg_z / pos_z if neg_z < pos_z else pos_z / neg_z
+            if ratio > threshold:
+                return False
+    ratio = neg_z / pos_z if neg_z < pos_z else pos_z / neg_z
+    return ratio <= threshold
+
+
+def centroid_if_convex(rings: list[np.ndarray]) -> np.ndarray:
+    """Centroid when the polygon is convex (no holes, convex exterior),
+    else point-on-surface — ``WithGeometry.centroidIfConvex`` (:201-203)."""
+    if len(rings) == 1 and is_convex_ring(rings[0]):
+        return centroid("polygon", rings)
+    return point_on_surface(rings)
+
+
+def _dist_to_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Signed distance of points to the polygon boundary (+ inside)."""
+    from .pip import points_in_polygon
+
+    d2 = np.full(len(px), np.inf)
+    for ring in rings:
+        ax, ay = ring[:-1, 0], ring[:-1, 1]
+        bx, by = ring[1:, 0], ring[1:, 1]
+        ex, ey = bx - ax, by - ay
+        ln2 = ex * ex + ey * ey
+        ln2[ln2 == 0] = 1.0
+        # (n_pts, n_edges) projection clamp
+        t = ((px[:, None] - ax) * ex + (py[:, None] - ay) * ey) / ln2
+        t = np.clip(t, 0.0, 1.0)
+        cx = ax + t * ex
+        cy = ay + t * ey
+        dd = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+        d2 = np.minimum(d2, dd.min(axis=1))
+    d = np.sqrt(d2)
+    inside = points_in_polygon(px, py, rings)
+    return np.where(inside, d, -d)
+
+
+def innermost_point(rings: list[np.ndarray], tolerance: float = 0.1) -> np.ndarray:
+    """Pole of inaccessibility — ``WithGeometry.innermostPoint(tolerance)``
+    (:144-151): center of the maximum inscribed circle to a precision of
+    ``sqrt(area) * tolerance``, via the public Mapbox *polylabel*
+    quadtree-refinement algorithm (batched numpy distance evaluations).
+    """
+    import heapq
+
+    ext = np.asarray(rings[0], dtype=np.float64)
+    minx, miny = ext[:, 0].min(), ext[:, 1].min()
+    maxx, maxy = ext[:, 0].max(), ext[:, 1].max()
+    precision = max(np.sqrt(max(polygon_area(rings), 0.0)) * tolerance, 1e-12)
+    size = min(maxx - minx, maxy - miny)
+    if size == 0:
+        return np.array([(minx + maxx) / 2.0, (miny + maxy) / 2.0])
+    h = size / 2.0
+    # seed cells over the bbox
+    cxs, cys, hs = [], [], []
+    x = minx
+    while x < maxx:
+        y = miny
+        while y < maxy:
+            cxs.append(x + h)
+            cys.append(y + h)
+            hs.append(h)
+            y += size
+        x += size
+    cx = np.array(cxs)
+    cy = np.array(cys)
+    hh = np.array(hs)
+    d = _dist_to_rings(cx, cy, rings)
+    r2 = np.sqrt(2.0)
+    heap = [(-(d[i] + hh[i] * r2), d[i], cx[i], cy[i], hh[i]) for i in range(len(cx))]
+    heapq.heapify(heap)
+    # best candidate starts at the centroid / bbox center
+    c0 = centroid("polygon", rings)
+    bd = float(_dist_to_rings(np.array([c0[0]]), np.array([c0[1]]), rings)[0])
+    best = (bd, float(c0[0]), float(c0[1]))
+    while heap:
+        neg_pot, dist, x, y, hcell = heapq.heappop(heap)
+        if -neg_pot - best[0] <= precision:
+            break
+        if dist > best[0]:
+            best = (dist, x, y)
+        q = hcell / 2.0
+        nx = np.array([x - q, x + q, x - q, x + q])
+        ny = np.array([y - q, y - q, y + q, y + q])
+        nd = _dist_to_rings(nx, ny, rings)
+        for i in range(4):
+            pot = nd[i] + q * r2
+            if pot - best[0] > precision:
+                heapq.heappush(heap, (-pot, nd[i], nx[i], ny[i], q))
+    return np.array([best[1], best[2]])

@@ -212,3 +212,90 @@ def test_embedding_neardup_group_split_bounded():
     # median split in practice; require near-total recall
     found = sum((i, i + 1_000_000) in pairs for i in range(4000))
     assert found >= 3900, found
+
+
+def test_geomops_convexity_and_innermost():
+    """GeoUtils.isConvex / WithGeometry.centroidIfConvex / innermostPoint
+    semantics (convex -> centroid; concave -> inside point; pole of
+    inaccessibility respects holes)."""
+    from planetiler_ray.geo.geomops import (centroid_if_convex,
+                                            innermost_point, is_convex_ring)
+    from planetiler_ray.geo.pip import points_in_polygon
+
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    lsh = np.array([[0.0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]])
+    assert is_convex_ring(sq)
+    assert is_convex_ring(sq[::-1])  # winding-independent
+    assert not is_convex_ring(lsh)
+    # tiny concavity below the 1e-3 ratio threshold still counts as convex
+    near = np.array([[0.0, 0], [5, 0.001], [10, 0], [10, 10], [0, 10], [0, 0]])
+    assert is_convex_ring(near)
+    np.testing.assert_allclose(centroid_if_convex([sq]), [5, 5])
+    c = centroid_if_convex([lsh])
+    assert points_in_polygon(np.array([c[0]]), np.array([c[1]]), [lsh])[0]
+    np.testing.assert_allclose(innermost_point([sq], 0.01), [5, 5], atol=0.2)
+    hole = np.array([[1.0, 1], [5, 1], [5, 5], [1, 5], [1, 1]])
+    p = innermost_point([sq, hole], 0.01)
+    assert p[0] > 5.5 and p[1] > 5.5  # pushed away from the hole
+    p2 = innermost_point([lsh], 0.01)
+    assert points_in_polygon(np.array([p2[0]]), np.array([p2[1]]), [lsh])[0]
+
+
+def test_forwarding_profile_registry():
+    """ForwardingProfile dispatch: source/feature handlers, vectorized
+    filter() gating, only/exclude layers, layer+tile post hooks."""
+    import pyarrow as pa
+
+    from planetiler_ray.functions.expression import match_any
+    from planetiler_ray.pipelines.forwarding import ForwardingProfile
+    from planetiler_ray.pipelines.profile import LayerSpec
+
+    calls = []
+
+    class Roads:
+        layer_name = "roads"
+        layer_spec = LayerSpec(name="roads")
+        filter_expr = match_any("kind", "road")
+
+        def process_batch(self, batch):
+            return pa.table({"layer": pa.array(["roads"] * batch.num_rows),
+                             "v": batch.column("v")})
+
+        def post_process_layer(self, features, z):
+            calls.append(("layer", z))
+            return features
+
+    class Water:
+        layer_name = "water"
+        filter_expr = match_any("kind", "water")
+
+        def process_batch(self, batch):
+            return pa.table({"layer": pa.array(["water"] * batch.num_rows),
+                             "v": batch.column("v")})
+
+    class TileHook:
+        def post_process_tile(self, layers, z, x, y):
+            calls.append(("tile", z))
+            return layers
+
+        def on_finish(self, source):
+            calls.append(("finish", source))
+
+    fp = ForwardingProfile(only_layers=["roads"])
+    fp.register_source_handler("osm", Roads())
+    fp.register_source_handler("osm", Water())  # excluded by only_layers
+    fp.register_handler(TileHook())
+    batch = pa.table({"kind": pa.array(["road", "water", "road"]),
+                      "v": pa.array([1, 2, 3])})
+    out = fp.process_source_batch("osm", batch)
+    assert out.num_rows == 2  # only the road rows, only the roads handler
+    assert set(out.column("layer").to_pylist()) == {"roads"}
+    assert fp.cares_about_layer("roads") and not fp.cares_about_layer("water")
+    assert fp.cares_about_source("osm") and not fp.cares_about_source("ne")
+    prof = fp.to_tiling_profile()
+    assert "roads" in prof.layers and "water" not in prof.layers
+    feats = prof.layers["roads"].post_process([{"id": 1}], 5)
+    assert feats == [{"id": 1}]
+    prof.post_process_tile({"roads": [], "water": []}, 3, 0, 0)
+    fp.finish("osm")
+    assert ("layer", 5) in calls and ("tile", 3) in calls and ("finish", "osm") in calls

@@ -69,3 +69,35 @@ def test_pmtiles_directory_codec():
     entries = [(5, 0, 10, 1), (6, 10, 20, 1), (9, 10, 20, 2), (100, 30, 5, 1)]
     back = deserialize_directory(serialize_directory(entries))
     assert back == entries
+
+
+def test_proto_stream_roundtrip(tiles, tmp_path):
+    import ray.data
+
+    from planetiler_ray.sinks.streams import (read_proto_stream,
+                                              write_proto_stream,
+                                              write_proto_stream_shards)
+
+    df, _ = tiles
+    path = str(tmp_path / "out.pbstream")
+    ds = ray.data.from_pandas(df)
+    n = write_proto_stream(ds, path, {"name": "t", "min_zoom": 0, "max_zoom": 4})
+    assert n == len(df)
+    events = list(read_proto_stream(path))
+    assert events[0] == ("init", None)
+    kind, meta = events[-1]
+    assert kind == "finish" and meta["name"] == "t" and meta["max_zoom"] == 4
+    assert meta["tile_compression"] == 1
+    tiles_read = {(z, x, y): d for k, (x, y, z, d) in
+                  (e for e in events if e[0] == "tile")}
+    assert len(tiles_read) == len(df)
+    row = df.iloc[0]
+    assert tiles_read[(int(row.z), int(row.tile_x), int(row.tile_y))] == row.tile_gz
+    # sharded parallel layout
+    out = str(tmp_path / "shards")
+    res = write_proto_stream_shards(ray.data.from_pandas(df), out, n_shards=4).to_pandas()
+    assert res["n_tiles"].sum() == len(df)
+    total = 0
+    for f in os.listdir(out):
+        total += sum(1 for e in read_proto_stream(f"{out}/{f}") if e[0] == "tile")
+    assert total == len(df)
