@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_assembly": _q_way_assembly,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
+        "way_split": _q_way_split,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
         "yaml_tiles": _q_yaml_tiles,
         # line layer: assembled ways -> sliced -> per-tile merged lines
@@ -133,6 +134,18 @@ def _q_super_relations(sf_dir: str):
     return osm.super_relation_memberships(sf_dir)
 
 
+def _q_way_split(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.split_ways_summary(sf_dir)
+
+
+def _sql_way_split() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_way_split()
+
+
 def _q_yaml_tiles(sf_dir: str):
     from planetiler_ray.pipelines import yamlprofile as Y
 
@@ -173,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "way_assembly": _sql_way_assembly(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),
+        "way_split": _sql_way_split(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
         #   media_features

@@ -530,3 +530,126 @@ SELECT way_id, rel_id, role_id, depth,
        rel_id | (CAST(role_id AS BIGINT) << {ROLE_SHIFT}) AS encoded
 FROM allm
 """
+
+
+# ------------------------------------------------- way splitting at nodes --
+
+def shared_nodes_ds(sf_dir: str) -> ray.data.Dataset:
+    """Nodes referenced more than once across all ways = intersection nodes
+    (``OsmWaySplitter`` semantics, ``reader/osm/OsmWaySplitter.java:14-53``).
+    The reference builds a shared RoaringBitmap; the Ray restatement is a
+    count AGGREGATE over way refs (per-batch partials -> groupby-sum) —
+    shared state becomes data movement."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nid, cnt = np.unique(batch.column("node_id").to_numpy(), return_counts=True)
+        return pa.table({"node_id": pa.array(nid, pa.int64()),
+                         "c_part": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (
+        way_refs_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Sum("c_part", alias_name="n_refs"))
+    )
+    return counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("n_refs"), 1)),
+        batch_format="pyarrow",
+    )
+
+
+def split_ways_summary(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-way split summary (``OsmReader.splitWayIfNecessary``, :439-450):
+    interior nodes (not first/last) that are shared split the way; output
+    way_id, n_nodes, n_intersections, n_segments (= intersections + 1) —
+    all exact ints for the oracle.  Shared-node flags reach the refs via the
+    same hash-bucket shuffle join as the node-location join."""
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.column("node_id").to_numpy() % n_buckets
+            out = batch.append_column("jbucket", pa.array(b, pa.int64()))
+            return out.append_column("side", pa.array([side] * batch.num_rows))
+
+        return f
+
+    refs = way_refs_ds(sf_dir).map_batches(tag("w"), batch_format="pyarrow")
+    shared = shared_nodes_ds(sf_dir).map_batches(tag("s"), batch_format="pyarrow")
+    refs = refs.map_batches(
+        lambda b: b.select(["way_id", "seq", "node_id", "jbucket", "side"]),
+        batch_format="pyarrow",
+    )
+    shared = shared.map_batches(
+        lambda b: b.append_column("way_id", pa.nulls(b.num_rows, pa.int64()))
+        .append_column("seq", pa.nulls(b.num_rows, pa.int64()))
+        .select(["way_id", "seq", "node_id", "jbucket", "side"]),
+        batch_format="pyarrow",
+    )
+
+    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = set(g.loc[g["side"] == "s", "node_id"].to_numpy().tolist())
+        w = g[g["side"] == "w"]
+        return pd.DataFrame(
+            {
+                "way_id": w["way_id"].astype("int64"),
+                "seq": w["seq"].astype("int64"),
+                "node_id": w["node_id"].astype("int64"),
+                "is_shared": w["node_id"].isin(s).astype("int64"),
+            }
+        )
+
+    flagged = refs.union(shared).groupby("jbucket").map_groups(
+        flag_bucket, batch_format="pandas"
+    )
+
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq", "node_id"])
+        wid = g["way_id"].to_numpy()
+        sh = g["is_shared"].to_numpy()
+        first = np.concatenate([[True], wid[1:] != wid[:-1]])
+        last = np.concatenate([wid[1:] != wid[:-1], [True]])
+        interior_shared = (sh == 1) & ~first & ~last
+        df = pd.DataFrame({"way_id": wid, "ix": interior_shared.astype(np.int64)})
+        out = df.groupby("way_id", sort=True).agg(
+            n_nodes=("ix", "size"), n_intersections=("ix", "sum")
+        ).reset_index()
+        out["n_segments"] = out["n_intersections"] + 1
+        return out.astype("int64")
+
+    return (
+        flagged.map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
+                    batch_format="pandas")
+    )
+
+
+def sql_way_split() -> str:
+    """Oracle for :func:`split_ways_summary` — node ref counts + interior
+    positions from the same (seq, node_id) ordering."""
+    return """
+WITH refs AS (
+    SELECT l_orderkey AS way_id, l_linenumber AS seq, l_partkey AS node_id
+    FROM lineitem
+),
+cnt AS (SELECT node_id, count(*) AS c FROM refs GROUP BY 1),
+pos AS (
+    SELECT way_id, seq, node_id,
+           row_number() OVER (PARTITION BY way_id ORDER BY seq, node_id) AS rn,
+           count(*) OVER (PARTITION BY way_id) AS n
+    FROM refs
+),
+j AS (SELECT pos.*, cnt.c FROM pos JOIN cnt USING (node_id))
+SELECT way_id,
+       CAST(max(n) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN rn > 1 AND rn < n AND c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_intersections,
+       CAST(sum(CASE WHEN rn > 1 AND rn < n AND c > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_segments
+FROM j GROUP BY 1
+"""

@@ -299,3 +299,34 @@ def test_forwarding_profile_registry():
     prof.post_process_tile({"roads": [], "water": []}, 3, 0, 0)
     fp.finish("osm")
     assert ("layer", 5) in calls and ("tile", 3) in calls and ("finish", "osm") in calls
+
+
+def test_struct_dynamic_accessor():
+    """reader/Struct.java semantics: dotted paths, [] flat-map, lenient
+    coercions, absorbing NULL."""
+    import pyarrow as pa
+
+    from planetiler_ray.functions.structs import NULL, of
+
+    s = of({"a": {"b": [{"c": 1}, {"c": 2}, {"d": 3}]}, "n": "42",
+            "f": "1.5", "yes": "yes", "t": 1700000000000})
+    assert s.get("a", "b", 0, "c").as_int() == 1
+    assert s.get("a.b[].c").as_list() == [of(1), of(2)]  # flat-map over list
+    assert s.get("a.b").get(1).get("c").as_int() == 2
+    assert s.get("missing").is_null() and s.get("missing", "x", "y") is NULL
+    assert s.get("missing").or_else(9).as_int() == 9
+    assert s.get("n").as_int() == 42 and s.get("f").as_double() == 1.5
+    assert s.get("f").as_int() is None  # "1.5" is not an int
+    assert s.get("yes").as_bool() is True and of("off").as_bool() is False
+    ts = s.get("t").as_timestamp()
+    assert ts.year == 2023
+    assert of(3.9).as_int() == 3  # numeric truncation
+    assert s.get("a").is_struct() and not s.get("n").is_struct()
+    assert '"c":1' in s.get("a").as_json()
+    # pyarrow struct scalars unwrap transparently
+    t = pa.table({"tags": [{"name": "x", "h": ["a", "b"]}]})
+    row = of(t.column("tags")[0])
+    assert row.get("name").as_string() == "x"
+    assert row.get("h").get(1).as_string() == "b"
+    # nulls dropped from maps like the reference
+    assert of({"a": None, "b": 1}).as_map().keys() == {"b"}
