@@ -50,3 +50,30 @@ def test_unclosable_dropped():
     dangling = np.array([[0, 0], [5, 5]], dtype=float)
     polys = assemble_multipolygon([dangling, _sq(0, 0, 2)])
     assert len(polys) == 1  # only the closed square survives
+
+
+def test_repair_bowtie_and_figure_eight():
+    """snapAndFixPolygon-class repair: self-intersecting rings untwist into
+    simple nested polygons; valid input is unchanged (modulo snapping)."""
+    import numpy as np
+
+    from planetiler_ray.geo.repair import repair_polygon, untwist_ring
+
+    # bowtie: crosses itself at (5, 5)
+    bow = np.array([[0.0, 0], [10, 10], [10, 0], [0, 10], [0, 0]])
+    pieces = untwist_ring(bow)
+    assert len(pieces) == 2
+    areas = sorted(abs(0.5 * np.cross(p[:-1], p[1:]).sum()) for p in pieces)
+    assert np.allclose(areas, [25.0, 25.0])
+    polys = repair_polygon([bow])
+    assert len(polys) == 2 and all(len(p) == 1 for p in polys)
+
+    # valid square with a valid hole: unchanged structure
+    sq = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[2.0, 2], [4, 2], [4, 4], [2, 4], [2, 2]])
+    polys = repair_polygon([sq, hole])
+    assert len(polys) == 1 and len(polys[0]) == 2
+
+    # degenerate sliver collapses to nothing after snapping
+    sliver = np.array([[0.0, 0], [10, 0.001], [10, 0.002], [0, 0.003], [0, 0]])
+    assert repair_polygon([sliver], precision=1.0) == []

@@ -101,3 +101,42 @@ def test_proto_stream_roundtrip(tiles, tmp_path):
     for f in os.listdir(out):
         total += sum(1 for e in read_proto_stream(f"{out}/{f}") if e[0] == "tile")
     assert total == len(df)
+
+
+def test_mlt_roundtrip_and_from_mvt(tiles):
+    """MLT columnar encode/decode round-trip + conversion from real MVT
+    tiles (the reference's toMltInput path)."""
+    from planetiler_ray.geo import mlt, mvt
+
+    layers = {
+        "roads": [
+            {"id": 7, "kind": "linestring",
+             "parts": [np.array([[0.0, 0], [10, 5], [20, 5]])],
+             "attrs": {"name": "a", "n": 3, "w": 1.5, "b": True}},
+            {"id": 9, "kind": "linestring",
+             "parts": [np.array([[5.0, 5], [6, 8]])],
+             "attrs": {"name": "a", "n": 3}},  # shares dictionary entries
+        ],
+        "pois": [
+            {"id": 1, "kind": "point", "parts": [np.array([[128.0, 64.0]])],
+             "attrs": {"name": "x"}},
+        ],
+    }
+    data = mlt.encode_tile(layers)
+    back = mlt.decode_tile(data)
+    assert set(back) == {"roads", "pois"}
+    r0 = back["roads"][0]
+    assert r0["id"] == 7 and r0["attrs"] == {"name": "a", "n": 3, "w": 1.5, "b": True}
+    np.testing.assert_allclose(r0["parts"][0], layers["roads"][0]["parts"][0])
+    assert back["roads"][1]["attrs"]["name"] == "a"
+    np.testing.assert_allclose(back["pois"][0]["parts"][0], [[128.0, 64.0]])
+    # conversion from real flagship MVT tiles preserves feature counts
+    df, _ = tiles
+    row = df.sort_values("n_features", ascending=False).iloc[0]
+    mvt_bytes = mvt.gunzip_tile(row.tile_gz)
+    mlt_bytes = mlt.from_mvt(mvt_bytes)
+    m = mlt.decode_tile(mlt_bytes)
+    d = mvt.decode_tile(mvt_bytes)
+    assert sum(len(v) for v in m.values()) == sum(
+        len(v["features"]) for v in d.values()
+    )
