@@ -107,30 +107,42 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, reps: int = 2) -> dict:
-        """Best of N runs per leg: single-node wall time has ~±20% run-to-run
-        noise (VM neighbors / scheduler); the minimum is the capability."""
-        best = None
+    def runs_of(ncpu: int, reps: int) -> list[float]:
+        """All wall times for N runs of one leg (full distribution published
+        — single-node wall time has run-to-run VM noise)."""
+        out = []
         for i in range(reps):
             if i:
                 time.sleep(10)
-            r = run(ncpu)
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+            out.append(run(ncpu)["value"])
+        return out
 
+    import statistics
+
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     lo_n, hi_n = 8, 32
-    lo = best_of(lo_n)
-    time.sleep(15)  # let the previous leg's Ray teardown/spill cleanup drain
-    hi = best_of(hi_n)
-    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    # interleave legs lo/hi/lo/hi/... so slow drift in VM noise hits both
+    # legs equally instead of biasing whichever leg ran last
+    lo_runs: list[float] = []
+    hi_runs: list[float] = []
+    for i in range(reps):
+        lo_runs += runs_of(lo_n, 1)
+        time.sleep(10)
+        hi_runs += runs_of(hi_n, 1)
+        if i < reps - 1:
+            time.sleep(10)
+    lo_med = statistics.median(lo_runs)
+    hi_med = statistics.median(hi_runs)
+    eff_med = (lo_med / hi_med) / (hi_n / lo_n)
+    eff_best = (min(lo_runs) / min(hi_runs)) / (hi_n / lo_n)
     print(json.dumps({
-        "metric": "scaling efficiency (N=8 -> 4N=32 cpus, same input, best of 2 runs per leg)",
-        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "metric": f"scaling efficiency (N={lo_n} -> 4N={hi_n} cpus, same input, "
+                  f"median of {reps} interleaved runs per leg)",
+        "runs_lo_sec": lo_runs, "runs_hi_sec": hi_runs,
         "cpus_lo": lo_n, "cpus_hi": hi_n,
-        "tiles_per_sec_lo": lo["tiles_per_sec"],
-        "tiles_per_sec_hi": hi["tiles_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "sec_lo_median": lo_med, "sec_hi_median": hi_med,
+        "scaling_efficiency": round(eff_med, 3),
+        "scaling_efficiency_best": round(eff_best, 3),
         "sf": SF_DIR,
     }))
 

@@ -213,13 +213,101 @@ class PointIndex:
         self.ids = np.asarray(ids, dtype=np.int64)[order]
         self.x = np.asarray(x, dtype=np.float64)[order]
         self.y = np.asarray(y, dtype=np.float64)[order]
+        # uniform grid (CSR buckets) for the nearest-neighbor ring search —
+        # ~sqrt(m) cells per axis keeps ~O(1) points per cell
+        m = len(self.ids)
+        self._g = max(1, int(np.sqrt(max(m, 1))))
+        if m:
+            self._x0, self._y0 = float(self.x.min()), float(self.y.min())
+            self._cw = max((float(self.x.max()) - self._x0) / self._g, 1e-300)
+            self._ch = max((float(self.y.max()) - self._y0) / self._g, 1e-300)
+            cx = np.clip(((self.x - self._x0) / self._cw).astype(np.int64), 0, self._g - 1)
+            cy = np.clip(((self.y - self._y0) / self._ch).astype(np.int64), 0, self._g - 1)
+            cell = cx * self._g + cy
+            corder = np.argsort(cell, kind="stable")
+            self._sorted_idx = corder
+            self._cell_start = np.searchsorted(cell[corder], np.arange(self._g * self._g + 1))
+
+    def _cell_of(self, px: np.ndarray, py: np.ndarray):
+        cx = np.clip(((px - self._x0) / self._cw).astype(np.int64), 0, self._g - 1)
+        cy = np.clip(((py - self._y0) / self._ch).astype(np.int64), 0, self._g - 1)
+        return cx, cy
+
+    def _build_cell_candidates(self):
+        """Per grid cell: the POI subset guaranteed to contain the exact
+        nearest (and all its ties) for ANY query inside that cell.
+
+        Rule: if the Chebyshev cell-ring ``r_c`` around a cell contains a
+        POI, every query in the cell has nearest distance <=
+        hypot((r_c+1)*cw, (r_c+1)*ch); all POIs (and tie-mates) within that
+        distance lie inside ring ``r'= floor(that/min(cw,ch)) + 1``.  So the
+        candidate list for the cell = POIs within ring r' — the grid only
+        prunes, never changes the exact result.
+        """
+        g = self._g
+        counts = np.diff(self._cell_start).reshape(g, g)
+        pref = np.zeros((g + 1, g + 1), dtype=np.int64)
+        pref[1:, 1:] = counts.cumsum(axis=0).cumsum(axis=1)
+
+        def box_count(cx0, cx1, cy0, cy1):
+            return (pref[cx1 + 1, cy1 + 1] - pref[cx0, cy1 + 1]
+                    - pref[cx1 + 1, cy0] + pref[cx0, cy0])
+
+        cxs, cys = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+        cxs, cys = cxs.ravel(), cys.ravel()
+        r_c = np.full(g * g, -1, dtype=np.int64)
+        pending = np.arange(g * g)
+        r = 0
+        while len(pending):
+            x0 = np.maximum(cxs[pending] - r, 0)
+            x1 = np.minimum(cxs[pending] + r, g - 1)
+            y0 = np.maximum(cys[pending] - r, 0)
+            y1 = np.minimum(cys[pending] + r, g - 1)
+            has = box_count(x0, x1, y0, y1) > 0
+            r_c[pending[has]] = r
+            pending = pending[~has]
+            r += 1
+        diag = np.hypot((r_c + 1) * self._cw, (r_c + 1) * self._ch)
+        # clip before casting: a degenerate axis (all points collinear ->
+        # cell height ~0) would blow the ratio to inf; a ring of g covers
+        # the whole grid anyway
+        r_cov = np.clip(diag / min(self._cw, self._ch), 0, g).astype(np.int64) + 1
+        # gather per-cell candidate lists via CSR column strips
+        lists: list[np.ndarray] = []
+        offs = [0]
+        box = np.empty((g * g, 4))  # world-coord cover box per cell (or inf)
+        for c in range(g * g):
+            cx, cy = c // g, c % g
+            rr = int(r_cov[c])
+            x0, x1 = max(cx - rr, 0), min(cx + rr, g - 1)
+            y0, y1 = max(cy - rr, 0), min(cy + rr, g - 1)
+            parts = [
+                self._sorted_idx[self._cell_start[sx * g + y0] : self._cell_start[sx * g + y1 + 1]]
+                for sx in range(x0, x1 + 1)
+            ]
+            cand = np.concatenate(parts) if parts else np.empty(0, np.int64)
+            lists.append(cand)
+            offs.append(offs[-1] + len(cand))
+            # cover-box bounds (±inf where the box hits the grid edge: no
+            # uncovered POIs can exist beyond the data extent on that side)
+            box[c] = (
+                self._x0 + x0 * self._cw if x0 > 0 else -np.inf,
+                self._x0 + (x1 + 1) * self._cw if x1 < g - 1 else np.inf,
+                self._y0 + y0 * self._ch if y0 > 0 else -np.inf,
+                self._y0 + (y1 + 1) * self._ch if y1 < g - 1 else np.inf,
+            )
+        self._cand_flat = np.concatenate(lists) if lists else np.empty(0, np.int64)
+        self._cand_off = np.array(offs, dtype=np.int64)
+        self._cov_box = box
 
     def get_nearest(self, px, py, max_radius: float | None = None):
         """Nearest point id (and squared distance) per query; -1 beyond radius.
 
-        Brute-force vectorized (the right side is a broadcast small table —
-        same regime as the reference's in-memory STRtree).  Chunked so the
-        (queries x points) matrix stays bounded.
+        Exact semantics (the oracle's ``dx*dx + dy*dy`` with min-id tie
+        break): queries are grouped by grid cell and scored only against the
+        cell's precomputed exact-cover candidate list — replaces the round-1
+        brute-force GEMM + argpartition (O(n*m) time and 256 MB score
+        matrices per actor at m=1000).
         """
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
@@ -229,46 +317,68 @@ class PointIndex:
         m = len(self.x)
         if m == 0 or n == 0:
             return out_id, out_d
-        # BLAS GEMM candidate scoring (argmin of -2 p.q + |q|^2), then EXACT
-        # re-score of the top candidates with the oracle's (dx*dx + dy*dy)
-        # expression so ordering is bit-identical to the SQL twin.
-        ncand = min(4, m)
-        qmat = np.column_stack([self.x, self.y])  # (m, 2)
-        qn = self.x * self.x + self.y * self.y
-        chunk = max(1, 32_000_000 // m)
-        for s in range(0, n, chunk):
-            pc = np.column_stack([px[s : s + chunk], py[s : s + chunk]])  # (c, 2)
-            score = pc @ (-2.0 * qmat.T)
-            score += qn[None, :]
-            if ncand < m:
-                cand = np.argpartition(score, ncand - 1, axis=1)[:, :ncand]
-            else:
-                cand = np.broadcast_to(np.arange(m), (len(pc), m))
-            dx = pc[:, 0:1] - self.x[cand]
-            dy = pc[:, 1:2] - self.y[cand]
+        if not hasattr(self, "_cand_flat"):
+            self._build_cell_candidates()
+        g = self._g
+        qcx, qcy = self._cell_of(px, py)
+        qcell = qcx * g + qcy
+        order = np.argsort(qcell, kind="stable")
+        cell_sorted = qcell[order]
+        bounds = np.flatnonzero(np.concatenate([[True], cell_sorted[1:] != cell_sorted[:-1]]))
+        bounds = np.append(bounds, n)
+        big_id = np.int64(1) << np.int64(62)
+        for bi in range(len(bounds) - 1):
+            s, e = bounds[bi], bounds[bi + 1]
+            c = int(cell_sorted[s])
+            cand = self._cand_flat[self._cand_off[c] : self._cand_off[c + 1]]
+            qi = order[s:e]
+            dx = px[qi, None] - self.x[cand][None, :]
+            dy = py[qi, None] - self.y[cand][None, :]
             d = dx * dx + dy * dy
-            cid = self.ids[cand]
-            # order by (exact d2, poi_id): min d2, then min id among exact ties
             min_d = d.min(axis=1, keepdims=True)
-            tied = d == min_d
-            tied_ids = np.where(tied, cid, np.int64(1) << np.int64(62))
+            tied_ids = np.where(d == min_d, self.ids[cand][None, :], big_id)
+            out_id[qi] = tied_ids.min(axis=1)
+            out_d[qi] = min_d[:, 0]
+        # the cover proof assumes the query lies INSIDE its (clipped) cell;
+        # verify via the cover-box margin and brute-rescan violations (only
+        # out-of-bbox or pathological queries — rare by construction)
+        bx0, bx1, by0, by1 = self._cov_box[qcell].T
+        margin = np.minimum(np.minimum(px - bx0, bx1 - px),
+                            np.minimum(py - by0, by1 - py))
+        # strict <: a POI exactly on the box boundary belongs to the next
+        # cell (half-open) and could tie — rescan that measure-zero case too
+        ok = np.isinf(margin) | ((margin >= 0) & (out_d < margin * margin))
+        redo = np.flatnonzero(~ok)
+        if len(redo):
+            rid, rd = self.get_nearest_brute(px[redo], py[redo])
+            out_id[redo] = rid
+            out_d[redo] = rd
+        if max_radius is not None:
+            far = out_d > max_radius * max_radius
+            out_id[far] = -1
+        return out_id, out_d
+
+    def get_nearest_brute(self, px, py, max_radius: float | None = None):
+        """Reference brute-force (exact, chunked) — kept for parity tests."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        n = len(px)
+        out_id = np.full(n, -1, dtype=np.int64)
+        out_d = np.full(n, np.inf)
+        m = len(self.x)
+        if m == 0 or n == 0:
+            return out_id, out_d
+        chunk = max(1, 8_000_000 // m)
+        for s in range(0, n, chunk):
+            dx = px[s : s + chunk, None] - self.x[None, :]
+            dy = py[s : s + chunk, None] - self.y[None, :]
+            d = dx * dx + dy * dy
+            min_d = d.min(axis=1, keepdims=True)
+            tied_ids = np.where(d == min_d, self.ids[None, :], np.int64(1) << np.int64(62))
             out_id[s : s + chunk] = tied_ids.min(axis=1)
             out_d[s : s + chunk] = min_d[:, 0]
-            if ncand < m:
-                # if EVERY preselected candidate ties exactly, the true
-                # min-id tie-mate may have been cut by the approximate
-                # preselection — re-score those rows exactly over all points
-                saturated = np.flatnonzero(tied.all(axis=1))
-                for ri in saturated:
-                    dx = pc[ri, 0] - self.x
-                    dy = pc[ri, 1] - self.y
-                    dall = dx * dx + dy * dy
-                    mind = dall.min()
-                    out_id[s + ri] = self.ids[dall == mind].min()
-                    out_d[s + ri] = mind
         if max_radius is not None:
-            r2 = max_radius * max_radius
-            far = out_d > r2
+            far = out_d > max_radius * max_radius
             out_id[far] = -1
         return out_id, out_d
 

@@ -159,9 +159,14 @@ def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
         Enricher,
         fn_constructor_args=(admin, pois),
         batch_format="pyarrow",
-        concurrency=(1, 24),  # ceiling above the largest CPU level so the
-        num_cpus=1,           # pool itself never caps cluster scaling
-    )
+        concurrency=(2, 24),  # min 2 shortens the autoscale ramp (upstream
+        num_cpus=0.5,         # stages fuse into this pool, so its spin-up
+    )                         # gates the whole feature chain) while the
+                              # fractional num_cpus keeps small test sessions
+                              # from starving non-pool stages (a fixed floor
+                              # of whole CPUs deadlocks a 4-cpu ray.init);
+                              # ceiling above the largest CPU level so the
+                              # pool never caps cluster scaling
 
 
 def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
