@@ -127,8 +127,13 @@ def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024,
     profile = profile or flagship_profile()
     rows = tile_rows_ds(sf_dir, zooms, repl, prune)
     return (
-        rows.map_batches(add_bucket, batch_format="pyarrow",
-                         fn_kwargs={"n_buckets": n_buckets})
+        # coalesce the union's 64+1 blocks back to 64: the sort shuffle's
+        # output partition count follows the input block count, and 64 keeps
+        # the assembly stage on whole scheduling waves (65 tasks on 32 cores
+        # = 2 waves + a one-task straggler wave)
+        rows.repartition(64)
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     fn_kwargs={"n_buckets": n_buckets})
         .groupby("bucket")
         .map_groups(
             lambda g: make_bucket_assembler(profile)(g.drop_columns(["bucket"])),

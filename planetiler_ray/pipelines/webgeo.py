@@ -37,6 +37,12 @@ DEFAULT_ZOOMS = (2, 6, 10, 14)
 
 
 def pages_ds(sf_dir: str, repl: int = 1, parallelism: int = 64) -> ray.data.Dataset:
+    """The block count set here carries through every downstream stage
+    INCLUDING the sort-based groupby shuffle's output partitions, so it sets
+    the parallelism of the tile-assembly stage.  64 is the measured sweet
+    spot on 8-32 cpus: more blocks shrink the per-task command cache and add
+    shuffle-object overhead (128 blocks: +11% wall at 32 cpus); a real
+    multi-node cluster should set ~2x total cores."""
     from ..sources.pages import replicate_documents
 
     ds = ray.data.read_parquet(
@@ -159,14 +165,23 @@ def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
         Enricher,
         fn_constructor_args=(admin, pois),
         batch_format="pyarrow",
-        concurrency=(2, 24),  # min 2 shortens the autoscale ramp (upstream
-        num_cpus=0.5,         # stages fuse into this pool, so its spin-up
-    )                         # gates the whole feature chain) while the
-                              # fractional num_cpus keeps small test sessions
-                              # from starving non-pool stages (a fixed floor
-                              # of whole CPUs deadlocks a 4-cpu ray.init);
-                              # ceiling above the largest CPU level so the
-                              # pool never caps cluster scaling
+        concurrency=(_pool_floor(), 24),
+        num_cpus=0.5,
+        # floor scales with the cluster so the autoscale ramp (which gates
+        # the fused extract->geoparse->enrich chain) starts wide on big
+        # sessions; fractional num_cpus + a small floor on small sessions
+        # keeps non-pool stages schedulable (a fixed floor of whole CPUs
+        # deadlocks a 4-cpu ray.init); ceiling above the largest CPU level
+        # so the pool never caps cluster scaling
+    )
+
+
+def _pool_floor() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(12, cpus // 4))
 
 
 def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
