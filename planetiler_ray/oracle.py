@@ -618,3 +618,48 @@ def sql_neardup_planted() -> str:
     """Mirror of ``training.q_neardup_planted``: with planted siblings the
     exact near-dup answer is the sibling pairs themselves."""
     return "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings"
+
+
+def sql_tile_counts_buffered(zooms=(2, 6, 10), buffer_px: float = 4.0,
+                             extent: int = 256) -> str:
+    """Mirror of ``webgeo.q_tile_counts_buffered``: the 9-neighbor buffered
+    box test of ``clip.point_tiles_vec`` (x wraps, y clamps) on identical
+    float expressions."""
+    buf = repr(buffer_px / extent)
+    zl = ", ".join(str(z) for z in zooms)
+    sinlat = "sin(radians(least(greatest(p.lat, {mn!r}), {mx!r})))".format(
+        mn=-MAX_LAT, mx=MAX_LAT
+    )
+    worldx = "((p.lon + 180.0) / 360.0)"
+    worldy = (
+        f"least(greatest(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat}))"
+        " / pi(), 0.0), 1.0)"
+    )
+    return f"""
+WITH {POINTS_CTE},
+zs AS (SELECT UNNEST([{zl}]) AS z),
+nb AS (
+    SELECT dx.dx, dy.dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx
+    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+),
+scaled AS (
+    SELECT p.doc_id, p.mention_idx, zs.z, (1 << zs.z) AS n,
+           {worldx} * (1 << zs.z) AS sx,
+           {worldy} * (1 << zs.z) AS sy
+    FROM points p CROSS JOIN zs
+),
+base AS (
+    SELECT *, least(greatest(CAST(floor(sx) AS BIGINT), 0), n - 1) AS bx,
+              least(greatest(CAST(floor(sy) AS BIGINT), 0), n - 1) AS by
+    FROM scaled
+),
+hits AS (
+    SELECT b.z, ((b.bx + nb.dx) % b.n + b.n) % b.n AS tile_x,
+           b.by + nb.dy AS tile_y
+    FROM base b CROSS JOIN nb
+    WHERE b.by + nb.dy >= 0 AND b.by + nb.dy < b.n
+      AND b.sx >= b.bx + nb.dx - {buf} AND b.sx <= b.bx + nb.dx + 1 + {buf}
+      AND b.sy >= b.by + nb.dy - {buf} AND b.sy <= b.by + nb.dy + 1 + {buf}
+)
+SELECT z, tile_x, tile_y, count(*) AS n FROM hits GROUP BY 1, 2, 3
+"""

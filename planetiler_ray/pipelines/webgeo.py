@@ -122,6 +122,32 @@ def q_tile_counts(sf_dir: str, zooms=DEFAULT_ZOOMS) -> ray.data.Dataset:
     return out
 
 
+def q_tile_counts_buffered(sf_dir: str, zooms=(2, 6, 10)) -> ray.data.Dataset:
+    """Tiles-per-(z,x,y) INCLUDING buffer duplication — counts the actual
+    render-path expansion (``stages/tiling.slice_points`` ->
+    ``geo/clip.point_tiles_vec``: each point lands in its tile plus any of
+    the 8 neighbors whose buffered box contains it, with antimeridian x
+    wrap).  Oracle-exact: the SQL twin mirrors the 9-neighbor box test on
+    identical float expressions."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tiling import slice_points
+
+    def expand_and_count(batch: pa.Table) -> pa.Table:
+        t = slice_points(batch, zooms=list(zooms))
+        df = (
+            t.select(["z", "tile_x", "tile_y"])
+            .to_pandas()
+            .groupby(["z", "tile_x", "tile_y"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = mentions_ds(sf_dir).map_batches(expand_and_count, batch_format="pyarrow")
+    return partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
+
+
 def q_pip(sf_dir: str) -> ray.data.Dataset:
     handle = ray.put(load_admin_polygons(sf_dir))
     return (
