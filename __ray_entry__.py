@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoparse": webgeo.q_geoparse,
         "tile_counts": webgeo.q_tile_counts,
         "tile_counts_buffered": webgeo.q_tile_counts_buffered,
+        "labelgrid_counts": webgeo.q_labelgrid_counts,
         "cell_counts": webgeo.q_cell_counts,
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparse": oracle.sql_mentions(),
         "tile_counts": oracle.sql_tile_counts(),
         "tile_counts_buffered": oracle.sql_tile_counts_buffered(),
+        "labelgrid_counts": oracle.sql_labelgrid_counts(),
         "cell_counts": oracle.sql_cell_counts(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),

@@ -663,3 +663,65 @@ hits AS (
 )
 SELECT z, tile_x, tile_y, count(*) AS n FROM hits GROUP BY 1, 2, 3
 """
+
+
+def sql_labelgrid_counts(zooms=(2, 4), grid: float = 64.0, limit: int = 8,
+                         buffer_px: float = 4.0, extent: int = 256) -> str:
+    """Mirror of ``webgeo.q_labelgrid_counts``: buffered slicing + per-cell
+    row_number top-k ordered by feature id; cell keys from the same REAL
+    (float32) pixel coords the flagship shuffle carries."""
+    buf = repr(buffer_px / extent)
+    zl = ", ".join(str(z) for z in zooms)
+    sinlat = "sin(radians(least(greatest(p.lat, {mn!r}), {mx!r})))".format(
+        mn=-MAX_LAT, mx=MAX_LAT
+    )
+    worldx = "((p.lon + 180.0) / 360.0)"
+    worldy = (
+        f"least(greatest(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat}))"
+        " / pi(), 0.0), 1.0)"
+    )
+    return f"""
+WITH {POINTS_CTE},
+zs AS (SELECT UNNEST([{zl}]) AS z),
+nb AS (
+    SELECT dx.dx, dy.dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx
+    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+),
+scaled AS (
+    SELECT p.doc_id, p.mention_idx, p.doc_id * 8 + p.mention_idx AS fid,
+           zs.z, (1 << zs.z) AS n,
+           {worldx} * (1 << zs.z) AS sx,
+           {worldy} * (1 << zs.z) AS sy
+    FROM points p CROSS JOIN zs
+),
+base AS (
+    SELECT *, least(greatest(CAST(floor(sx) AS BIGINT), 0), n - 1) AS bx,
+              least(greatest(CAST(floor(sy) AS BIGINT), 0), n - 1) AS by
+    FROM scaled
+),
+hits AS (
+    SELECT b.z, ((b.bx + nb.dx) % b.n + b.n) % b.n AS tile_x,
+           b.by + nb.dy AS tile_y, b.fid,
+           CAST((b.sx - (b.bx + nb.dx)) * {extent} AS REAL) AS px,
+           CAST((b.sy - (b.by + nb.dy)) * {extent} AS REAL) AS py
+    FROM base b CROSS JOIN nb
+    WHERE b.by + nb.dy >= 0 AND b.by + nb.dy < b.n
+      AND b.sx >= b.bx + nb.dx - {buf} AND b.sx <= b.bx + nb.dx + 1 + {buf}
+      AND b.sy >= b.by + nb.dy - {buf} AND b.sy <= b.by + nb.dy + 1 + {buf}
+),
+cells AS (
+    SELECT z, tile_x, tile_y, fid,
+           CAST(floor(px / {grid!r}) AS BIGINT) * 100003
+               + CAST(floor(py / {grid!r}) AS BIGINT) AS cell
+    FROM hits
+),
+ranked AS (
+    SELECT z, tile_x, tile_y,
+           row_number() OVER (PARTITION BY z, tile_x, tile_y, cell
+                              ORDER BY fid) AS rn
+    FROM cells
+)
+SELECT z, tile_x, tile_y, CAST(count(*) AS BIGINT) AS n
+FROM ranked WHERE rn <= {limit}
+GROUP BY 1, 2, 3
+"""

@@ -148,6 +148,57 @@ def q_tile_counts_buffered(sf_dir: str, zooms=(2, 6, 10)) -> ray.data.Dataset:
     return partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
 
 
+def q_labelgrid_counts(sf_dir: str, zooms=(2, 4), grid: float = 64.0,
+                       limit: int = 8) -> ray.data.Dataset:
+    """Features kept per (z, tile) after EXACT label-grid top-k (per 64px
+    cell, k=8, ordered by feature id) — the label-grid operator with a full
+    SQL twin (cell keys from the same float32 pixel coords the flagship
+    shuffles, rank mirrored with row_number)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tiling import slice_points
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = slice_points(batch, zooms=list(zooms))
+        px = t.column("px").to_numpy().astype(np.float32)
+        py = t.column("py").to_numpy().astype(np.float32)
+        cell = (
+            np.floor_divide(px, np.float32(grid)).astype(np.int64) * 100003
+            + np.floor_divide(py, np.float32(grid)).astype(np.int64)
+        )
+        fid = t.column("doc_id").to_numpy() * 8 + t.column("mention_idx").to_numpy()
+        return pa.table(
+            {
+                "z": t.column("z"),
+                "tile_x": t.column("tile_x"),
+                "tile_y": t.column("tile_y"),
+                "cell": pa.array(cell, pa.int64()),
+                "fid": pa.array(fid, pa.int64()),
+            }
+        )
+
+    def topk(g):
+        import pandas as pd
+
+        g = g.sort_values("fid")
+        kept = g.groupby("cell")["fid"].head(limit)
+        return pd.DataFrame(
+            {
+                "z": [g["z"].iloc[0]],
+                "tile_x": [g["tile_x"].iloc[0]],
+                "tile_y": [g["tile_y"].iloc[0]],
+                "n": [len(kept)],
+            }
+        )
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby(["z", "tile_x", "tile_y"])
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_pip(sf_dir: str) -> ray.data.Dataset:
     handle = ray.put(load_admin_polygons(sf_dir))
     return (
