@@ -330,3 +330,21 @@ def test_struct_dynamic_accessor():
     assert row.get("h").get(1).as_string() == "b"
     # nulls dropped from maps like the reference
     assert of({"a": None, "b": 1}).as_map().keys() == {"b"}
+
+
+def test_prometheus_exposition(tmp_path):
+    """PrometheusStats-style exposition: plain + labelled counters, gauges,
+    atomic textfile write."""
+    from planetiler_ray.state.progress import prometheus_text
+
+    snap = {"elapsed_s": 2.5,
+            "counts": {"rendered": 10, "tiles:z4": 3, "tiles:z5": 7,
+                       "data errors!": 1}}
+    text = prometheus_text(snapshot=snap, extra_gauges={"mem_bytes": 123})
+    assert "# TYPE planetiler_ray_rendered_total counter" in text
+    assert "planetiler_ray_rendered_total 10" in text
+    assert 'planetiler_ray_tiles_total{label="z4"} 3' in text
+    assert 'planetiler_ray_tiles_total{label="z5"} 7' in text
+    assert "planetiler_ray_data_errors__total 1" in text  # sanitized name
+    assert "planetiler_ray_mem_bytes 123" in text
+    assert "planetiler_ray_elapsed_seconds 2.5" in text
