@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": training.q_langid,
         # multimodal plumbing
         "media_features": training.q_media_features,
+        "media_frames": training.q_media_frames,
         # stream-shaped ops
         "window": training.q_window,
         "sliding_window": training.q_sliding_window,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": oracle.sql_distinct_langs(),
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),
+        "media_frames": oracle.sql_media_frames(),
         "way_assembly": _sql_way_assembly(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

@@ -725,3 +725,15 @@ SELECT z, tile_x, tile_y, CAST(count(*) AS BIGINT) AS n
 FROM ranked WHERE rn <= {limit}
 GROUP BY 1, 2, 3
 """
+
+
+def sql_media_frames() -> str:
+    """Mirror of ``training.q_media_frames``: the deterministic fake-video
+    container layout makes the frame explosion exactly enumerable."""
+    return """
+SELECT d.doc_id AS item_id,
+       CAST(f.f * 4 AS BIGINT) AS frame_idx,
+       CAST(256 AS BIGINT) AS frame_len
+FROM documents d CROSS JOIN (SELECT UNNEST(range(4)) AS f) f
+WHERE f.f * 4 < 4 + d.doc_id % 13
+"""

@@ -196,6 +196,32 @@ def q_media_features(sf_dir: str):
     return media_pipeline(docs_ds(sf_dir, ["doc_id"]))
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling — per-frame row explosion with exact-count
+    oracle (frames = ceil(n_frames / 4), n_frames = 4 + doc_id % 13)."""
+    import pyarrow as pa
+
+    from ..stages import multimodal as M
+
+    return (
+        docs_ds(sf_dir, ["doc_id"])
+        .map_batches(M.synthesize_video, batch_format="pyarrow")
+        .map_batches(M.sample_frames, batch_format="pyarrow", batch_size=64)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "item_id": b.column("item_id"),
+                    "frame_idx": b.column("frame_idx"),
+                    "frame_len": pa.array(
+                        [len(x) for x in b.column("frame").to_pylist()], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_window(sf_dir: str):
     return events.tumbling_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
 

@@ -106,3 +106,140 @@ def media_pipeline(documents_ds, concurrency: int = 2, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------- derived media ops --
+
+def resize_stage(batch: pa.Table, out_w: int = 16, out_h: int = 16) -> pa.Table:
+    """Decode (stub) + block-mean resize to a fixed (out_h, out_w) —
+    the thumbnail/normalize step of an image pipeline.  The resampling math
+    (area-weighted block mean via bincount over target-bin indices) is real
+    and exact; only the codec behind ``_decode_stub`` is fake.
+    Output: item_id, thumb (list<float32> of out_h*out_w row-major)."""
+    ids = batch.column("item_id").to_numpy()
+    payloads = batch.column("payload").to_pylist()
+    widths = batch.column("width").to_numpy()
+    heights = batch.column("height").to_numpy()
+    thumbs = np.empty((len(ids), out_h * out_w), dtype=np.float32)
+    for i in range(len(ids)):
+        img = _decode_stub(payloads[i], int(widths[i]), int(heights[i])).astype(np.float64)
+        h, w = img.shape
+        ty = (np.arange(h) * out_h) // h
+        tx = (np.arange(w) * out_w) // w
+        bins = (ty[:, None] * out_w + tx[None, :]).ravel()
+        sums = np.bincount(bins, weights=img.ravel(), minlength=out_h * out_w)
+        cnts = np.bincount(bins, minlength=out_h * out_w)
+        thumbs[i] = (sums / np.maximum(cnts, 1)).astype(np.float32)
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "thumb": pa.array(list(thumbs), pa.list_(pa.float32())),
+        }
+    )
+
+
+def synthesize_video(batch: pa.Table, frame_bytes: int = 256) -> pa.Table:
+    """documents batch -> fake video table: one payload of n_frames
+    concatenated fake frames + typed metadata."""
+    ids = batch.column("doc_id").to_numpy()
+    n_frames = (4 + ids % 13).astype(np.int32)
+    payloads = []
+    for d, nf in zip(ids, n_frames):
+        seed = hashlib.md5(struct.pack("<q", int(d))).digest()
+        reps = (frame_bytes * int(nf)) // len(seed) + 1
+        payloads.append((seed * reps)[: frame_bytes * int(nf)])
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/fake"] * len(ids), pa.string()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "frame_bytes": pa.array(np.full(len(ids), frame_bytes, np.int32), pa.int32()),
+        }
+    )
+
+
+def sample_frames(batch: pa.Table, every: int = 4) -> pa.Table:
+    """Video rows -> one row per sampled frame (every k-th, always incl.
+    frame 0) — the record-count-exploding media op; frame slicing is real
+    byte math on the container layout, only the codec is fake.
+    Output: item_id, frame_idx, frame (binary)."""
+    ids = batch.column("item_id").to_numpy()
+    payloads = batch.column("payload").to_pylist()
+    n_frames = batch.column("n_frames").to_numpy()
+    fb = batch.column("frame_bytes").to_numpy()
+    out_id, out_fi, out_fr = [], [], []
+    for i in range(len(ids)):
+        for f in range(0, int(n_frames[i]), every):
+            out_id.append(int(ids[i]))
+            out_fi.append(f)
+            out_fr.append(payloads[i][f * int(fb[i]) : (f + 1) * int(fb[i])])
+    return pa.table(
+        {
+            "item_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_fi, pa.int64()),
+            "frame": pa.array(out_fr, pa.binary()),
+        }
+    )
+
+
+def audio_features(batch: pa.Table, window: int = 256) -> pa.Table:
+    """Fake-PCM audio analysis: per-window RMS + zero-crossing rate
+    (vectorized reduceat DSP — real math, stub codec).
+    Output: item_id, n_windows, rms_mean, zcr_mean."""
+    ids = batch.column("item_id").to_numpy()
+    payloads = batch.column("payload").to_pylist()
+    n_out = len(ids)
+    nw = np.zeros(n_out, dtype=np.int64)
+    rms = np.zeros(n_out)
+    zcr = np.zeros(n_out)
+    for i in range(n_out):
+        pcm = np.frombuffer(payloads[i], dtype=np.uint8).astype(np.float64) - 127.5
+        k = len(pcm) // window
+        if k == 0:
+            continue
+        x = pcm[: k * window].reshape(k, window)
+        nw[i] = k
+        rms[i] = float(np.sqrt((x * x).mean(axis=1)).mean())
+        sign_change = np.signbit(x[:, 1:]) != np.signbit(x[:, :-1])
+        zcr[i] = float(sign_change.mean())
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "n_windows": pa.array(nw, pa.int64()),
+            "rms_mean": pa.array(rms, pa.float64()),
+            "zcr_mean": pa.array(zcr, pa.float64()),
+        }
+    )
+
+
+class EmbeddingScorer:
+    """Batched 'model inference' actor: a deterministic projection matrix
+    stands in for model weights (loaded ONCE per actor in ``__init__``);
+    ``__call__`` is one GEMM per batch over the stacked feature column —
+    the exact shape a real encoder drop-in needs."""
+
+    def __init__(self, in_dim: int = 8, out_dim: int = 4, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.w = rng.normal(size=(in_dim, out_dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack(batch.column("feature").to_pylist()).astype(np.float32)
+        emb = feats @ self.w
+        return pa.table(
+            {
+                "item_id": batch.column("item_id"),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_embedding_pipeline(documents_ds, concurrency: int = 2,
+                             batch_size: int = 64):
+    """documents -> fake media -> features -> batched embedding inference."""
+    return media_pipeline(documents_ds, concurrency, batch_size).map_batches(
+        EmbeddingScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
