@@ -144,6 +144,69 @@ def yaml_tile_rows(points_ds: ray.data.Dataset, schema: dict, zooms=None) -> ray
     return points_ds.map_batches(build, batch_format="pyarrow")
 
 
+_PLACEMENTS = ("centroid", "point_on_surface", "innermost_point",
+               "centroid_if_convex")
+
+
+def admin_label_rows(sf_dir: str, layer: dict, zooms=None) -> ray.data.Dataset:
+    """``source: admin`` layers with a point ``geometry``: one label point
+    per polygon via the FeatureCollector constructors
+    (``geometry: centroid | point_on_surface | innermost_point |
+    centroid_if_convex``, tolerance via ``tolerance``) — the label-placement
+    surface of ``FeatureCollector.java:96-325`` reachable from no-code
+    schemas."""
+    from ..geo import geomops, wkb
+    from ..sources.world import admin_table
+
+    placement = layer.get("geometry", "innermost_point")
+    if placement not in _PLACEMENTS:
+        raise ValueError(f"geometry must be one of {_PLACEMENTS}, got {placement}")
+    tol = float(layer.get("tolerance", 0.1))
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ids, lats, lons, names, isos = [], [], [], [], []
+        for i in range(batch.num_rows):
+            kind, rings = wkb.decode_wkb(batch.column("geom_wkb")[i].as_py())
+            polys = rings if kind == "multipolygon" else [rings]
+            for poly in polys:
+                if placement == "centroid":
+                    pt = geomops.centroid("polygon", poly)
+                elif placement == "point_on_surface":
+                    pt = geomops.point_on_surface(poly)
+                elif placement == "centroid_if_convex":
+                    pt = geomops.centroid_if_convex(poly)
+                else:
+                    pt = geomops.innermost_point(poly, tol)
+                ids.append(int(batch.column("admin_id")[i].as_py()))
+                lons.append(float(pt[0]))
+                lats.append(float(pt[1]))
+                names.append(batch.column("name")[i].as_py())
+                isos.append(batch.column("iso_code")[i].as_py())
+        return pa.table(
+            {
+                "admin_id": pa.array(ids, pa.int64()),
+                "lat": pa.array(lats, pa.float64()),
+                "lon": pa.array(lons, pa.float64()),
+                "name": pa.array(names, pa.string()),
+                "iso_code": pa.array(isos, pa.string()),
+            }
+        )
+
+    def build(batch: pa.Table) -> pa.Table:
+        pts = to_points(batch)
+        if pts.num_rows == 0:
+            return pts
+        t = slice_points(pts, zooms=zooms)
+        n = t.num_rows
+        t = t.append_column("layer", pa.array([layer["name"]] * n, pa.string()))
+        t = t.append_column("kind", pa.array(["point"] * n, pa.string()))
+        return t.append_column("feature_id", t.column("admin_id").cast(pa.int64()))
+
+    return ray.data.from_arrow(admin_table(sf_dir)).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
 def build_yaml_tiles(sf_dir: str, schema_src, zooms=None, n_buckets: int = 256,
                      repl: int = 1) -> ray.data.Dataset:
     """Full no-code pipeline: YAML schema -> assembled tiles Dataset."""
@@ -154,6 +217,28 @@ def build_yaml_tiles(sf_dir: str, schema_src, zooms=None, n_buckets: int = 256,
     schema = load_schema(schema_src)
     profile = profile_from_schema(schema)
     rows = yaml_tile_rows(enriched_points_ds(sf_dir, repl), schema, zooms)
+    admin_layers = [l for l in schema["layers"] if l.get("source") == "admin"]
+    for al in admin_layers:
+        extra = admin_label_rows(sf_dir, al, zooms)
+        # align to the unified row schema (attrs as strings, union of keys)
+        attr_keys = sorted({a["key"] for l in schema["layers"]
+                            for a in l.get("attrs", [])})
+        key_src = {a["key"]: a.get("column", a["key"]) for a in al.get("attrs", [])}
+
+        def align(batch: pa.Table, _keys=tuple(attr_keys), _src=key_src) -> pa.Table:
+            cols = {}
+            for name in ["tile_id", "z", "tile_x", "tile_y", "layer", "kind",
+                         "feature_id", "px", "py"]:
+                cols[name] = batch.column(name)
+            for k in _keys:
+                src = _src.get(k)
+                if src and src in batch.column_names:
+                    cols[k] = batch.column(src).cast(pa.string())
+                else:
+                    cols[k] = pa.nulls(batch.num_rows, pa.string())
+            return pa.table(cols)
+
+        rows = rows.union(extra.map_batches(align, batch_format="pyarrow"))
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow",
                          fn_kwargs={"n_buckets": n_buckets})
@@ -188,4 +273,13 @@ layers:
     attrs:
       - key: admin
         column: admin_id
+  - name: admin_labels
+    source: admin
+    geometry: innermost_point
+    tolerance: 0.05
+    min_zoom: 0
+    max_zoom: 14
+    attrs:
+      - key: label
+        column: name
 """
