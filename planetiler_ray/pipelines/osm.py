@@ -97,14 +97,41 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        n = g[g["side"] == "n"][["node_id", "lat_mdeg", "lon_mdeg"]]
-        w = g[g["side"] == "w"][["way_id", "seq", "node_id"]]
-        out = w.merge(n, on="node_id", how="inner")
-        return out[["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg"]].astype("int64")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native bucket join (no pandas copies): node ids are unique,
+        # so the inner join is one sort + searchsorted probe
+        import pyarrow.compute as pc
+
+        m_n = pc.equal(g.column("side"), "n")
+        nodes_t = g.filter(m_n)
+        ways_t = g.filter(pc.invert(m_n))
+        nid = nodes_t.column("node_id").to_numpy()
+        if len(nid) == 0 or ways_t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg")}
+            )
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        lat_s = nodes_t.column("lat_mdeg").to_numpy()[order]
+        lon_s = nodes_t.column("lon_mdeg").to_numpy()[order]
+        wnid = ways_t.column("node_id").to_numpy()
+        pos = np.searchsorted(nid_s, wnid)
+        pos_c = np.minimum(pos, len(nid_s) - 1)
+        ok = (pos < len(nid_s)) & (nid_s[pos_c] == wnid)
+        hit = np.flatnonzero(ok)
+        return pa.table(
+            {
+                "way_id": ways_t.column("way_id").take(pa.array(hit)),
+                "seq": ways_t.column("seq").take(pa.array(hit)),
+                "node_id": pa.array(wnid[hit], pa.int64()),
+                "lat_mdeg": pa.array(lat_s[pos[hit]], pa.int64()),
+                "lon_mdeg": pa.array(lon_s[pos[hit]], pa.int64()),
+            }
+        )
 
     return nodes.union(refs).groupby("bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 
