@@ -214,19 +214,37 @@ def decode_commands(commands: np.ndarray, gtype: int, scale: int = SCALE) -> lis
 
 # ------------------------------------------------------------- tile encode --
 
+_VALUE_CACHE: dict = {}
+_VALUE_CACHE_MAX = 1 << 16
+
+
 def _encode_value(v) -> bytes:
+    # attr values repeat heavily across features and tiles (langs, admin
+    # ids, class names) — memoize the wire bytes per (type, value)
+    try:
+        key = (v.__class__, v)
+        hit = _VALUE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    except TypeError:
+        key = None
     if isinstance(v, bool):
-        return _field(7, 0) + _varint(1 if v else 0)
-    if isinstance(v, (int, np.integer)):
+        b = _field(7, 0) + _varint(1 if v else 0)
+    elif isinstance(v, (int, np.integer)):
         iv = int(v)
         if iv >= 0:
-            return _field(5, 0) + _varint(iv)
-        return _field(6, 0) + _varint(int(zigzag(iv)))
-    if isinstance(v, (float, np.floating)):
-        return _field(3, 1) + struct.pack("<d", float(v))
-    if isinstance(v, bytes):
-        return _len_delim(1, v)
-    return _len_delim(1, str(v).encode("utf-8"))
+            b = _field(5, 0) + _varint(iv)
+        else:
+            b = _field(6, 0) + _varint(int(zigzag(iv)))
+    elif isinstance(v, (float, np.floating)):
+        b = _field(3, 1) + struct.pack("<d", float(v))
+    elif isinstance(v, bytes):
+        b = _len_delim(1, v)
+    else:
+        b = _len_delim(1, str(v).encode("utf-8"))
+    if key is not None and len(_VALUE_CACHE) < _VALUE_CACHE_MAX:
+        _VALUE_CACHE[key] = b
+    return b
 
 
 def encode_tile(layers: dict) -> bytes:

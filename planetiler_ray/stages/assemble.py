@@ -31,6 +31,15 @@ def fnv1a64(data: bytes) -> int:
     return h
 
 
+def content_hash64(data: bytes) -> int:
+    """64-bit content hash for tile dedup — md5 prefix (C speed; the
+    per-byte Python FNV loop was ~17% of bucket assembly time).  Only
+    EQUALITY across tiles matters for dedup, not the specific function."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
 def merge_layer_features(feats: list[dict], spec) -> list[dict]:
     """FeatureMerge analogues applied inside the assembler: group features by
     identical attrs, then merge geometries per group
@@ -264,7 +273,7 @@ def make_bucket_assembler(profile: TilingProfile):
             out_nf.append(n_features)
             out_nb.append(len(gz))
             out_gz.append(gz)
-            out_hash.append(np.int64(np.uint64(fnv1a64(data))))
+            out_hash.append(np.int64(np.uint64(content_hash64(data))))
         return pa.table(
             {
                 "tile_id": pa.array(out_tid, pa.int64()),
