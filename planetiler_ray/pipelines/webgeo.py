@@ -207,7 +207,7 @@ def q_pip(sf_dir: str) -> ray.data.Dataset:
             PIPJoiner,
             fn_constructor_args=(handle,),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=(2, 8),
             num_cpus=0.5,
         )
         .filter(expr="admin_id >= 0")
@@ -223,7 +223,7 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
             KNNJoiner,
             fn_constructor_args=(handle,),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=(2, 8),
             num_cpus=0.5,
         )
         .select_columns(["doc_id", "mention_idx", "poi_id"])
@@ -341,7 +341,7 @@ def q_pip_nearest(sf_dir: str) -> ray.data.Dataset:
             PIPJoiner,
             fn_constructor_args=(handle, "nearest"),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=(2, 8),
             num_cpus=0.5,
         )
         .select_columns(["doc_id", "mention_idx", "admin_id"])
