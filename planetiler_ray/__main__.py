@@ -37,6 +37,12 @@ def main(argv=None):
     c.add_argument("--a", required=True)
     c.add_argument("--b", required=True)
 
+    cv = sub.add_parser("convert", help="shapefile/geopackage -> WKB parquet")
+    cv.add_argument("--src", required=True, help=".shp or .gpkg path")
+    cv.add_argument("--out", required=True, help="output parquet dir")
+    cv.add_argument("--table", default=None, help="gpkg feature table")
+    cv.add_argument("--cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd in ("verify", "compare"):
@@ -61,6 +67,23 @@ def main(argv=None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "convert":
+        try:
+            if args.src.endswith(".gpkg"):
+                from .sources.geopackage import read_geopackage
+
+                ds = read_geopackage(args.src, table=args.table)
+            else:
+                from .sources.shapefile import read_shapefile
+
+                ds = read_shapefile(args.src)
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+            return 0
+        finally:
+            ray.shutdown()
+
     zooms = [int(z) for z in args.zooms.split(",")]
     try:
         from .pipelines import flagship
