@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": training.q_exact_dedup,
         "jaccard_pairs": training.q_jaccard_pairs,
         "jaccard_rare": training.q_jaccard_rare,
+        "ngram_jaccard": training.q_ngram_jaccard,
+        "corpus_clean": training.q_corpus_clean,
         "minhash_lsh": training.q_minhash_lsh,
         "simhash": training.q_simhash,
         "embedding_neardup": training.q_embedding_neardup,
@@ -173,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracle.sql_exact_dedup(),
         "jaccard_pairs": oracle.sql_jaccard_pairs(),
         "jaccard_rare": oracle.sql_jaccard_rare(),
+        "ngram_jaccard": oracle.sql_ngram_jaccard(),
+        "corpus_clean": oracle.sql_corpus_clean(),
         "ann_brute": oracle.sql_ann_brute(),
         "neardup_planted": oracle.sql_neardup_planted(),
         "text_stats": oracle.sql_text_stats(),

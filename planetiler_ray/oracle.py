@@ -737,3 +737,57 @@ SELECT d.doc_id AS item_id,
 FROM documents d CROSS JOIN (SELECT UNNEST(range(4)) AS f) f
 WHERE f.f * 4 < 4 + d.doc_id % 13
 """
+
+
+def sql_corpus_clean(min_quality_bp: int = 2000, sample_mod: int = 4) -> str:
+    """Mirror of ``training.q_corpus_clean``: quality filter -> exact dedup
+    keep-min -> deterministic hash sample, all integer-exact."""
+    return rf"""
+WITH s AS (
+    SELECT doc_id, text,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\S+')) AS n_ws,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+    FROM documents
+),
+q AS (
+    SELECT doc_id, text,
+           least(greatest(
+               (least(greatest(n_chars, 0), 2000) * 10000 // 2000
+                + least(n_ws, 200) * 10000 // 200) // 2
+               - least(n_punct * 10000 // greatest(n_chars, 1), 5000),
+           0), 10000) AS quality_bp
+    FROM s
+),
+good AS (SELECT doc_id, text FROM q WHERE quality_bp >= {min_quality_bp}),
+dd AS (
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM good GROUP BY text
+)
+SELECT keep_id, n_dups FROM dd
+WHERE (keep_id * 2654435761 % 4294967296) % {sample_mod} = 0
+"""
+
+
+def sql_ngram_jaccard(n: int = 4, threshold: float = 0.3) -> str:
+    """Mirror of ``training.q_ngram_jaccard``: distinct char-n-gram sets via
+    positional substr, exact Jaccard pairs."""
+    t = int(threshold * 1000)
+    return f"""
+WITH ws AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+pos AS (
+    SELECT doc_id, UNNEST(range(1, greatest(length(text) - {n} + 2, 1))) AS i,
+           text
+    FROM ws
+),
+grams AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), {n}) AS token FROM pos),
+n_tok AS (SELECT doc_id, count(*) AS n_tok FROM grams GROUP BY 1),
+toks AS (SELECT g.doc_id, nt.n_tok, g.token FROM grams g JOIN n_tok nt USING (doc_id)),
+pairs AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, t1.n_tok AS na, t2.n_tok AS nb,
+           count(*) AS shared
+    FROM toks t1 JOIN toks t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, (shared * 1000) // (na + nb - shared) AS j1000
+FROM pairs WHERE (shared * 1000) // (na + nb - shared) >= {t}
+"""

@@ -149,6 +149,53 @@ def q_embedding_neardup(sf_dir: str):
     return ann.embedding_neardup(embs, tau=0.99, count_hint=2 * n_rows)
 
 
+def q_corpus_clean(sf_dir: str, min_quality_bp: int = 2000, sample_mod: int = 4):
+    """Composed curation pipeline — the canonical training-data flow:
+    quality filter -> exact dedup (keep min doc_id per content group) ->
+    deterministic hash sample.  Every step integer-exact, full SQL twin.
+    Output: keep_id, n_dups (count of qualifying duplicates)."""
+    import pyarrow as pa
+
+    from ..stages import text as T
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        q = T.quality_score(batch)
+        m = q.column("quality_bp").to_numpy() >= min_quality_bp
+        return batch.filter(pa.array(m))
+
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_quality, batch_format="pyarrow"
+    )
+    deduped = dedup.exact_dedup(ds)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        k = batch.column("keep_id").to_numpy()
+        m = (k * 2654435761 % 4294967296) % sample_mod == 0
+        return pa.table(
+            {
+                "keep_id": batch.column("keep_id").filter(pa.array(m)),
+                "n_dups": batch.column("n_dups").filter(pa.array(m)),
+            }
+        )
+
+    return deduped.map_batches(sample, batch_format="pyarrow")
+
+
+def q_ngram_jaccard(sf_dir: str, n: int = 4, threshold: float = 0.3):
+    """Exact character-n-gram Jaccard pairs (the char-shingle variant of
+    :func:`q_jaccard_pairs`) on a deterministic 1/25 sample — SQL twin
+    enumerates substrings positionally."""
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = batch.column("doc_id").to_numpy() % 25 == 0
+        return batch.filter(pa.array(keep))
+
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(sample, batch_format="pyarrow")
+    return dedup.jaccard_pairs(ds, threshold=threshold,
+                               tokenize=lambda s: dedup.char_ngrams(s, n))
+
+
 def q_neardup_planted(sf_dir: str):
     """Exact-oracle variant of :func:`q_embedding_neardup`: with planted
     sibling pairs the correct answer is EXACTLY {(v, v+1e6)}; centroids are

@@ -43,6 +43,14 @@ def tokenize_words(text: pd.Series) -> pd.Series:
     return text.str.lower().str.findall(r"[a-z0-9]+")
 
 
+def char_ngrams(text: pd.Series, n: int = 4) -> pd.Series:
+    """Character n-gram lists per doc (positional substrings of the raw
+    text — mirrorable in SQL via substr over a positions join)."""
+    return text.map(
+        lambda s: [s[i : i + n] for i in range(len(s) - n + 1)] if len(s) >= n else []
+    )
+
+
 def _flat_tokens(text: pd.Series):
     """Tokenize a batch -> (flat word list, per-doc lengths int64)."""
     toks = tokenize_words(text)
@@ -385,7 +393,7 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
 # -------------------------------------------------- exact jaccard (oracle) --
 
 def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
-                  df_cap: int | None = None):
+                  df_cap: int | None = None, tokenize=None):
     """EXACT distinct-word-set Jaccard >= threshold pairs (a < b).
 
     Inverted-index blocking: token -> docs groupby, pairwise counts summed,
@@ -405,12 +413,14 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
     import ray
     from ray.data.aggregate import Sum
 
+    if tokenize is None:
+        tokenize = tokenize_words
     stop_ref = None
     if df_cap is not None:
         from ray.data.aggregate import Count
 
         def explode_distinct(batch: pa.Table) -> pa.Table:
-            toks = tokenize_words(batch.column(col).to_pandas()).map(
+            toks = tokenize(batch.column(col).to_pandas()).map(
                 lambda ws: sorted(set(ws))
             )
             nt = toks.map(len).to_numpy().astype(np.int64)
@@ -433,7 +443,7 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
         stop = ray.get(stop_ref) if stop_ref is not None else frozenset()
-        toks = tokenize_words(batch.column(col).to_pandas()).map(
+        toks = tokenize(batch.column(col).to_pandas()).map(
             lambda ws: sorted(set(ws) - stop)
         )
         doc = batch.column("doc_id").to_numpy()
