@@ -78,6 +78,7 @@ def main(argv=None):
                 from .sources.shapefile import read_shapefile
 
                 ds = read_shapefile(args.src)
+            ds = ds.materialize()  # one parse pass for both write and count
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
             return 0

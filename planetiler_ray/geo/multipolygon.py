@@ -94,7 +94,12 @@ def nest_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     parent = [-1] * len(rings)
     for oi, i in enumerate(order):
         ri = rings[i]
-        probe = ri[0]  # a vertex of the ring
+        # probe with an edge MIDPOINT, not a vertex: rings produced by
+        # untwisting share their split vertex with a sibling's boundary, and
+        # a boundary-vertex ray cast misclassifies containment (a bowtie
+        # lobe would nest as its sibling's hole).  An edge midpoint of a
+        # simple ring lies strictly on the ring, never on a sibling vertex.
+        probe = 0.5 * (ri[0] + ri[1]) if len(ri) > 1 else ri[0]
         best = -1
         for j in order[:oi]:  # only larger rings can contain
             if points_in_ring(np.array([probe[0]]), np.array([probe[1]]), rings[j])[0]:

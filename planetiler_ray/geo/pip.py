@@ -229,8 +229,12 @@ class PointIndex:
             self._cell_start = np.searchsorted(cell[corder], np.arange(self._g * self._g + 1))
 
     def _cell_of(self, px: np.ndarray, py: np.ndarray):
-        cx = np.clip(((px - self._x0) / self._cw).astype(np.int64), 0, self._g - 1)
-        cy = np.clip(((py - self._y0) / self._ch).astype(np.int64), 0, self._g - 1)
+        # clip BEFORE casting: a degenerate axis (cw/ch ~ 1e-300) blows the
+        # ratio to inf and inf->int64 is undefined (same fix as the
+        # candidate builder)
+        g1 = float(self._g - 1)
+        cx = np.clip((px - self._x0) / self._cw, 0.0, g1).astype(np.int64)
+        cy = np.clip((py - self._y0) / self._ch, 0.0, g1).astype(np.int64)
         return cx, cy
 
     def _build_cell_candidates(self):

@@ -246,21 +246,27 @@ FROM documents
 """
 
 
-def sql_quality() -> str:
-    return r"""
-WITH s AS (
-    SELECT doc_id,
+QUALITY_STATS_CTE = r"""
+    SELECT doc_id, text,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '\S+')) AS n_ws,
            len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
     FROM documents
-)
-SELECT doc_id,
-       least(greatest(
+"""
+
+# the quality_bp scoring expression (mirror of stages/text.quality_score) —
+# shared by sql_quality and sql_corpus_clean so the two cannot drift
+QUALITY_BP_EXPR = """least(greatest(
            (least(greatest(n_chars, 0), 2000) * 10000 // 2000
             + least(n_ws, 200) * 10000 // 200) // 2
            - least(n_punct * 10000 // greatest(n_chars, 1), 5000),
-       0), 10000) AS quality_bp
+       0), 10000)"""
+
+
+def sql_quality() -> str:
+    return f"""
+WITH s AS ({QUALITY_STATS_CTE})
+SELECT doc_id, {QUALITY_BP_EXPR} AS quality_bp
 FROM s
 """
 
@@ -620,11 +626,13 @@ def sql_neardup_planted() -> str:
     return "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings"
 
 
-def sql_tile_counts_buffered(zooms=(2, 6, 10), buffer_px: float = 4.0,
-                             extent: int = 256) -> str:
-    """Mirror of ``webgeo.q_tile_counts_buffered``: the 9-neighbor buffered
-    box test of ``clip.point_tiles_vec`` (x wraps, y clamps) on identical
-    float expressions."""
+def _sql_buffered_hits(zooms, buffer_px: float, extent: int,
+                       with_pixels: bool) -> str:
+    """Shared CTE chain (points -> scaled -> base -> hits) mirroring
+    ``clip.point_tiles_vec``'s 9-neighbor buffered box test with
+    antimeridian x wrap and y clamp — used by BOTH sql_tile_counts_buffered
+    and sql_labelgrid_counts so the float expressions cannot drift.
+    ``with_pixels`` adds fid + REAL (float32) tile-local px/py to hits."""
     buf = repr(buffer_px / extent)
     zl = ", ".join(str(z) for z in zooms)
     sinlat = "sin(radians(least(greatest(p.lat, {mn!r}), {mx!r})))".format(
@@ -635,60 +643,21 @@ def sql_tile_counts_buffered(zooms=(2, 6, 10), buffer_px: float = 4.0,
         f"least(greatest(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat}))"
         " / pi(), 0.0), 1.0)"
     )
-    return f"""
-WITH {POINTS_CTE},
+    fid_sel = "p.doc_id * 8 + p.mention_idx AS fid," if with_pixels else ""
+    fid_fwd = "b.fid," if with_pixels else ""
+    px_sel = (
+        f"CAST((b.sx - (b.bx + nb.dx)) * {extent} AS REAL) AS px, "
+        f"CAST((b.sy - (b.by + nb.dy)) * {extent} AS REAL) AS py,"
+        if with_pixels else ""
+    )
+    return f"""{POINTS_CTE},
 zs AS (SELECT UNNEST([{zl}]) AS z),
 nb AS (
     SELECT dx.dx, dy.dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx
     CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
 ),
 scaled AS (
-    SELECT p.doc_id, p.mention_idx, zs.z, (1 << zs.z) AS n,
-           {worldx} * (1 << zs.z) AS sx,
-           {worldy} * (1 << zs.z) AS sy
-    FROM points p CROSS JOIN zs
-),
-base AS (
-    SELECT *, least(greatest(CAST(floor(sx) AS BIGINT), 0), n - 1) AS bx,
-              least(greatest(CAST(floor(sy) AS BIGINT), 0), n - 1) AS by
-    FROM scaled
-),
-hits AS (
-    SELECT b.z, ((b.bx + nb.dx) % b.n + b.n) % b.n AS tile_x,
-           b.by + nb.dy AS tile_y
-    FROM base b CROSS JOIN nb
-    WHERE b.by + nb.dy >= 0 AND b.by + nb.dy < b.n
-      AND b.sx >= b.bx + nb.dx - {buf} AND b.sx <= b.bx + nb.dx + 1 + {buf}
-      AND b.sy >= b.by + nb.dy - {buf} AND b.sy <= b.by + nb.dy + 1 + {buf}
-)
-SELECT z, tile_x, tile_y, count(*) AS n FROM hits GROUP BY 1, 2, 3
-"""
-
-
-def sql_labelgrid_counts(zooms=(2, 4), grid: float = 64.0, limit: int = 8,
-                         buffer_px: float = 4.0, extent: int = 256) -> str:
-    """Mirror of ``webgeo.q_labelgrid_counts``: buffered slicing + per-cell
-    row_number top-k ordered by feature id; cell keys from the same REAL
-    (float32) pixel coords the flagship shuffle carries."""
-    buf = repr(buffer_px / extent)
-    zl = ", ".join(str(z) for z in zooms)
-    sinlat = "sin(radians(least(greatest(p.lat, {mn!r}), {mx!r})))".format(
-        mn=-MAX_LAT, mx=MAX_LAT
-    )
-    worldx = "((p.lon + 180.0) / 360.0)"
-    worldy = (
-        f"least(greatest(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat}))"
-        " / pi(), 0.0), 1.0)"
-    )
-    return f"""
-WITH {POINTS_CTE},
-zs AS (SELECT UNNEST([{zl}]) AS z),
-nb AS (
-    SELECT dx.dx, dy.dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx
-    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
-),
-scaled AS (
-    SELECT p.doc_id, p.mention_idx, p.doc_id * 8 + p.mention_idx AS fid,
+    SELECT p.doc_id, p.mention_idx, {fid_sel}
            zs.z, (1 << zs.z) AS n,
            {worldx} * (1 << zs.z) AS sx,
            {worldy} * (1 << zs.z) AS sy
@@ -701,14 +670,31 @@ base AS (
 ),
 hits AS (
     SELECT b.z, ((b.bx + nb.dx) % b.n + b.n) % b.n AS tile_x,
-           b.by + nb.dy AS tile_y, b.fid,
-           CAST((b.sx - (b.bx + nb.dx)) * {extent} AS REAL) AS px,
-           CAST((b.sy - (b.by + nb.dy)) * {extent} AS REAL) AS py
+           b.by + nb.dy AS tile_y, {fid_fwd} {px_sel}
+           b.doc_id
     FROM base b CROSS JOIN nb
     WHERE b.by + nb.dy >= 0 AND b.by + nb.dy < b.n
       AND b.sx >= b.bx + nb.dx - {buf} AND b.sx <= b.bx + nb.dx + 1 + {buf}
       AND b.sy >= b.by + nb.dy - {buf} AND b.sy <= b.by + nb.dy + 1 + {buf}
-),
+)"""
+
+
+def sql_tile_counts_buffered(zooms=(2, 6, 10), buffer_px: float = 4.0,
+                             extent: int = 256) -> str:
+    """Mirror of ``webgeo.q_tile_counts_buffered`` (shared hits CTE)."""
+    return f"""
+WITH {_sql_buffered_hits(zooms, buffer_px, extent, with_pixels=False)}
+SELECT z, tile_x, tile_y, count(*) AS n FROM hits GROUP BY 1, 2, 3
+"""
+
+
+def sql_labelgrid_counts(zooms=(2, 4), grid: float = 64.0, limit: int = 8,
+                         buffer_px: float = 4.0, extent: int = 256) -> str:
+    """Mirror of ``webgeo.q_labelgrid_counts``: shared buffered-slicing hits
+    + per-cell row_number top-k ordered by feature id (cell keys from the
+    same REAL float32 pixel coords the flagship shuffle carries)."""
+    return f"""
+WITH {_sql_buffered_hits(zooms, buffer_px, extent, with_pixels=True)},
 cells AS (
     SELECT z, tile_x, tile_y, fid,
            CAST(floor(px / {grid!r}) AS BIGINT) * 100003
@@ -743,20 +729,9 @@ def sql_corpus_clean(min_quality_bp: int = 2000, sample_mod: int = 4) -> str:
     """Mirror of ``training.q_corpus_clean``: quality filter -> exact dedup
     keep-min -> deterministic hash sample, all integer-exact."""
     return rf"""
-WITH s AS (
-    SELECT doc_id, text,
-           length(text) AS n_chars,
-           len(regexp_extract_all(text, '\S+')) AS n_ws,
-           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
-    FROM documents
-),
+WITH s AS ({QUALITY_STATS_CTE}),
 q AS (
-    SELECT doc_id, text,
-           least(greatest(
-               (least(greatest(n_chars, 0), 2000) * 10000 // 2000
-                + least(n_ws, 200) * 10000 // 200) // 2
-               - least(n_punct * 10000 // greatest(n_chars, 1), 5000),
-           0), 10000) AS quality_bp
+    SELECT doc_id, text, {QUALITY_BP_EXPR} AS quality_bp
     FROM s
 ),
 good AS (SELECT doc_id, text FROM q WHERE quality_bp >= {min_quality_bp}),

@@ -231,8 +231,10 @@ def q_neardup_planted(sf_dir: str):
     embs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(plant, batch_format="pyarrow")
+    # cap high enough that no in-bucket recursive split can ever separate a
+    # sibling pair at gate scales (buckets are ~n_probe*N/n_clusters ~ 1k)
     return ann.embedding_neardup(
-        embs, tau=0.99, centroids=cent
+        embs, tau=0.99, centroids=cent, cap=1 << 17
     ).select_columns(["a", "b"])
 
 

@@ -263,7 +263,10 @@ def _pool_floor() -> int:
 
 def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
     """Counts per coarse S2 cell (level 6) and hex cell (res 4) — the
-    cell-index aggregation surface (rows-only: S2/hex ids have no SQL twin).
+    cell-index aggregation surface.  ORACLE-CHECKED: ``sql_cell_counts``
+    mirrors the full S2 trig chain + unrolled Hilbert curve + hex axial
+    rounding in generated SQL — changing any cell-id math here must change
+    the oracle in lockstep.
 
     Scale pattern: partial counts per batch, groupby-sum over partials.
     """

@@ -103,11 +103,13 @@ def write_proto_stream(tiles_ds, path: str, metadata: dict | None = None) -> int
     return n
 
 
-def write_proto_stream_shards(tiles_ds, out_dir: str, n_shards: int = 64) -> None:
+def write_proto_stream_shards(tiles_ds, out_dir: str, n_shards: int = 64):
     """Sharded proto streams (one file per hash shard, written in parallel
     from the workers via ``map_groups`` — the scale path; each shard is a
     valid stream minus the init/finish framing, as the reference's
-    ``--tile-write-threads`` secondary files also are)."""
+    ``--tile-write-threads`` secondary files also are).  Executes EAGERLY
+    and returns the per-shard summary Dataset (already materialized —
+    a lazy return would silently write nothing if discarded)."""
     import os
 
     import numpy as np
@@ -132,6 +134,7 @@ def write_proto_stream_shards(tiles_ds, out_dir: str, n_shards: int = 64) -> Non
         tiles_ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(write_shard, batch_format="pandas")
+        .materialize()
     )
 
 

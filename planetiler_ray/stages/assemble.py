@@ -20,17 +20,6 @@ import pyarrow as pa
 from ..geo import mvt, wkb
 from ..pipelines.profile import TilingProfile, resolve_zoom
 
-FNV1A64_OFFSET = 0xCBF29CE484222325
-FNV1A64_PRIME = 0x100000001B3
-
-
-def fnv1a64(data: bytes) -> int:
-    h = FNV1A64_OFFSET
-    for b in data:
-        h = ((h ^ b) * FNV1A64_PRIME) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def content_hash64(data: bytes) -> int:
     """64-bit content hash for tile dedup — md5 prefix (C speed; the
     per-byte Python FNV loop was ~17% of bucket assembly time).  Only

@@ -333,8 +333,13 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
                        cap: int = PAIR_CAP):
     """SimHash near-dup pairs with hamming <= ``max_hamming`` (<= 3).
 
-    Complete: any such pair shares all blocks of at least one table, so it
-    co-occurs in that table's bucket; hamming verified inside the group.
+    The BLOCKING is complete: any such pair shares all blocks of at least
+    one table, so it co-occurs in that table's bucket; hamming is verified
+    inside the group.  Pair EMISSION degrades in buckets over ``cap``
+    (boilerplate mega-clusters): only star edges to the bucket min are
+    verified there, so non-star pairs inside a mega-bucket are not emitted
+    — connected components (the dedup use) stay intact; pass a larger
+    ``cap`` if exhaustive pair lists matter more than bounding the work.
     """
     if max_hamming > N_BLOCKS - BLOCKS_EXACT:
         raise ValueError(

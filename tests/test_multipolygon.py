@@ -77,3 +77,18 @@ def test_repair_bowtie_and_figure_eight():
     # degenerate sliver collapses to nothing after snapping
     sliver = np.array([[0.0, 0], [10, 0.001], [10, 0.002], [0, 0.003], [0, 0]])
     assert repair_polygon([sliver], precision=1.0) == []
+
+
+def test_repair_bowtie_any_start_vertex():
+    """Regression (code review): untwisted lobes start at the shared split
+    point; nesting must not classify one lobe as the other's hole for ANY
+    traversal start."""
+    import numpy as np
+
+    from planetiler_ray.geo.repair import repair_polygon
+
+    base = [(0.0, 0), (10, 10), (10, 0), (0, 10)]
+    for s in range(4):
+        ring = np.array([base[(s + i) % 4] for i in range(4)] + [base[s]])
+        polys = repair_polygon([ring])
+        assert len(polys) == 2 and all(len(p) == 1 for p in polys), (s, polys)
