@@ -44,52 +44,98 @@ def tumbling_window(ds):
     )
 
 
-def sessionize(ds, gap_us: int = SESSION_GAP_US):
+def _bucketed_by_user(ds, n_buckets: int = 64):
+    """Tag a user-hash bucket so group bodies process THOUSANDS of users per
+    call with one lexsort (the per-tiny-group ``groupby(user_id)`` form is
+    the classic shuffle-overhead killer at scale)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch.column("user_id").to_numpy() % n_buckets
+        return batch.append_column("ubucket", pa.array(b, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("ubucket")
+
+
+def sessionize(ds, gap_us: int = SESSION_GAP_US, n_buckets: int = 64):
     """Session windows per user (gap > 30min starts a new session).
 
     Output: user_id, session_id (0-based per user), n_events,
-    start_us, end_us (epoch micros).
+    start_us, end_us (epoch micros).  Vectorized per user-hash bucket:
+    one lexsort + run-boundary cumsum + reduceat over the whole bucket.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64").to_numpy()
-        new = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new) - 1
-        out = (
-            pd.DataFrame({"session_id": sid, "ts": ts})
-            .groupby("session_id", as_index=False)
-            .agg(n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max"))
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-
-
-def asof_join_views(ds):
-    """For each 'click' event: the most recent 'view' event of the same user
-    at ts' <= ts (as-of backward join within the user partition).
-
-    Output: event_id, user_id, view_event_id (-1 when none).
-    """
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        is_view = (g["event_type"] == "view").to_numpy()
-        ev_id = g["event_id"].to_numpy()
-        last_view = np.where(is_view, ev_id, -1)
-        last_view = pd.Series(last_view).replace(-1, np.nan).ffill().fillna(-1).astype("int64").to_numpy()
-        m = (g["event_type"] == "click").to_numpy()
-        return pd.DataFrame(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        new = first | np.concatenate([[True], (t[1:] - t[:-1]) > gap_us])
+        # 0-based session id per user: cumsum of session starts minus the
+        # cumulative count at each user's first row
+        starts_cum = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(first, starts_cum, 0))
+        sid = starts_cum - base
+        sess_start = np.flatnonzero(new)
+        sess_end = np.append(sess_start[1:], len(u))
+        return pa.table(
             {
-                "event_id": ev_id[m],
-                "user_id": g["user_id"].to_numpy()[m],
-                "view_event_id": last_view[m],
+                "user_id": pa.array(u[sess_start], pa.int64()),
+                "session_id": pa.array(sid[sess_start], pa.int64()),
+                "n_events": pa.array(sess_end - sess_start, pa.int64()),
+                "start_us": pa.array(t[sess_start], pa.int64()),
+                "end_us": pa.array(t[sess_end - 1], pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
+def asof_join_views(ds, n_buckets: int = 64):
+    """For each 'click' event: the most recent 'view' event of the same user
+    at ts' <= ts (as-of backward join within the user partition).
+
+    Output: event_id, user_id, view_event_id (-1 when none).  Vectorized
+    per user-hash bucket: lexsort, then a forward-fill of view event ids
+    that RESETS at user boundaries (maximum.accumulate over row positions).
+    """
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        et = g.column("event_type")
+        is_view = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        is_click = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, e = uid[order], eid[order]
+        v = is_view[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        # forward-fill the POSITION of the last view; a fill is valid only
+        # if it happened at or after the current user's first row (both
+        # sides are monotone position accumulations, so no cross-user leak)
+        pos = np.arange(len(u), dtype=np.int64)
+        last_view_pos = np.maximum.accumulate(np.where(v, pos, -1))
+        user_start = np.maximum.accumulate(np.where(first, pos, -1))
+        ok = last_view_pos >= user_start
+        last_view = np.where(ok, e[np.maximum(last_view_pos, 0)], -1)
+        m = is_click[order]
+        return pa.table(
+            {
+                "event_id": pa.array(e[m], pa.int64()),
+                "user_id": pa.array(u[m], pa.int64()),
+                "view_event_id": pa.array(last_view[m], pa.int64()),
+            }
+        )
+
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
 
 
 def sliding_window(ds, window_us: int = WINDOW_US, slide_us: int = WINDOW_US // 2):
