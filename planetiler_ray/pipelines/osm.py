@@ -3,8 +3,7 @@
 The reference's planet-scale join (``reader/osm/OsmReader.java:534-550``:
 ~7.5e9 node lookups against a LongLongMap) restated Ray-Data-first as a
 **hash-partitioned shuffle join**: both sides get a ``bucket = node_id % B``
-column, ``groupby(bucket).map_groups`` joins matching buckets with a pandas
-merge, and a second ``groupby(way_id)`` regroups joined rows into way
+column, ``groupby(bucket).map_groups`` joins matching buckets Arrow-natively, and a second ``groupby(way_id)`` regroups joined rows into way
 geometries (pass 2's WaySourceFeature assembly).  No shared mutable map —
 state becomes data movement, which is what scales on a cluster.
 
@@ -68,7 +67,7 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
 
     Both sides are tagged with the same hash bucket and unioned with a
     ``side`` marker; one groupby co-locates matching buckets; the group body
-    does a vectorized pandas merge.  (Ray's ``Dataset.join`` exists in recent
+    joins Arrow-natively (sort + searchsorted probe of the unique node ids).  (Ray's ``Dataset.join`` exists in recent
     releases; this explicit form keeps the partitioning and skew story
     visible and works on any version.)
     """
@@ -142,7 +141,7 @@ def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     mdeg²), first/last node ids — the assembled-way oracle row.
 
     Grouped by a way-id BUCKET (not per way) so each map_groups call
-    processes thousands of ways with vectorized pandas — the per-tiny-group
+    processes thousands of ways with one lexsort + reduceat — the per-tiny-group
     overhead lesson from the tile assembler applied to the way regroup.
     """
 
@@ -150,31 +149,38 @@ def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         b = batch.column("way_id").to_numpy() % n_buckets
         return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["way_id", "seq", "node_id"])
-        wid = g["way_id"].to_numpy()
-        lat = g["lat_mdeg"].to_numpy()
-        lon = g["lon_mdeg"].to_numpy()
-        nid = g["node_id"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native: one lexsort + run boundaries + reduceat (no pandas
+        # groupby over per-way micro-groups, no pandas block schemas in the
+        # shuffle)
+        wid = g.column("way_id").to_numpy()
+        lat = g.column("lat_mdeg").to_numpy()
+        lon = g.column("lon_mdeg").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        order = np.lexsort((nid, g.column("seq").to_numpy(), wid))
+        wid, lat, lon, nid = wid[order], lat[order], lon[order], nid[order]
         same = np.concatenate([[False], wid[1:] == wid[:-1]])
         dlat = np.diff(lat, prepend=lat[:1])
         dlon = np.diff(lon, prepend=lon[:1])
         d2 = np.where(same, dlat * dlat + dlon * dlon, 0)
-        df = pd.DataFrame({"way_id": wid, "d2": d2, "node_id": nid})
-        out = df.groupby("way_id", sort=True).agg(
-            n_nodes=("node_id", "size"),
-            len2_sum=("d2", "sum"),
-            first_node=("node_id", "first"),
-            last_node=("node_id", "last"),
-        ).reset_index()
-        return out.astype("int64")
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], len(wid))
+        return pa.table(
+            {
+                "way_id": pa.array(wid[starts], pa.int64()),
+                "n_nodes": pa.array(ends - starts, pa.int64()),
+                "len2_sum": pa.array(np.add.reduceat(d2, starts), pa.int64()),
+                "first_node": pa.array(nid[starts], pa.int64()),
+                "last_node": pa.array(nid[ends - 1], pa.int64()),
+            }
+        )
 
     return (
         join_way_nodes(sf_dir, n_buckets)
         .map_batches(add_wbucket, batch_format="pyarrow")
         .groupby("wbucket")
-        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
-                    batch_format="pandas")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
     )
 
 
@@ -614,45 +620,61 @@ def split_ways_summary(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
-    def flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        s = set(g.loc[g["side"] == "s", "node_id"].to_numpy().tolist())
-        w = g[g["side"] == "w"]
-        return pd.DataFrame(
+    def flag_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m_s = pc.equal(g.column("side"), "s")
+        shared_ids = np.unique(g.filter(m_s).column("node_id").to_numpy())
+        w = g.filter(pc.invert(m_s))
+        nid = w.column("node_id").to_numpy()
+        pos = np.searchsorted(shared_ids, nid)
+        pos_c = np.minimum(pos, max(len(shared_ids) - 1, 0))
+        hit = (len(shared_ids) > 0) & (pos < len(shared_ids)) & (
+            shared_ids[pos_c] == nid if len(shared_ids) else np.zeros(len(nid), bool)
+        )
+        return pa.table(
             {
-                "way_id": w["way_id"].astype("int64"),
-                "seq": w["seq"].astype("int64"),
-                "node_id": w["node_id"].astype("int64"),
-                "is_shared": w["node_id"].isin(s).astype("int64"),
+                "way_id": w.column("way_id").cast(pa.int64()),
+                "seq": w.column("seq").cast(pa.int64()),
+                "node_id": pa.array(nid, pa.int64()),
+                "is_shared": pa.array(np.asarray(hit, dtype=np.int64), pa.int64()),
             }
         )
 
     flagged = refs.union(shared).groupby("jbucket").map_groups(
-        flag_bucket, batch_format="pandas"
+        flag_bucket, batch_format="pyarrow"
     )
 
     def add_wbucket(batch: pa.Table) -> pa.Table:
         b = batch.column("way_id").to_numpy() % n_buckets
         return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["way_id", "seq", "node_id"])
-        wid = g["way_id"].to_numpy()
-        sh = g["is_shared"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        wid = g.column("way_id").to_numpy()
+        sh = g.column("is_shared").to_numpy()
+        order = np.lexsort((g.column("node_id").to_numpy(),
+                            g.column("seq").to_numpy(), wid))
+        wid, sh = wid[order], sh[order]
         first = np.concatenate([[True], wid[1:] != wid[:-1]])
         last = np.concatenate([wid[1:] != wid[:-1], [True]])
-        interior_shared = (sh == 1) & ~first & ~last
-        df = pd.DataFrame({"way_id": wid, "ix": interior_shared.astype(np.int64)})
-        out = df.groupby("way_id", sort=True).agg(
-            n_nodes=("ix", "size"), n_intersections=("ix", "sum")
-        ).reset_index()
-        out["n_segments"] = out["n_intersections"] + 1
-        return out.astype("int64")
+        interior_shared = ((sh == 1) & ~first & ~last).astype(np.int64)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(wid))
+        n_ix = np.add.reduceat(interior_shared, starts)
+        return pa.table(
+            {
+                "way_id": pa.array(wid[starts], pa.int64()),
+                "n_nodes": pa.array(ends - starts, pa.int64()),
+                "n_intersections": pa.array(n_ix, pa.int64()),
+                "n_segments": pa.array(n_ix + 1, pa.int64()),
+            }
+        )
 
     return (
         flagged.map_batches(add_wbucket, batch_format="pyarrow")
         .groupby("wbucket")
-        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
-                    batch_format="pandas")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
     )
 
 
