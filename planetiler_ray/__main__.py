@@ -24,7 +24,7 @@ def main(argv=None):
     b.add_argument("--sf", required=True, help="sf dir with the parquet tables")
     b.add_argument("--out", required=True, help="output path (dir or archive file)")
     b.add_argument("--format", default="files",
-                   choices=["files", "shard", "mbtiles", "pmtiles"])
+                   choices=["files", "shard", "mbtiles", "pmtiles", "proto"])
     b.add_argument("--zooms", default="0,2,4,6,8,10,12,14")
     b.add_argument("--repl", type=int, default=1)
     b.add_argument("--cpus", type=int, default=8)
@@ -120,6 +120,10 @@ def main(argv=None):
         elif args.format == "mbtiles":
             print(json.dumps(flagship.build_mbtiles(args.sf, args.out, zooms=zooms,
                                                     repl=args.repl)))
+        elif args.format == "proto":
+            print(json.dumps(flagship.build_proto_stream(args.sf, args.out,
+                                                         zooms=zooms,
+                                                         repl=args.repl)))
         else:
             print(json.dumps(flagship.build_pmtiles(args.sf, args.out, zooms=zooms,
                                                     repl=args.repl)))

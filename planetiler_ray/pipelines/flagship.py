@@ -178,6 +178,24 @@ def build_pmtiles(sf_dir: str, path: str, zooms=None, profile=None,
     return write_pmtiles(tiles, path, metadata=meta)
 
 
+def build_proto_stream(sf_dir: str, path: str, zooms=None, profile=None,
+                       n_buckets: int = 256, repl: int = 1) -> dict:
+    """End-to-end build into a length-delimited proto stream file (the
+    reference's WriteableProtoStreamArchive output) + metadata entry."""
+    from ..sinks.streams import write_proto_stream
+    from .stats import archive_metadata
+
+    profile = profile or flagship_profile()
+    tiles = tiles_ds(sf_dir, zooms, profile, n_buckets, repl).materialize()
+    meta = archive_metadata(tiles, profile, {"sf_dir": sf_dir})
+    n = write_proto_stream(
+        tiles, path,
+        {"name": profile.name, "min_zoom": meta["minzoom"],
+         "max_zoom": meta["maxzoom"]},
+    )
+    return {"n_tiles": n, "minzoom": meta["minzoom"], "maxzoom": meta["maxzoom"]}
+
+
 def build_archive(sf_dir: str, out_dir: str, zooms=None, profile=None,
                   n_buckets: int = 1024, repl: int = 1, layout: str = "files"):
     """Full build into an archive (assemble+write fused per bucket, one
