@@ -98,7 +98,12 @@ class Struct:
 
     def __hash__(self):
         v = self.raw_value()
-        return hash(v) if not isinstance(v, (dict, list)) else id(self)
+        # container values hash by canonical JSON (sorted keys, so dicts that
+        # compare equal regardless of insertion order hash identically) —
+        # keeps the hash/eq invariant for set/dict usage
+        if isinstance(v, (dict, list)):
+            return hash(json.dumps(v, sort_keys=True, separators=(",", ":"), default=str))
+        return hash(v)
 
 
 class _Null(Struct):

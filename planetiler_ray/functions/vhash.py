@@ -16,6 +16,9 @@ import pyarrow as pa
 
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
+# independent second basis for the 128-bit variant (golden-ratio constant;
+# only equality semantics matter for dedup keys, not distribution proofs)
+FNV_OFFSET2 = np.uint64(0x9E3779B97F4A7C15)
 
 
 def fnv64_scalar(s: str) -> int:
@@ -33,11 +36,28 @@ def fnv64_arrow(arr) -> np.ndarray:
     length > j (rows sorted by length once, shrinking active set) — the
     aggregate work is exactly the total byte count.
     """
+    return _fnv_multi(arr, (FNV_OFFSET,))[0]
+
+
+def fnv128_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent FNV-1a 64 passes (different offset bases) per row
+    -> (hi, lo) uint64 arrays: a 128-bit equality key whose birthday bound
+    stays negligible at 10^12 rows.  Shares one byte-position sweep for
+    both states (same aggregate O(total bytes) work)."""
+    h = _fnv_multi(arr, (FNV_OFFSET, FNV_OFFSET2))
+    return h[0], h[1]
+
+
+def _fnv_multi(arr, offsets: tuple) -> list:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        return [np.empty(0, dtype=np.uint64) for _ in offsets]
+    if arr.null_count:
+        # nulls share offsets with the previous row, so they'd silently hash
+        # like "" — refuse instead of merging null with empty content
+        raise ValueError("fnv64_arrow: null values not supported")
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1].astype(
@@ -46,7 +66,7 @@ def fnv64_arrow(arr) -> np.ndarray:
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     starts = offs[:-1]
     lens = offs[1:] - starts
-    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    hs = [np.full(n, off, dtype=np.uint64) for off in offsets]
     order = np.argsort(lens, kind="stable")
     lens_sorted = lens[order]
     maxlen = int(lens_sorted[-1])
@@ -54,8 +74,9 @@ def fnv64_arrow(arr) -> np.ndarray:
         pos = int(np.searchsorted(lens_sorted, j, side="right"))
         act = order[pos:]
         b = data[starts[act] + j].astype(np.uint64)
-        h[act] = (h[act] ^ b) * FNV_PRIME
-    return h
+        for h in hs:
+            h[act] = (h[act] ^ b) * FNV_PRIME
+    return hs
 
 
 def fnv64_strings(strs) -> np.ndarray:

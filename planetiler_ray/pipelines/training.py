@@ -285,18 +285,40 @@ def q_asof(sf_dir: str):
     )
 
 
-def q_topk_events(sf_dir: str):
-    """Global top-k by value (sort + limit), cents-int output."""
+def q_topk_events(sf_dir: str, k: int = 10):
+    """Global top-k by value, cents-int output.
+
+    Scale shape (round-3 rework): a global ``ds.sort`` for k=10 is an
+    all-to-all shuffle of every row.  Instead each batch keeps its own
+    top-k partial (one argpartition per batch — the ``stages/ann.py``
+    brute-top-k pattern), and only n_blocks x k candidate rows reach the
+    final exact sort+limit."""
     import pyarrow as pa
 
-    def to_cents(batch):
+    def partial_topk(batch):
         cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
-        return batch.append_column("cents", pa.array(cents, pa.int64())).drop_columns(["value"])
+        eid = batch.column("event_id").to_numpy()
+        if len(cents) > k:
+            # exact top-k by (cents desc, event_id asc): O(n) partition for
+            # the kth-largest cents, keep every row at-or-above it (ties
+            # included so the event_id tie-break stays exact), sort those
+            thresh = np.partition(cents, len(cents) - k)[len(cents) - k]
+            cand = np.flatnonzero(cents >= thresh)
+            order = cand[np.lexsort((eid[cand], -cents[cand]))][:k]
+        else:
+            order = np.lexsort((eid, -cents))[:k]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": batch.column("user_id").take(pa.array(order)),
+                "cents": pa.array(cents[order], pa.int64()),
+            }
+        )
 
     ds = events_ds(sf_dir, ["event_id", "user_id", "value"]).map_batches(
-        to_cents, batch_format="pyarrow"
+        partial_topk, batch_format="pyarrow"
     )
-    out = ds.sort(["cents", "event_id"], descending=[True, False]).limit(10)
+    out = ds.sort(["cents", "event_id"], descending=[True, False]).limit(k)
     return out.select_columns(["event_id", "user_id", "cents"])
 
 

@@ -18,7 +18,6 @@ the final tile groupby (mirroring the reference's single external merge sort).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -79,16 +78,17 @@ def q_pages_meta(sf_dir: str) -> ray.data.Dataset:
     invariant check."""
 
     def meta(batch: pa.Table) -> pa.Table:
-        md5 = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column("extracted").to_pylist()
-        ]
+        from ..functions.vmd5 import md5_hex_arrow
+
+        col = batch.column("extracted")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         return pa.table(
             {
                 "url": batch.column("url"),
                 "warc_ts": batch.column("warc_ts"),
                 "lang": batch.column("lang"),
-                "text_md5": pa.array(md5, pa.string()),
+                "text_md5": md5_hex_arrow(col),
             }
         )
 
@@ -167,35 +167,64 @@ def q_labelgrid_counts(sf_dir: str, zooms=(2, 4), grid: float = 64.0,
             + np.floor_divide(py, np.float32(grid)).astype(np.int64)
         )
         fid = t.column("doc_id").to_numpy() * 8 + t.column("mention_idx").to_numpy()
+        z = t.column("z").to_numpy()
+        tx = t.column("tile_x").to_numpy()
+        ty = t.column("tile_y").to_numpy()
+        # bucket derived from the TILE key only, so a group call sees whole
+        # tiles — thousands per call, not a map_groups per tiny tile group
+        bkt = ((z * 1000003 + tx * 10007 + ty) * 2654435761 % (1 << 32)) % 64
         return pa.table(
             {
-                "z": t.column("z"),
-                "tile_x": t.column("tile_x"),
-                "tile_y": t.column("tile_y"),
+                "z": pa.array(z, pa.int64()),
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
                 "cell": pa.array(cell, pa.int64()),
                 "fid": pa.array(fid, pa.int64()),
+                "bkt": pa.array(bkt.astype(np.int64), pa.int64()),
             }
         )
 
-    def topk(g):
-        import pandas as pd
-
-        g = g.sort_values("fid")
-        kept = g.groupby("cell")["fid"].head(limit)
-        return pd.DataFrame(
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("z", "tile_x", "tile_y", "n")}
+            )
+        z = g.column("z").to_numpy()
+        tx = g.column("tile_x").to_numpy()
+        ty = g.column("tile_y").to_numpy()
+        cell = g.column("cell").to_numpy()
+        fid = g.column("fid").to_numpy()
+        order = np.lexsort((fid, cell, ty, tx, z))
+        z, tx, ty, cell, fid = z[order], tx[order], ty[order], cell[order], fid[order]
+        # rank within (tile, cell) runs -> keep rank < limit
+        new_cell = np.ones(len(z), dtype=bool)
+        new_cell[1:] = (
+            (z[1:] != z[:-1]) | (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+            | (cell[1:] != cell[:-1])
+        )
+        cstart = np.flatnonzero(new_cell)
+        clens = np.diff(np.append(cstart, len(z)))
+        rank = np.arange(len(z)) - np.repeat(cstart, clens)
+        kept = (rank < limit).astype(np.int64)
+        # count kept per tile via reduceat over tile runs
+        new_tile = np.ones(len(z), dtype=bool)
+        new_tile[1:] = (z[1:] != z[:-1]) | (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        tstart = np.flatnonzero(new_tile)
+        n = np.add.reduceat(kept, tstart)
+        return pa.table(
             {
-                "z": [g["z"].iloc[0]],
-                "tile_x": [g["tile_x"].iloc[0]],
-                "tile_y": [g["tile_y"].iloc[0]],
-                "n": [len(kept)],
+                "z": pa.array(z[tstart], pa.int64()),
+                "tile_x": pa.array(tx[tstart], pa.int64()),
+                "tile_y": pa.array(ty[tstart], pa.int64()),
+                "n": pa.array(n, pa.int64()),
             }
         )
 
     return (
         mentions_ds(sf_dir)
         .map_batches(rows, batch_format="pyarrow")
-        .groupby(["z", "tile_x", "tile_y"])
-        .map_groups(topk, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(topk_bucket, batch_format="pyarrow")
     )
 
 
@@ -317,11 +346,13 @@ def mentions_from_pages(pages_path: str) -> ray.data.Dataset:
     def ensure_doc_id(batch: pa.Table) -> pa.Table:
         if "doc_id" in batch.column_names:
             return batch
-        urls = batch.column("url").to_pylist()
-        ids = np.array(
-            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
-             for u in urls], dtype=np.int64,
-        )
+        from ..functions.vmd5 import md5_u64_arrow
+
+        col = batch.column("url")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hi, _ = md5_u64_arrow(col)
+        ids = (hi >> np.uint64(1)).astype(np.int64)
         return batch.append_column("doc_id", pa.array(ids, pa.int64()))
 
     return (

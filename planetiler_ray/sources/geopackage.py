@@ -77,12 +77,25 @@ def read_geopackage(path: str, table: str | None = None,
         lo, hi = con.execute(
             f'SELECT min(rowid), max(rowid) FROM "{table}"'
         ).fetchone()
-        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        info = [(r[1], r[2]) for r in con.execute(f'PRAGMA table_info("{table}")')]
     finally:
         con.close()
     if lo is None:
         return ray.data.from_items([])
+    cols = [name for name, _ in info]
     attr_cols = [c for c in cols if c != geom_col]
+
+    def _arrow_type(decl: str):
+        d = (decl or "").upper()
+        if "INT" in d:
+            return pa.int64()
+        if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+            return pa.float64()
+        if "BLOB" in d:
+            return pa.binary()
+        return pa.string()
+
+    decl_types = {name: _arrow_type(decl) for name, decl in info}
     ranges = [
         {"lo": s, "hi": min(s + rows_per_task - 1, hi)}
         for s in range(lo, hi + 1, rows_per_task)
@@ -104,8 +117,14 @@ def read_geopackage(path: str, table: str | None = None,
                 c.close()
             if not rows:
                 continue
+            def _col(vals, name):
+                try:
+                    return pa.array(vals, decl_types[name])
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    return pa.array(vals)  # sqlite dynamic typing fallback
+
             cols_out: dict = {
-                name: pa.array([r[i] for r in rows])
+                name: _col([r[i] for r in rows], name)
                 for i, name in enumerate(attr_cols)
             }
             cols_out["geom_wkb"] = pa.array(
@@ -114,7 +133,13 @@ def read_geopackage(path: str, table: str | None = None,
             )
             out_tables.append(pa.table(cols_out))
         if not out_tables:
-            return pa.table({c: pa.array([]) for c in attr_cols + ["geom_wkb"]})
+            # typed empty arrays (from the sqlite declared types) — a plain
+            # pa.array([]) is null-typed and breaks schema promotion when Ray
+            # concatenates with non-empty typed blocks (sparse rowid ranges)
+            return pa.table(
+                {c: pa.array([], decl_types[c]) for c in attr_cols}
+                | {"geom_wkb": pa.array([], pa.binary())}
+            )
         return pa.concat_tables(out_tables, promote_options="default")
 
     return ray.data.from_items(ranges).map_batches(

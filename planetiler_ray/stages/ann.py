@@ -179,13 +179,22 @@ def _group_neardup_pairs(ids: np.ndarray, m: np.ndarray, tau: float,
     if n < 2:
         return []
     if n <= cap or depth >= 24:
-        sims = m @ m.T
-        ii, jj = np.triu_indices(n, k=1)
-        mask = sims[ii, jj] >= tau
-        a, b = ids[ii[mask]], ids[jj[mask]]
-        swap = a > b
-        return [(np.where(swap, b, a), np.where(swap, a, b),
-                 (sims[ii[mask], jj[mask]] * 1000).astype(np.int64))]
+        # row-chunked GEMM: peak memory is chunk x n (~64 MB of float64),
+        # bounded for ANY cap — a bucket at cap no longer allocates an
+        # n x n similarity matrix (the round-3 ADVICE fix)
+        out = []
+        step = max(1, 8_000_000 // max(n, 1))
+        for i0 in range(0, n, step):
+            i1 = min(n, i0 + step)
+            sims = m[i0:i1] @ m.T  # (i1-i0, n)
+            ii, jj = np.nonzero(sims >= tau)
+            keep = jj > ii + i0  # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            a, b = ids[ii + i0], ids[jj]
+            swap = a > b
+            out.append((np.where(swap, b, a), np.where(swap, a, b),
+                        (sims[ii, jj] * 1000).astype(np.int64)))
+        return out
     anchor = m[int(np.argmin(ids))]
     far = m[int(np.argmax(m @ anchor * -1.0))]
     axis = far - anchor

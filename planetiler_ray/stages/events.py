@@ -183,19 +183,68 @@ def sliding_window(ds, window_us: int = WINDOW_US, slide_us: int = WINDOW_US // 
 
 
 def median_by_type(ds):
-    """Exact lower-median (quantile_disc 0.5) of value-cents per event_type —
-    deterministic integer output, groupby + sorted per-group rank."""
-    import pyarrow as pa
+    """Exact lower-median (quantile_disc 0.5) of value-cents per event_type.
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        cents = np.sort((g["value"] * 100).round().astype("int64").to_numpy())
-        # discrete quantile: smallest value with cumulative probability >= q
-        # (1-based index ceil(q*n)) — matches DuckDB quantile_disc
-        idx = int(np.ceil(0.5 * len(cents))) - 1
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]],
-             "median_cents": [int(cents[idx])],
-             "n_events": [len(cents)]}
+    Scale shape (round-3 rework): ``groupby(event_type)`` with ~5 distinct
+    keys would ship N/5 rows into ONE task and sort them — unbounded.
+    Instead each batch emits (event_type, cents) -> count partials (the
+    cents domain is bounded), a groupby-sum merges the per-type histograms,
+    and the exact discrete quantile is read off the merged histogram — the
+    per-type group is now O(distinct cents), never O(rows).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pandas(), "cents": cents}
+        )
+        out = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "cents": pa.array(out["cents"].to_numpy(), pa.int64()),
+                "n_part": pa.array(out["size"].to_numpy(), pa.int64()),
+            }
         )
 
-    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    def quantile_from_hist(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy()
+        cnt = g.column("n_part").to_numpy()
+        order = np.lexsort((cents, et))
+        et, cents, cnt = et[order], cents[order], cnt[order]
+        new = np.ones(len(et), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        gstart = np.flatnonzero(new)
+        glen = np.diff(np.append(gstart, len(et)))
+        totals = np.add.reduceat(cnt, gstart)
+        # discrete quantile: smallest value with cumulative count >= ceil(q*n)
+        cum = np.cumsum(cnt)
+        base = np.repeat(cum[gstart] - cnt[gstart], glen)
+        within = cum - base
+        target = np.repeat(np.ceil(0.5 * totals).astype(np.int64), glen)
+        hit = within >= target
+        # first hit per group
+        idx = np.flatnonzero(hit)
+        grp_of = np.cumsum(new) - 1
+        first_hit = np.full(len(gstart), len(et), dtype=np.int64)
+        np.minimum.at(first_hit, grp_of[idx], idx)
+        return pa.table(
+            {
+                "event_type": pa.array(et[gstart].tolist(), pa.string()),
+                "median_cents": pa.array(cents[first_hit], pa.int64()),
+                "n_events": pa.array(totals, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n_part", alias_name="n_part"))
+    )
+    # merged histogram is small (types x distinct cents); one final task
+    return merged.repartition(1).map_batches(
+        quantile_from_hist, batch_format="pyarrow", batch_size=None
+    )
