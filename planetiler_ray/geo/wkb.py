@@ -110,3 +110,38 @@ def _decode(buf: memoryview, off: int):
 def decode_wkb(b: bytes):
     geom, _ = _decode(memoryview(b), 0)
     return geom
+
+
+def encode_linestrings_arrow(coords: np.ndarray, lens: np.ndarray):
+    """Batch-encode many LineStrings into one Arrow binary array.
+
+    ``coords``: (sum(lens), 2) float64 — all rows' vertices concatenated;
+    ``lens``: per-geometry vertex counts.  Builds every WKB blob in a single
+    flat numpy buffer (headers scattered by arithmetic, coordinates moved in
+    one vectorized scatter) — the per-geometry ``encode_wkb`` loop this
+    replaces was a round-2 hot-loop finding on the synthetic OSM paths.
+    Byte-identical to ``encode_wkb("linestring", ...)`` per row.
+    """
+    import pyarrow as pa
+
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(lens)
+    if n == 0:
+        return pa.array([], pa.binary())
+    blob_len = 9 + 16 * lens
+    boffs = np.concatenate([[0], np.cumsum(blob_len)])
+    starts = boffs[:-1]
+    out = np.zeros(int(boffs[-1]), dtype=np.uint8)
+    out[starts] = 1  # little-endian flag
+    out[starts + 1] = 2  # geometry type LineString (low byte; rest zero)
+    ul = lens.astype(np.uint64)
+    for b in range(4):  # n_points uint32 LE at offset 5
+        out[starts + 5 + b] = ((ul >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    cb = np.ascontiguousarray(coords, dtype="<f8").view(np.uint8).reshape(-1)
+    src_row_start = np.concatenate([[0], np.cumsum(lens * 16)])[:-1]
+    shift = np.repeat(starts + 9 - src_row_start, lens * 16)
+    out[np.arange(len(cb), dtype=np.int64) + shift] = cb
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(boffs.astype(np.int32).tobytes()), pa.py_buffer(out.tobytes())],
+    )

@@ -193,7 +193,7 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         b = batch.column("way_id").to_numpy() % n_buckets
         return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["way_id", "seq", "node_id"])
         wid = g["way_id"].to_numpy()
         # LOCAL geometry: a way is a road-scale line near a per-way anchor
@@ -208,15 +208,18 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         bounds = np.flatnonzero(np.diff(wid)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(wid)]])
-        ids, blobs, nn = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            coords = np.column_stack([lon[s:e], lat[s:e]])
-            ids.append(int(wid[s]))
-            blobs.append(wkb.encode_wkb("linestring", coords))
-            nn.append(e - s)
-        return pd.DataFrame({"way_id": ids, "geom_wkb": blobs, "n_nodes": nn})
+        lens = ends - starts
+        ok = lens >= 2  # degenerate 1-node ways dropped
+        keep_runs = np.repeat(ok, lens)
+        coords = np.column_stack([lon[keep_runs], lat[keep_runs]])
+        blobs = wkb.encode_linestrings_arrow(coords, lens[ok])
+        return pa.table(
+            {
+                "way_id": pa.array(wid[starts[ok]], pa.int64()),
+                "geom_wkb": blobs,
+                "n_nodes": pa.array(lens[ok], pa.int64()),
+            }
+        )
 
     return (
         join_way_nodes(sf_dir, n_buckets)
@@ -279,31 +282,41 @@ def relation_members_ds(sf_dir: str) -> ray.data.Dataset:
 
     def to_members(batch: pa.Table) -> pa.Table:
         cust = batch.column("c_custkey").to_numpy().astype(np.int64)
-        rel, wid, blobs = [], [], []
-        for c in cust:
-            x0, y0, w, h = (int(v) for v in np.broadcast_arrays(*_rel_rect(np.array([c]))))
-            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
-            a = np.array(corners[:3], dtype=np.float64)
-            b = np.array([corners[2], corners[3], corners[0]], dtype=np.float64)
-            rel += [c, c]
-            wid += [c * 10, c * 10 + 1]
-            blobs += [W.encode_wkb("linestring", a),
-                      W.encode_wkb("linestring", b[::-1])]  # reversed on purpose
-            if c % 3 == 0:
-                hx0, hy0 = x0 + w // 4, y0 + h // 4
-                hw, hh = w // 2, h // 2
-                hc = [(hx0, hy0), (hx0 + hw, hy0), (hx0 + hw, hy0 + hh), (hx0, hy0 + hh)]
-                ha = np.array(hc[:3], dtype=np.float64)
-                hb = np.array([hc[2], hc[3], hc[0]], dtype=np.float64)
-                rel += [c, c]
-                wid += [c * 10 + 2, c * 10 + 3]
-                blobs += [W.encode_wkb("linestring", ha),
-                          W.encode_wkb("linestring", hb)]
+        x0, y0, w, h = _rel_rect(cust)
+        x0, y0, w, h = (v.astype(np.float64) for v in (x0, y0, w, h))
+
+        def seg3(p0, p1, p2):
+            """(n,3,2) coords from three (x,y) tuple-of-arrays corners."""
+            return np.stack(
+                [np.stack(p0, axis=1), np.stack(p1, axis=1), np.stack(p2, axis=1)],
+                axis=1,
+            )
+
+        # outer ring as two open segments; the second arrives REVERSED
+        # (corners[0], corners[3], corners[2]) on purpose — the ring merge
+        # under test must re-orient it
+        seg_a = seg3((x0, y0), (x0 + w, y0), (x0 + w, y0 + h))
+        seg_b = seg3((x0, y0), (x0, y0 + h), (x0 + w, y0 + h))
+        hole = cust % 3 == 0
+        hx0, hy0 = x0 + np.floor_divide(w, 4), y0 + np.floor_divide(h, 4)
+        hw, hh = np.floor_divide(w, 2), np.floor_divide(h, 2)
+        seg_ha = seg3((hx0, hy0), (hx0 + hw, hy0), (hx0 + hw, hy0 + hh))[hole]
+        seg_hb = seg3(
+            (hx0 + hw, hy0 + hh), (hx0, hy0 + hh), (hx0, hy0)
+        )[hole]
+        coords = np.concatenate([seg_a, seg_b, seg_ha, seg_hb]).reshape(-1, 2)
+        rel = np.concatenate([cust, cust, cust[hole], cust[hole]])
+        wid = np.concatenate(
+            [cust * 10, cust * 10 + 1, cust[hole] * 10 + 2, cust[hole] * 10 + 3]
+        )
+        blobs = W.encode_linestrings_arrow(
+            coords, np.full(len(rel), 3, dtype=np.int64)
+        )
         return pa.table(
             {
                 "rel_id": pa.array(rel, pa.int64()),
                 "way_id": pa.array(wid, pa.int64()),
-                "geom_wkb": pa.array(blobs, pa.binary()),
+                "geom_wkb": blobs,
             }
         )
 
