@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
         "way_split": _q_way_split,
+        # real .osm.pbf source: hand-rolled codec -> parallel blob decode
+        "pbf_way_assembly": _q_pbf_way_assembly,
+        "pbf_node_tags": _q_pbf_node_tags,
+        "pbf_relation_members": _q_pbf_relation_members,
         # no-code YAML profile pipeline (rows-only: MVT tiles)
         "yaml_tiles": _q_yaml_tiles,
         # line layer: assembled ways -> sliced -> per-tile merged lines
@@ -145,10 +149,40 @@ def _q_way_split(sf_dir: str):
     return osm.split_ways_summary(sf_dir)
 
 
+def _q_pbf_way_assembly(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.q_pbf_way_assembly(sf_dir)
+
+
+def _q_pbf_node_tags(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.q_pbf_node_tags(sf_dir)
+
+
+def _q_pbf_relation_members(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.q_pbf_relation_members(sf_dir)
+
+
 def _sql_way_split() -> str:
     from planetiler_ray.pipelines import osm
 
     return osm.sql_way_split()
+
+
+def _sql_pbf_node_tags() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_pbf_node_tags()
+
+
+def _sql_pbf_relation_members() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_pbf_relation_members()
 
 
 def _q_yaml_tiles(sf_dir: str):
@@ -197,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),
         "way_split": _sql_way_split(),
+        "pbf_way_assembly": _sql_way_assembly(),  # identical world via pbf
+        "pbf_node_tags": _sql_pbf_node_tags(),
+        "pbf_relation_members": _sql_pbf_relation_members(),
         # rows-only (probabilistic / approximate / stubbed):
         #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
         #   media_features

@@ -62,7 +62,9 @@ def way_refs_ds(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(to_refs, batch_format="pyarrow")
 
 
-def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+def join_way_nodes(sf_dir: str, n_buckets: int = 64,
+                   nodes: ray.data.Dataset | None = None,
+                   refs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """The shuffle join: (way_id, seq, node_id) ⋈ (node_id, lat, lon).
 
     Both sides are tagged with the same hash bucket and unioned with a
@@ -70,6 +72,9 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     joins Arrow-natively (sort + searchsorted probe of the unique node ids).  (Ray's ``Dataset.join`` exists in recent
     releases; this explicit form keeps the partitioning and skew story
     visible and works on any version.)
+
+    ``nodes``/``refs`` override the synthetic table derivation with real
+    decoded sources (e.g. the .osm.pbf reader) in the same column shapes.
     """
 
     def tag(side: str):
@@ -80,8 +85,12 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
 
         return f
 
-    nodes = nodes_ds(sf_dir).map_batches(tag("n"), batch_format="pyarrow")
-    refs = way_refs_ds(sf_dir).map_batches(tag("w"), batch_format="pyarrow")
+    nodes = (nodes if nodes is not None else nodes_ds(sf_dir)).map_batches(
+        tag("n"), batch_format="pyarrow"
+    )
+    refs = (refs if refs is not None else way_refs_ds(sf_dir)).map_batches(
+        tag("w"), batch_format="pyarrow"
+    )
     # align schemas for union
     refs = refs.map_batches(
         lambda b: b.append_column("lat_mdeg", pa.nulls(b.num_rows, pa.int64()))
@@ -134,7 +143,8 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     )
 
 
-def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+def assemble_ways(sf_dir: str, n_buckets: int = 64,
+                  joined: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Pass 2: regroup joined rows by way_id -> per-way geometry summary.
 
     Output (all exact ints): way_id, n_nodes, len2_sum (Σ squared deltas in
@@ -176,7 +186,7 @@ def assemble_ways(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         )
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
+        (joined if joined is not None else join_way_nodes(sf_dir, n_buckets))
         .map_batches(add_wbucket, batch_format="pyarrow")
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
@@ -714,4 +724,198 @@ SELECT way_id,
        CAST(sum(CASE WHEN rn > 1 AND rn < n AND c > 1 THEN 1 ELSE 0 END) + 1 AS BIGINT)
            AS n_segments
 FROM j GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- real .osm.pbf path --
+#
+# The synthetic node/way/relation world above, serialized into an ACTUAL
+# .osm.pbf file by the hand-rolled codec (sources/osmpbf.py) and read back
+# through the parallel blob decoder — so the oracle-green join/assembly
+# pipelines run against the reference's defining input format
+# (OsmInputFile.java / PbfDecoder.java semantics), not just parquet.
+
+PBF_FIXTURE_DIR = "/tmp/planetiler_ray_pbf"
+
+
+def write_pbf_fixture(sf_dir: str, path: str) -> str:
+    """Deterministically serialize the synthetic OSM world of ``sf_dir``
+    into a .osm.pbf file (driver-side; fixture scale — production reads an
+    existing planet file instead of writing one)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.osmpbf import PbfWriter
+
+    pk = np.sort(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .column(0).to_numpy().astype(np.int64)
+    )
+    lat = (pk * NODE_LAT_MULT) % 170000 - 85000
+    lon = (pk * NODE_LON_MULT) % 360000 - 180000
+    node_tags = [
+        [("place", "town"), ("name", f"n{p}")] if p % 50 == 0 else []
+        for p in pk
+    ]
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    ok = li.column("l_orderkey").to_numpy().astype(np.int64)
+    ln = li.column("l_linenumber").to_numpy().astype(np.int64)
+    pid = li.column("l_partkey").to_numpy().astype(np.int64)
+    order = np.lexsort((pid, ln, ok))
+    ok, pid = ok[order], pid[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(ok)) + 1])
+    wids = ok[starts]
+    rlens = np.diff(np.append(starts, len(ok)))
+    highway = ["motorway", "primary", "secondary", "residential"]
+    way_tags = [[("highway", highway[int(w) % 4])] for w in wids]
+
+    cust = np.sort(
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column(0).to_numpy().astype(np.int64)
+    )
+    hole = cust % 3 == 0
+    mem_lens = np.where(hole, 4, 2)
+    moffs = np.concatenate([[0], np.cumsum(mem_lens)])
+    mem_flat = np.empty(int(moffs[-1]), np.int64)
+    roles: list[str] = []
+    for i, c in enumerate(cust):  # fixture-writer loop (driver-side, small)
+        o = moffs[i]
+        mem_flat[o] = c * 10
+        mem_flat[o + 1] = c * 10 + 1
+        if hole[i]:
+            mem_flat[o + 2] = c * 10 + 2
+            mem_flat[o + 3] = c * 10 + 3
+            roles += ["outer", "outer", "inner", "inner"]
+        else:
+            roles += ["outer", "outer"]
+    rel_tags = [[("type", "multipolygon")]] * len(cust)
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with PbfWriter(tmp) as w:
+        w.write_dense_nodes(pk, lat * 1_000_000, lon * 1_000_000, tags=node_tags)
+        w.write_ways(wids, pid, rlens, tags=way_tags)
+        w.write_relations(
+            cust, mem_flat, mem_lens,
+            np.ones(int(moffs[-1]), np.int64), roles, tags=rel_tags,
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def pbf_fixture_path(sf_dir: str) -> str:
+    """Cached fixture per sf dir (regenerated when the source is newer)."""
+    import os
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(PBF_FIXTURE_DIR, f"{name}.osm.pbf")
+    src_mtime = os.path.getmtime(f"{sf_dir}/lineitem.parquet")
+    if not os.path.exists(path) or os.path.getmtime(path) < src_mtime:
+        write_pbf_fixture(sf_dir, path)
+    return path
+
+
+def q_pbf_way_assembly(sf_dir: str) -> ray.data.Dataset:
+    """The way_assembly pipeline fed from a REAL .osm.pbf file: parallel
+    blob decode -> shuffle join -> way regroup.  Same oracle as
+    way_assembly (the fixture serializes the identical world)."""
+    from ..sources import osmpbf
+
+    path = pbf_fixture_path(sf_dir)
+    joined = join_way_nodes(
+        sf_dir,
+        nodes=osmpbf.read_pbf_nodes(path),
+        refs=osmpbf.read_pbf_way_refs(path),
+    )
+    return assemble_ways(sf_dir, joined=joined)
+
+
+def q_pbf_node_tags(sf_dir: str) -> ray.data.Dataset:
+    """Tagged nodes decoded from the pbf DenseNodes keys_vals stream —
+    exercises the dense-tag wire format end-to-end."""
+    from ..sources import osmpbf
+
+    path = pbf_fixture_path(sf_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p, off, sz in zip(
+            batch.column("path").to_pylist(),
+            batch.column("offset").to_pylist(),
+            batch.column("size").to_pylist(),
+        ):
+            ent = osmpbf.read_blob_entities(p, off, sz)["nodes"]
+            if len(ent["id"]) == 0:
+                continue
+            tagged = np.array([bool(t) for t in ent["tags"]])
+            if not tagged.any():
+                continue
+            names = [t.get("name", "") for t, m in zip(ent["tags"], tagged) if m]
+            outs.append(
+                pa.table(
+                    {
+                        "node_id": pa.array(ent["id"][tagged], pa.int64()),
+                        "lat_mdeg": pa.array(
+                            ent["lat_nano"][tagged] // 1_000_000, pa.int64()
+                        ),
+                        "lon_mdeg": pa.array(
+                            ent["lon_nano"][tagged] // 1_000_000, pa.int64()
+                        ),
+                        "name": pa.array(names, pa.string()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "node_id": pa.array([], pa.int64()),
+                    "lat_mdeg": pa.array([], pa.int64()),
+                    "lon_mdeg": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    import ray as _ray
+
+    return _ray.data.from_items(
+        [b for b in osmpbf.scan_blobs(path) if b["type"] == "OSMData"]
+    ).map_batches(decode, batch_format="pyarrow")
+
+
+def sql_pbf_node_tags() -> str:
+    return f"""
+SELECT p_partkey AS node_id,
+       (p_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+       (p_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg,
+       'n' || p_partkey AS name
+FROM part WHERE p_partkey % 50 = 0
+"""
+
+
+def q_pbf_relation_members(sf_dir: str) -> ray.data.Dataset:
+    """Relation member table decoded from pbf (roles_sid + memids delta +
+    types enum wire paths) — (rel_id, member_idx, member_id, member_type,
+    role)."""
+    from ..sources import osmpbf
+
+    return osmpbf.read_pbf_relation_members(pbf_fixture_path(sf_dir))
+
+
+def sql_pbf_relation_members() -> str:
+    return """
+WITH c AS (SELECT c_custkey AS ck FROM customer),
+m AS (
+    SELECT ck, 0 AS member_idx, ck * 10 AS member_id, 'outer' AS role FROM c
+    UNION ALL SELECT ck, 1, ck * 10 + 1, 'outer' FROM c
+    UNION ALL SELECT ck, 2, ck * 10 + 2, 'inner' FROM c WHERE ck % 3 = 0
+    UNION ALL SELECT ck, 3, ck * 10 + 3, 'inner' FROM c WHERE ck % 3 = 0
+)
+SELECT ck AS rel_id, member_idx, member_id, CAST(1 AS BIGINT) AS member_type, role
+FROM m
 """
