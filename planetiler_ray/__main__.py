@@ -30,8 +30,17 @@ def main(argv=None):
     b.add_argument("--cpus", type=int, default=8)
     b.add_argument("--yaml", default=None, help="no-code YAML schema path")
 
-    v = sub.add_parser("verify", help="validity-check an archive")
-    v.add_argument("--archive", required=True)
+    v = sub.add_parser(
+        "verify",
+        help="validity-check an archive, or run schema-conformance tests "
+             "(--tests, the BaseSchemaValidator analogue)",
+    )
+    v.add_argument("--archive", default=None)
+    v.add_argument("--tests", default=None,
+                   help="YAML spec of input->expected-output examples")
+    v.add_argument("--schema", default=None,
+                   help="no-code YAML schema to validate (default: built-in "
+                        "sample schema)")
 
     c = sub.add_parser("compare", help="tile-by-tile diff of two archives")
     c.add_argument("--a", required=True)
@@ -49,6 +58,22 @@ def main(argv=None):
         from .tools import compare_archives, verify_archive
 
         if args.cmd == "verify":
+            if args.tests:
+                from .pipelines import validator
+                from .pipelines.yamlprofile import SAMPLE_SCHEMA
+
+                if args.schema:
+                    with open(args.schema) as f:
+                        schema_src = f.read()
+                else:
+                    schema_src = SAMPLE_SCHEMA
+                with open(args.tests) as f:
+                    spec_src = f.read()
+                results = validator.validate(schema_src, spec_src)
+                print(validator.format_results(results))
+                return 0 if all(r.ok for r in results) else 1
+            if not args.archive:
+                ap.error("verify requires --archive or --tests")
             print(json.dumps(verify_archive(args.archive)))
             return 0
         res = compare_archives(args.a, args.b)
