@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": training.q_corpus_clean,
         "minhash_lsh": training.q_minhash_lsh,
         "simhash": training.q_simhash,
+        "minhash_planted": training.q_minhash_planted,
+        "simhash_planted": training.q_simhash_planted,
         "embedding_neardup": training.q_embedding_neardup,
         "neardup_planted": training.q_neardup_planted,
         # similarity search
@@ -97,14 +99,19 @@ def _q_route_tiles(sf_dir: str):
 
 
 def _q_zoom_summary(sf_dir: str):
-    import ray.data
-
+    """Archive stats (tilestats analogue) over the ASSEMBLED places layer —
+    reduced to the oracle-expressible deterministic core (z, n_tiles,
+    n_features); byte statistics stay available via stats.zoom_summary on
+    the full flagship build (encode-dependent, not SQL-mirrorable)."""
     from planetiler_ray.pipelines import flagship, stats
+    from planetiler_ray.pipelines.profile import TilingProfile, flagship_profile
 
-    tiles = flagship.tiles_ds(sf_dir, zooms=[2, 6], n_buckets=64)
-    import pandas as pd
-
-    return stats.zoom_summary(tiles)
+    full = flagship_profile()
+    places_only = TilingProfile(name="places-only", description="stats twin")
+    places_only.add(full.layers["places"])
+    rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
+    tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
+    return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
 
 
 def _sql_way_assembly() -> str:
@@ -186,10 +193,13 @@ def _sql_pbf_relation_members() -> str:
 
 
 def _q_yaml_tiles(sf_dir: str):
+    """No-code YAML pipeline, reduced to the oracle-expressible core
+    (tile_id + per-tile kept-feature count; n_bytes is encode-dependent
+    and stays available on the full Dataset)."""
     from planetiler_ray.pipelines import yamlprofile as Y
 
     return Y.build_yaml_tiles(sf_dir, Y.SAMPLE_SCHEMA, zooms=[2, 6]).select_columns(
-        ["tile_id", "z", "tile_x", "tile_y", "n_features", "n_bytes"]
+        ["tile_id", "z", "tile_x", "tile_y", "n_features"]
     )
 
 
@@ -227,6 +237,13 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),
         "media_frames": oracle.sql_media_frames(),
+        "zoom_summary": oracle.sql_zoom_summary(),
+        "yaml_tiles": oracle.sql_yaml_tiles(),
+        "minhash_planted": "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b FROM documents",
+        "simhash_planted": (
+            "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b,"
+            " CAST(0 AS BIGINT) AS hamming FROM documents"
+        ),
         "way_assembly": _sql_way_assembly(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

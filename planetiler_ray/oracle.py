@@ -766,3 +766,119 @@ pairs AS (
 SELECT a, b, (shared * 1000) // (na + nb - shared) AS j1000
 FROM pairs WHERE (shared * 1000) // (na + nb - shared) >= {t}
 """
+
+
+def sql_zoom_summary(zooms=(2, 6), grid: float = 64.0, limit: int = 8) -> str:
+    """Mirror of the places-only archive stats: per zoom, tiles with >=1
+    (buffered) hit and features kept after the exact label-grid top-k —
+    the same CTE chain as ``sql_labelgrid_counts`` aggregated per z."""
+    return f"""
+SELECT z, CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(n) AS BIGINT) AS n_features
+FROM ({sql_labelgrid_counts(zooms, grid, limit)}) lg
+GROUP BY z
+"""
+
+
+def _sql_hits_from(tag: str, src: str, zooms, buffer_px: float = 4.0,
+                   extent: int = 256) -> str:
+    """Generic buffered-slicing chain over a CTE ``src(fid, lat, lon)`` —
+    the ``_sql_buffered_hits`` 9-neighbor box test parameterized by source
+    (suffix ``tag`` keeps multiple chains in one query).  Requires ``zs``
+    and ``nb`` CTEs in scope."""
+    buf = repr(buffer_px / extent)
+    sinlat = "sin(radians(least(greatest(s.lat, {mn!r}), {mx!r})))".format(
+        mn=-MAX_LAT, mx=MAX_LAT
+    )
+    worldx = "((s.lon + 180.0) / 360.0)"
+    worldy = (
+        f"least(greatest(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat}))"
+        " / pi(), 0.0), 1.0)"
+    )
+    return f"""
+scaled_{tag} AS (
+    SELECT s.fid, zs.z, (1 << zs.z) AS n,
+           {worldx} * (1 << zs.z) AS sx,
+           {worldy} * (1 << zs.z) AS sy
+    FROM {src} s CROSS JOIN zs
+),
+base_{tag} AS (
+    SELECT *, least(greatest(CAST(floor(sx) AS BIGINT), 0), n - 1) AS bx,
+              least(greatest(CAST(floor(sy) AS BIGINT), 0), n - 1) AS by
+    FROM scaled_{tag}
+),
+hits_{tag} AS (
+    SELECT b.z, ((b.bx + nb.dx) % b.n + b.n) % b.n AS tile_x,
+           b.by + nb.dy AS tile_y, b.fid,
+           CAST((b.sx - (b.bx + nb.dx)) * {extent} AS REAL) AS px,
+           CAST((b.sy - (b.by + nb.dy)) * {extent} AS REAL) AS py
+    FROM base_{tag} b CROSS JOIN nb
+    WHERE b.by + nb.dy >= 0 AND b.by + nb.dy < b.n
+      AND b.sx >= b.bx + nb.dx - {buf} AND b.sx <= b.bx + nb.dx + 1 + {buf}
+      AND b.sy >= b.by + nb.dy - {buf} AND b.sy <= b.by + nb.dy + 1 + {buf}
+)"""
+
+
+def sql_yaml_tiles(zooms=(2, 6), grid: float = 64.0, limit: int = 4,
+                   hot_admin: int = 17) -> str:
+    """Mirror of the SAMPLE_SCHEMA no-code pipeline (count core):
+    en_places (lang in en/fr, label-grid 64px top-4), hot_admin
+    (admin_id = 17 rect containment), admin_labels (one centroid label
+    point per admin rect) — per-tile kept-feature totals."""
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W}"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H}"
+    zl = ", ".join(str(z) for z in zooms)
+    return f"""
+WITH {POINTS_CTE},
+zs AS (SELECT UNNEST([{zl}]) AS z),
+nb AS (
+    SELECT dx.dx, dy.dy FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx
+    CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+),
+enr AS (
+    SELECT p.doc_id, p.mention_idx, p.lat, p.lon, d.lang, n.n_nationkey AS admin_id
+    FROM points p
+    JOIN documents d USING (doc_id)
+    LEFT JOIN nation n
+      ON p.lon >= {lon_w} AND p.lon < {lon_w} + {W.ADMIN_LON_W}
+     AND p.lat >= {lat_s} AND p.lat < {lat_s} + {W.ADMIN_LAT_H}
+),
+src_en AS (
+    SELECT doc_id * 8 + mention_idx AS fid, lat, lon FROM enr
+    WHERE lang IN ('en', 'fr')
+),
+src_hot AS (
+    SELECT doc_id * 8 + mention_idx AS fid, lat, lon FROM enr
+    WHERE admin_id = {hot_admin}
+),
+src_lab AS (
+    SELECT n.n_nationkey AS fid,
+           {lat_s} + {W.ADMIN_LAT_H} / 2.0 AS lat,
+           {lon_w} + {W.ADMIN_LON_W} / 2.0 AS lon
+    FROM nation n
+),
+{_sql_hits_from('en', 'src_en', zooms)},
+{_sql_hits_from('hot', 'src_hot', zooms)},
+{_sql_hits_from('lab', 'src_lab', zooms)},
+ranked_en AS (
+    SELECT z, tile_x, tile_y,
+           row_number() OVER (
+               PARTITION BY z, tile_x, tile_y,
+                   CAST(floor(px / {grid!r}) AS BIGINT) * 100003
+                       + CAST(floor(py / {grid!r}) AS BIGINT)
+               ORDER BY fid) AS rn
+    FROM hits_en
+),
+counts AS (
+    SELECT z, tile_x, tile_y, count(*) AS n FROM ranked_en
+    WHERE rn <= {limit} GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT z, tile_x, tile_y, count(*) FROM hits_hot GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT z, tile_x, tile_y, count(*) FROM hits_lab GROUP BY 1, 2, 3
+)
+SELECT ((CAST(1 AS BIGINT) << (2 * z)) - 1) // 3
+           + tile_y * (CAST(1 AS BIGINT) << z) + tile_x AS tile_id,
+       z, tile_x, tile_y, CAST(sum(n) AS BIGINT) AS n_features
+FROM counts GROUP BY 1, 2, 3, 4
+"""

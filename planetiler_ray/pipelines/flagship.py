@@ -128,19 +128,13 @@ def shuffle_partitions(default_per_core: int = 2, floor: int = 64) -> int:
     return max(floor, default_per_core * cores)
 
 
-def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024,
-             repl: int = 1, prune: bool = True,
-             partitions: int | None = None) -> ray.data.Dataset:
-    """Assembled tiles: one row per (z, x, y) with gzipped MVT bytes.
-
-    ONE shuffle: rows are hash-bucketed by tile_id (load-balanced across
-    zooms) and whole buckets are assembled per map_groups call.
-    """
+def assemble_tiles(rows: ray.data.Dataset, profile, n_buckets: int = 1024,
+                   partitions: int | None = None) -> ray.data.Dataset:
+    """Bucket-shuffle + per-bucket tile assembly over a tile-row Dataset
+    (the reusable back half of :func:`tiles_ds`)."""
     from ..sinks.files import add_bucket
     from ..stages.assemble import make_bucket_assembler
 
-    profile = profile or flagship_profile()
-    rows = tile_rows_ds(sf_dir, zooms, repl, prune)
     if partitions is None:
         partitions = shuffle_partitions()
     return (
@@ -157,6 +151,19 @@ def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024,
             batch_format="pyarrow",
         )
     )
+
+
+def tiles_ds(sf_dir: str, zooms=None, profile=None, n_buckets: int = 1024,
+             repl: int = 1, prune: bool = True,
+             partitions: int | None = None) -> ray.data.Dataset:
+    """Assembled tiles: one row per (z, x, y) with gzipped MVT bytes.
+
+    ONE shuffle: rows are hash-bucketed by tile_id (load-balanced across
+    zooms) and whole buckets are assembled per map_groups call.
+    """
+    profile = profile or flagship_profile()
+    rows = tile_rows_ds(sf_dir, zooms, repl, prune)
+    return assemble_tiles(rows, profile, n_buckets, partitions)
 
 
 def tile_summary_ds(sf_dir: str, zooms=None) -> ray.data.Dataset:

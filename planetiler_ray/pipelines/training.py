@@ -4,6 +4,7 @@ windows — each returns a Dataset from ``sf_dir`` (driver contract)."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
@@ -64,6 +65,54 @@ def q_minhash_lsh(sf_dir: str):
 def q_simhash(sf_dir: str):
     """SimHash near-dup pairs, hamming <= 3 (rows-only check)."""
     return dedup.simhash_candidates(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def planted_text_ds(sf_dir: str, n_words: int = 24, stride: int = 40):
+    """Decoration-invariant planted near-dup corpus (the neardup_planted
+    trick applied to the TEXT dedup suite): docs 2d and 2d+1 tokenize to
+    the SAME word sequence (2d+1 is uppercased with punctuation inserted),
+    while distinct d share no words at all (disjoint word-id ranges).  The
+    expected near-dup pair set is therefore exactly {(2d, 2d+1)}, which a
+    one-line SQL twin derives — turning the probabilistic LSH/simhash
+    operators into exact-oracle queries on this corpus."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        text_a = np.full(len(d), "", dtype=object)
+        cols = [
+            np.char.add("w", (d * stride + j).astype("U16"))
+            for j in range(n_words)
+        ]
+        text_a = cols[0]
+        for c in cols[1:]:
+            text_a = np.char.add(np.char.add(text_a, " "), c)
+        text_b = np.char.replace(np.char.upper(text_a), " ", " , ")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([d * 2, d * 2 + 1]), pa.int64()
+                ),
+                "text": pa.array(
+                    np.concatenate([text_a, text_b]).tolist(), pa.string()
+                ),
+            }
+        )
+
+    return docs_ds(sf_dir, ["doc_id"]).map_batches(plant, batch_format="pyarrow")
+
+
+def q_minhash_planted(sf_dir: str):
+    """MinHash+LSH over the planted corpus — exact pair-set oracle
+    (identical shingle sets => all bands collide; disjoint vocabularies
+    => no other candidates)."""
+    sigs = dedup.minhash_signatures(planted_text_ds(sf_dir))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def q_simhash_planted(sf_dir: str):
+    """SimHash blocking over the planted corpus — exact oracle (siblings
+    hash identically => hamming 0)."""
+    return dedup.simhash_candidates(planted_text_ds(sf_dir))
 
 
 def q_text_stats(sf_dir: str):

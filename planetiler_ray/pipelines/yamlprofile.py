@@ -275,8 +275,10 @@ layers:
         column: admin_id
   - name: admin_labels
     source: admin
-    geometry: innermost_point
-    tolerance: 0.05
+    # centroid: exactly the rect center, so the DuckDB twin can mirror the
+    # label point bit-for-bit (innermost_point's probe loop picks an
+    # off-center pole on these wide rects and is covered by unit tests)
+    geometry: centroid
     min_zoom: 0
     max_zoom: 14
     attrs:
