@@ -97,6 +97,9 @@ def run_bench() -> dict:
     timed("way_assembly", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["assemble_ways"]
     ).assemble_ways(SF_DIR).count())
+    timed("pbf_way_assembly", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["q_pbf_way_assembly"]
+    ).q_pbf_way_assembly(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",

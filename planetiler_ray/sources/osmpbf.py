@@ -41,12 +41,13 @@ import pyarrow as pa
 # ------------------------------------------------------- varint kernels --
 
 
-def pack_varints(vals: np.ndarray) -> np.ndarray:
-    """LEB128-encode a uint64 array -> flat uint8 buffer (vectorized)."""
+def pack_varints2(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array -> (flat uint8 buffer, bytes-per-value)
+    (vectorized; the length vector drives the framing emitters)."""
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return np.empty(0, np.uint8)
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     nb = np.ones(n, np.int64)
     x = v >> np.uint64(7)
     while x.any():
@@ -60,7 +61,36 @@ def pack_varints(vals: np.ndarray) -> np.ndarray:
         byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         more = (nb[m] - 1 > j).astype(np.uint8)
         out[starts[m] + j] = byte | (more << 7)
+    return out, nb
+
+
+def pack_varints(vals: np.ndarray) -> np.ndarray:
+    return pack_varints2(vals)[0]
+
+
+def _segment_sum(values: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Sum of consecutive segments (segment i has lens[i] elements), with
+    zero-length segments allowed -> int64 per segment."""
+    n = len(lens)
+    out = np.zeros(n, np.int64)
+    ne = lens > 0
+    if not ne.any():
+        return out
+    starts = (np.concatenate([[0], np.cumsum(lens)])[:-1])[ne]
+    out[ne] = np.add.reduceat(values, starts)
     return out
+
+
+def _scatter_segments(out: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
+                      seg_lens: np.ndarray) -> None:
+    """Copy consecutive segments of ``src`` (segment i has seg_lens[i]
+    bytes, packed back-to-back) to out[dst_off[i]:...] — one vectorized
+    scatter for all segments."""
+    if len(src) == 0:
+        return
+    src_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+    shift = np.repeat(dst_off - src_off, seg_lens)
+    out[np.arange(len(src), dtype=np.int64) + shift] = src
 
 
 def unpack_varints(buf: np.ndarray) -> np.ndarray:
@@ -260,6 +290,13 @@ class PbfWriter:
 
     def write_ways(self, ids: np.ndarray, refs_flat: np.ndarray,
                    refs_lens: np.ndarray, tags: list | None = None):
+        """Vectorized block emitter: every varint (ids, per-way delta-coded
+        refs, tag sids, all length prefixes) is packed in ONE
+        ``pack_varints2`` call per field across the whole block, and the
+        message framing is assembled with arithmetic offsets + segment
+        scatters — no per-way Python packing (round-3 rework: the per-way
+        loop was 516k numpy calls / 23 s for a 150k-way fixture; this
+        emits the identical bytes in ~1 s)."""
         ids = np.ascontiguousarray(ids, np.int64)
         refs_lens = np.ascontiguousarray(refs_lens, np.int64)
         roffs = np.concatenate([[0], np.cumsum(refs_lens)])
@@ -267,33 +304,35 @@ class PbfWriter:
             e = min(len(ids), s + BLOCK_ENTITIES)
             strings = [b""]
             sid = {b"": 0}
-            msgs = []
-            for i in range(s, e):
-                refs = np.asarray(refs_flat[roffs[i] : roffs[i + 1]], np.int64)
-                body = _field(1, 0) + _varint(int(ids[i]))
-                if tags is not None and tags[i]:
-                    ks, vs = [], []
-                    for k, v in tags[i]:
+            key_sids, val_sids, tag_lens = [], [], np.zeros(e - s, np.int64)
+            if tags is not None:
+                for i in range(s, e):
+                    for k, v in tags[i] or ():
                         for t in (k.encode(), v.encode()):
                             if t not in sid:
                                 sid[t] = len(strings)
                                 strings.append(t)
-                        ks.append(sid[k.encode()])
-                        vs.append(sid[v.encode()])
-                    body += _len_delim(2, pack_varints(np.array(ks, np.uint64)).tobytes())
-                    body += _len_delim(3, pack_varints(np.array(vs, np.uint64)).tobytes())
-                body += _len_delim(
-                    8, pack_varints(zigzag_encode(delta_encode(refs))).tobytes()
-                )
-                msgs.append(_len_delim(3, body))
+                        key_sids.append(sid[k.encode()])
+                        val_sids.append(sid[v.encode()])
+                    tag_lens[i - s] = len(tags[i] or ())
+            group = _encode_ways_block(
+                ids[s:e],
+                np.asarray(refs_flat[roffs[s] : roffs[e]], np.int64),
+                refs_lens[s:e],
+                np.array(key_sids, np.uint64),
+                np.array(val_sids, np.uint64),
+                tag_lens,
+            )
             self._write_blob(
-                "OSMData", self._primitive_block(b"".join(msgs), strings)
+                "OSMData", self._primitive_block(group.tobytes(), strings)
             )
 
     def write_relations(self, ids: np.ndarray, mem_flat: np.ndarray,
                         mem_lens: np.ndarray, types_flat: np.ndarray,
                         roles_flat: list, tags: list | None = None):
-        """types: 0=node 1=way 2=relation; roles_flat: list[str] per member."""
+        """types: 0=node 1=way 2=relation; roles_flat: list[str] per member.
+        Same vectorized block emitter as :meth:`write_ways` (fields 8/9/10:
+        roles_sid, delta-coded memids, types)."""
         ids = np.ascontiguousarray(ids, np.int64)
         mem_lens = np.ascontiguousarray(mem_lens, np.int64)
         moffs = np.concatenate([[0], np.cumsum(mem_lens)])
@@ -301,41 +340,39 @@ class PbfWriter:
             e = min(len(ids), s + BLOCK_ENTITIES)
             strings = [b""]
             sid = {b"": 0}
-            msgs = []
-            for i in range(s, e):
-                lo, hi = moffs[i], moffs[i + 1]
-                body = _field(1, 0) + _varint(int(ids[i]))
-                if tags is not None and tags[i]:
-                    ks, vs = [], []
-                    for k, v in tags[i]:
+            key_sids, val_sids = [], []
+            tag_lens = np.zeros(e - s, np.int64)
+            if tags is not None:
+                for i in range(s, e):
+                    for k, v in tags[i] or ():
                         for t in (k.encode(), v.encode()):
                             if t not in sid:
                                 sid[t] = len(strings)
                                 strings.append(t)
-                        ks.append(sid[k.encode()])
-                        vs.append(sid[v.encode()])
-                    body += _len_delim(2, pack_varints(np.array(ks, np.uint64)).tobytes())
-                    body += _len_delim(3, pack_varints(np.array(vs, np.uint64)).tobytes())
-                rids = []
-                for r in roles_flat[lo:hi]:
-                    rb = r.encode()
-                    if rb not in sid:
-                        sid[rb] = len(strings)
-                        strings.append(rb)
-                    rids.append(sid[rb])
-                body += _len_delim(8, pack_varints(np.array(rids, np.uint64)).tobytes())
-                body += _len_delim(
-                    9,
-                    pack_varints(
-                        zigzag_encode(delta_encode(np.asarray(mem_flat[lo:hi], np.int64)))
-                    ).tobytes(),
-                )
-                body += _len_delim(
-                    10, pack_varints(np.asarray(types_flat[lo:hi], np.uint64)).tobytes()
-                )
-                msgs.append(_len_delim(4, body))
+                        key_sids.append(sid[k.encode()])
+                        val_sids.append(sid[v.encode()])
+                    tag_lens[i - s] = len(tags[i] or ())
+            rids = np.empty(int(moffs[e] - moffs[s]), np.uint64)
+            for j, r in enumerate(roles_flat[moffs[s] : moffs[e]]):
+                rb = r.encode()
+                if rb not in sid:
+                    sid[rb] = len(strings)
+                    strings.append(rb)
+                rids[j] = sid[rb]
+            lens = mem_lens[s:e]
+            mems = np.asarray(mem_flat[moffs[s] : moffs[e]], np.int64)
+            group = _encode_entity_block(
+                0x22, ids[s:e],  # field 4: PrimitiveGroup.relations
+                [
+                    (0x42, rids, lens),  # roles_sid
+                    (0x4A, _delta_zigzag_flat(mems, lens), lens),  # memids
+                    (0x52, np.asarray(types_flat[moffs[s] : moffs[e]], np.uint64), lens),
+                ],
+                np.array(key_sids, np.uint64), np.array(val_sids, np.uint64),
+                tag_lens,
+            )
             self._write_blob(
-                "OSMData", self._primitive_block(b"".join(msgs), strings)
+                "OSMData", self._primitive_block(group.tobytes(), strings)
             )
 
     def close(self):
@@ -346,6 +383,102 @@ class PbfWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _encode_entity_block(frame_byte: int, ids: np.ndarray,
+                         packed_fields: list, key_sids: np.ndarray,
+                         val_sids: np.ndarray, tag_lens: np.ndarray) -> np.ndarray:
+    """All messages of one entity kind (Way / Relation) as a flat uint8
+    array — byte-identical to the per-entity scalar framing, fully
+    vectorized (every varint of the block packed in one ``pack_varints2``
+    call per field; framing assembled by arithmetic offsets + segment
+    scatters).
+
+    ``packed_fields``: ordered ``(header_byte, flat_uint64_values, lens)``
+    for the trailing packed fields (e.g. Way.refs = ``(0x42, zz, lens)``;
+    Relation roles/memids/types = fields 8/9/10).  Wire layout per entity::
+
+        frame_byte varint(body_len)
+          0x08 varint(id)
+          [0x12 varint(len) packed-keys] [0x1A varint(len) packed-vals]
+          {header varint(len) packed-values}  x len(packed_fields)
+    """
+    n = len(ids)
+    if n == 0:
+        return np.empty(0, np.uint8)
+    packed_ids, id_nb = pack_varints2(ids.astype(np.uint64))
+
+    ht = tag_lens > 0
+    packed_keys, key_nb = pack_varints2(key_sids)
+    packed_vals, val_nb = pack_varints2(val_sids)
+    keys_blen = _segment_sum(key_nb, tag_lens)
+    vals_blen = _segment_sum(val_nb, tag_lens)
+    keypref = valpref = np.empty(0, np.uint8)
+    keypref_nb = np.zeros(n, np.int64)
+    valpref_nb = np.zeros(n, np.int64)
+    if ht.any():
+        keypref, kp_nb = pack_varints2(keys_blen[ht].astype(np.uint64))
+        valpref, vp_nb = pack_varints2(vals_blen[ht].astype(np.uint64))
+        keypref_nb[ht] = kp_nb
+        valpref_nb[ht] = vp_nb
+    tag_part = np.where(
+        ht, 1 + keypref_nb + keys_blen + 1 + valpref_nb + vals_blen, 0
+    )
+
+    fields = []  # (header, packed, blen, pref, pref_nb)
+    fields_part = np.zeros(n, np.int64)
+    for header, values, lens in packed_fields:
+        packed, nb = pack_varints2(values)
+        blen = _segment_sum(nb, np.ascontiguousarray(lens, np.int64))
+        pref, pref_nb = pack_varints2(blen.astype(np.uint64))
+        fields.append((header, packed, blen, pref, pref_nb))
+        fields_part += 1 + pref_nb + blen
+
+    body_len = 1 + id_nb + tag_part + fields_part
+    blpref, bl_nb = pack_varints2(body_len.astype(np.uint64))
+    frame_len = 1 + bl_nb + body_len
+    off = np.concatenate([[0], np.cumsum(frame_len)])
+    out = np.zeros(int(off[-1]), np.uint8)
+    p = off[:-1]
+    out[p] = frame_byte
+    _scatter_segments(out, p + 1, blpref, bl_nb)
+    q = p + 1 + bl_nb
+    out[q] = 0x08  # .id
+    _scatter_segments(out, q + 1, packed_ids, id_nb)
+    q = q + 1 + id_nb
+    if ht.any():
+        out[q[ht]] = 0x12  # .keys
+        _scatter_segments(out, q[ht] + 1, keypref, keypref_nb[ht])
+        _scatter_segments(out, q + 1 + keypref_nb, packed_keys, keys_blen)
+        q2 = q + np.where(ht, 1 + keypref_nb + keys_blen, 0)
+        out[q2[ht]] = 0x1A  # .vals
+        _scatter_segments(out, q2[ht] + 1, valpref, valpref_nb[ht])
+        _scatter_segments(out, q2 + 1 + valpref_nb, packed_vals, vals_blen)
+        q = q2 + np.where(ht, 1 + valpref_nb + vals_blen, 0)
+    for header, packed, blen, pref, pref_nb in fields:
+        out[q] = header
+        _scatter_segments(out, q + 1, pref, pref_nb)
+        _scatter_segments(out, q + 1 + pref_nb, packed, blen)
+        q = q + 1 + pref_nb + blen
+    return out
+
+
+def _delta_zigzag_flat(values_flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-segment delta encode + zigzag over a flat array (vectorized)."""
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    d = np.ascontiguousarray(values_flat, np.int64).copy()
+    if len(d):
+        d[1:] -= values_flat[:-1]
+        d[starts[lens > 0]] = values_flat[starts[lens > 0]]
+    return zigzag_encode(d)
+
+
+def _encode_ways_block(ids, refs_flat, refs_lens, key_sids, val_sids,
+                       tag_lens) -> np.ndarray:
+    zz = _delta_zigzag_flat(refs_flat, refs_lens)
+    return _encode_entity_block(
+        0x1A, ids, [(0x42, zz, refs_lens)], key_sids, val_sids, tag_lens
+    )
 
 
 # ---------------------------------------------------------------- reader --
@@ -532,39 +665,66 @@ def _decode_plain_node(buf, strings):
     return int(nid), int(la), int(lo), tags
 
 
+def _unpack_regions(regions: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY packed-varint byte regions in one concatenated pass ->
+    (flat values, per-region value counts).  Region boundaries fall on
+    varint boundaries, so counts are the end-byte tallies per region —
+    this replaces the per-entity ``unpack_varints`` calls that dominated
+    the round-3 decode profile (48k numpy calls per block)."""
+    concat = np.frombuffer(b"".join(regions), np.uint8)
+    region_lens = np.array([len(r) for r in regions], np.int64)
+    vals = unpack_varints(concat)
+    is_end = (concat & 0x80) == 0
+    cum_ends = np.concatenate([[0], np.cumsum(is_end)])
+    bounds = np.concatenate([[0], np.cumsum(region_lens)])
+    counts = cum_ends[bounds[1:]] - cum_ends[bounds[:-1]]
+    return vals, counts
+
+
+def _tag_dicts(keys: np.ndarray, vals: np.ndarray, lens: np.ndarray,
+               strings: list) -> list:
+    """Per-entity tag dicts from flat key/val string ids."""
+    if not lens.any():
+        return [{}] * len(lens)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    return [
+        {
+            strings[keys[j]]: strings[vals[j]]
+            for j in range(offs[i], offs[i + 1])
+        }
+        for i in range(len(lens))
+    ]
+
+
 def _decode_ways(bodies, strings, ways):
-    """Frame loop per way (id + byte regions), then ONE vectorized
-    varint/zigzag/segmented-delta pass over every way's refs."""
+    """Frame loop per way (byte regions only), then ONE vectorized
+    varint/zigzag/segmented-delta pass over every way's refs and one
+    concatenated pass each for keys/vals."""
     ids = np.empty(len(bodies), np.int64)
-    ref_regions = []
+    ref_regions, key_regions, val_regions = [], [], []
     for i, body in enumerate(bodies):
         wid = 0
-        refs_buf = b""
-        ks = vs = None
+        refs_buf = ks_buf = vs_buf = b""
         for num, wire, val in _scan_fields(body):
             if num == 1:
                 wid = val
             elif num == 2:
-                ks = unpack_varints(np.frombuffer(bytes(val), np.uint8))
+                ks_buf = bytes(val)
             elif num == 3:
-                vs = unpack_varints(np.frombuffer(bytes(val), np.uint8))
+                vs_buf = bytes(val)
             elif num == 8:
                 refs_buf = bytes(val)
         ids[i] = wid
         ref_regions.append(refs_buf)
-        if ks is not None and vs is not None:
-            ways["tags"].append({strings[k]: strings[v] for k, v in zip(ks, vs)})
-        else:
-            ways["tags"].append({})
-    concat = np.frombuffer(b"".join(ref_regions), np.uint8)
-    region_lens = np.array([len(r) for r in ref_regions], np.int64)
-    vals = zigzag_decode(unpack_varints(concat))
-    # per-region varint counts: count of end-bytes inside each byte region
-    is_end = (concat & 0x80) == 0
-    cum_ends = np.concatenate([[0], np.cumsum(is_end)])
-    bounds = np.concatenate([[0], np.cumsum(region_lens)])
-    lens = cum_ends[bounds[1:]] - cum_ends[bounds[:-1]]
-    refs = segmented_delta_decode(vals, lens)
+        key_regions.append(ks_buf)
+        val_regions.append(vs_buf)
+    vals, lens = _unpack_regions(ref_regions)
+    refs = segmented_delta_decode(zigzag_decode(vals), lens)
+    kflat, klens = _unpack_regions(key_regions)
+    vflat, _ = _unpack_regions(val_regions)
+    ways["tags"].extend(
+        _tag_dicts(kflat.astype(np.int64), vflat.astype(np.int64), klens, strings)
+    )
     ways["id"].append(ids)
     ways["refs_flat"].append(refs)
     ways["refs_lens"].append(lens)
@@ -573,17 +733,17 @@ def _decode_ways(bodies, strings, ways):
 def _decode_relations(bodies, strings, rels):
     ids = np.empty(len(bodies), np.int64)
     mem_regions, type_regions, role_regions = [], [], []
+    key_regions, val_regions = [], []
     for i, body in enumerate(bodies):
         rid = 0
-        mem_buf = typ_buf = rol_buf = b""
-        ks = vs = None
+        mem_buf = typ_buf = rol_buf = ks_buf = vs_buf = b""
         for num, wire, val in _scan_fields(body):
             if num == 1:
                 rid = val
             elif num == 2:
-                ks = unpack_varints(np.frombuffer(bytes(val), np.uint8))
+                ks_buf = bytes(val)
             elif num == 3:
-                vs = unpack_varints(np.frombuffer(bytes(val), np.uint8))
+                vs_buf = bytes(val)
             elif num == 8:
                 rol_buf = bytes(val)
             elif num == 9:
@@ -594,29 +754,22 @@ def _decode_relations(bodies, strings, rels):
         mem_regions.append(mem_buf)
         type_regions.append(typ_buf)
         role_regions.append(rol_buf)
-        if ks is not None and vs is not None:
-            rels["tags"].append({strings[k]: strings[v] for k, v in zip(ks, vs)})
-        else:
-            rels["tags"].append({})
-    concat = np.frombuffer(b"".join(mem_regions), np.uint8)
-    region_lens = np.array([len(r) for r in mem_regions], np.int64)
-    vals = zigzag_decode(unpack_varints(concat))
-    is_end = (concat & 0x80) == 0
-    cum_ends = np.concatenate([[0], np.cumsum(is_end)])
-    bounds = np.concatenate([[0], np.cumsum(region_lens)])
-    lens = cum_ends[bounds[1:]] - cum_ends[bounds[:-1]]
-    mems = segmented_delta_decode(vals, lens)
-    types = unpack_varints(
-        np.frombuffer(b"".join(type_regions), np.uint8)
-    ).astype(np.int64)
-    roles_sid = unpack_varints(
-        np.frombuffer(b"".join(role_regions), np.uint8)
-    ).astype(np.int64)
+        key_regions.append(ks_buf)
+        val_regions.append(vs_buf)
+    vals, lens = _unpack_regions(mem_regions)
+    mems = segmented_delta_decode(zigzag_decode(vals), lens)
+    types, _ = _unpack_regions(type_regions)
+    roles_sid, _ = _unpack_regions(role_regions)
+    kflat, klens = _unpack_regions(key_regions)
+    vflat, _ = _unpack_regions(val_regions)
+    rels["tags"].extend(
+        _tag_dicts(kflat.astype(np.int64), vflat.astype(np.int64), klens, strings)
+    )
     rels["id"].append(ids)
     rels["mem_flat"].append(mems)
     rels["mem_lens"].append(lens)
-    rels["types_flat"].append(types)
-    rels["roles_flat"].extend(strings[s] for s in roles_sid)
+    rels["types_flat"].append(types.astype(np.int64))
+    rels["roles_flat"].extend(strings[s] for s in roles_sid.astype(np.int64))
 
 
 def read_blob_entities(path: str, offset: int, size: int) -> dict:

@@ -116,13 +116,19 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     collision probability negligible at any practical corpus size.
 
     The hash is purely internal (the dedup output exposes keep_id/n_dups,
-    and the oracle groups by the text itself), so round 3 swapped the
-    per-row Python md5 loop for the vectorized Arrow-buffer FNV pair —
-    O(total bytes) numpy passes, no Python loop.
+    and the oracle groups by the text itself).  Round 3 measured THREE
+    candidate implementations on document-length rows — per-row C digest
+    over zero-copy buffer slices, the byte-sweep FNV pair, a power-table
+    polynomial hash — and the C digest won ~10x (see
+    ``functions/vmd5.digest_rows``): numpy "vectorization" loses to
+    SHA-NI when rows are hundreds of bytes long.
     """
-    from ..functions.vhash import fnv128_arrow
+    from ..functions.vmd5 import digest128_u64_arrow
 
-    his, los = fnv128_arrow(batch.column(col))
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    his, los = digest128_u64_arrow(c)
     return batch.append_column(
         "hash_hi", pa.array(his.astype(np.int64), pa.int64())
     ).append_column("hash_lo", pa.array(los.astype(np.int64), pa.int64()))
@@ -173,6 +179,33 @@ def _bucket_pairs(ids: np.ndarray, cap: int = PAIR_CAP):
         ii, jj = np.triu_indices(m, k=1)
         return ii.astype(np.int64), jj.astype(np.int64)
     return np.zeros(m - 1, dtype=np.int64), np.arange(1, m, dtype=np.int64)
+
+
+def _runs_pairs(run_starts: np.ndarray, run_lens: np.ndarray, cap: int):
+    """Index pairs (i < j positions) within MANY runs at once, vectorized —
+    ``_bucket_pairs`` semantics (all pairs <= cap, star edges above) without
+    a per-run Python call.  Elements within a run must be sorted by doc id
+    so position order implies id order."""
+    n = int(run_lens.sum())
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+    m = np.repeat(run_lens, run_lens)
+    small = m <= cap
+    # pairs per element: k previous partners in small runs, 1 star edge in big
+    ppe = np.where(pos == 0, 0, np.where(small, pos, 1))
+    total = int(ppe.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    jj = np.repeat(np.arange(n, dtype=np.int64), ppe)
+    rstart = np.repeat(run_starts, run_lens)
+    pair_off = np.concatenate([[0], np.cumsum(ppe)])[:-1]
+    ii = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(pair_off, ppe)
+        + np.repeat(rstart, ppe)
+    )
+    return ii, jj
 
 
 def _dedup_pairs(cand, extra_min: dict | None = None):
@@ -245,8 +278,18 @@ def minhash_signatures(ds, col: str = "text", k: int = 3):
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
+LSH_PAIR_BUCKETS = 256
+
+
 def lsh_candidate_pairs(sig_ds, cap: int = PAIR_CAP):
-    """Band signatures -> candidate near-dup pairs (a < b), deduplicated."""
+    """Band signatures -> candidate near-dup pairs (a < b), deduplicated.
+
+    Round-3 scale fix: grouping by the raw (band, key) made ``map_groups``
+    fire once per ~2-member bucket — millions of tiny pandas calls.  The
+    shuffle key is now a HASH BUCKET of (band, key): each group call gets
+    thousands of complete buckets and emits every run's pairs with one
+    lexsort + the vectorized ``_runs_pairs`` kernel.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
@@ -255,23 +298,43 @@ def lsh_candidate_pairs(sig_ds, cap: int = PAIR_CAP):
             bands.append(np.full(len(doc), b, dtype=np.int64))
             keys.append(batch.column(f"band_{b}").to_numpy())
             docs.append(doc)
+        band = np.concatenate(bands)
+        key = np.concatenate(keys)
+        bkt = (
+            (key.view(np.uint64) ^ (band.view(np.uint64) * _COMBINE_PRIME))
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) >> np.uint64(64 - 8)  # top bits -> 256 buckets
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands), pa.int64()),
-                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "band": pa.array(band, pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "bkt": pa.array(bkt.astype(np.int64), pa.int64()),
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        ii, jj = _bucket_pairs(ids, cap)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        band = g.column("band").to_numpy()
+        key = g.column("key").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(doc)))
+        ii, jj = _runs_pairs(starts, lens, cap)
+        return pa.table(
+            {"a": pa.array(doc[ii], pa.int64()), "b": pa.array(doc[jj], pa.int64())}
+        )
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(
+            lambda g: pairs_bucket(g.drop_columns(["bkt"])),
+            batch_format="pyarrow",
+        )
     )
     return _dedup_pairs(cand)
 
@@ -360,22 +423,41 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
             keys.append(key.astype(np.int64))
             docs.append(doc)
             sigs.append(sh.astype(np.int64))
+        tab = np.concatenate(tabs)
+        key = np.concatenate(keys)
+        # hash-bucket shuffle key (round-3 fix: whole buckets per group
+        # call instead of a map_groups per ~2-member (table, key) group)
+        bkt = (
+            (key.view(np.uint64) ^ (tab.view(np.uint64) * _COMBINE_PRIME))
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) >> np.uint64(64 - 8)
         return pa.table(
             {
-                "table": pa.array(np.concatenate(tabs), pa.int64()),
-                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "table": pa.array(tab, pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
                 "simhash": pa.array(np.concatenate(sigs), pa.int64()),
+                "bkt": pa.array(bkt.astype(np.int64), pa.int64()),
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        ii, jj = _bucket_pairs(ids, cap)
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        tab = g.column("table").to_numpy()
+        key = g.column("key").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        sh = g.column("simhash").to_numpy().astype(np.uint64)
+        order = np.lexsort((doc, key, tab))
+        tab, key, doc, sh = tab[order], key[order], doc[order], sh[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = (tab[1:] != tab[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(doc)))
+        ii, jj = _runs_pairs(starts, lens, cap)
+        empty = pa.table(
+            {c: pa.array([], pa.int64()) for c in ("a", "b", "hamming")}
+        )
         if len(ii) == 0:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
+            return empty
         x = sh[ii] ^ sh[jj]
         ham = np.zeros(len(x), dtype=np.int64)
         while True:
@@ -385,12 +467,21 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
             ham[nz] += 1
             x = x & (x - np.uint64(1))
         m = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ii][m], "b": ids[jj][m], "hamming": ham[m]})
+        return pa.table(
+            {
+                "a": pa.array(doc[ii][m], pa.int64()),
+                "b": pa.array(doc[jj][m], pa.int64()),
+                "hamming": pa.array(ham[m], pa.int64()),
+            }
+        )
 
     cand = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["table", "key"])
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(
+            lambda g: pairs_bucket(g.drop_columns(["bkt"])),
+            batch_format="pyarrow",
+        )
     )
     return _dedup_pairs(cand, extra_min={"hamming": "hamming"})
 
