@@ -278,17 +278,27 @@ def encode_tile(layers: dict) -> bytes:
             gtype = f.get("type")
             if gtype is None:
                 gtype = _KIND_TO_TYPE[f["kind"]]
-            commands = f.get("commands")
-            if commands is None:
-                commands = encode_commands(f["kind"], f["parts"])
+            geom_field = f.get("geom_field")  # pre-encoded field-4 bytes
+            commands = None
+            if geom_field is None:
+                commands = f.get("commands")
+                if commands is None:
+                    commands = encode_commands(f["kind"], f["parts"])
             body = bytearray()
-            fid = f.get("id")
-            if fid is not None:
-                body += _field(1, 0) + _varint(int(fid))
+            id_field = f.get("id_field")  # pre-encoded field-1 bytes
+            if id_field is not None:
+                body += id_field
+            else:
+                fid = f.get("id")
+                if fid is not None:
+                    body += _field(1, 0) + _varint(int(fid))
             if tags:
                 body += _len_delim(2, _packed_varints(tags))
             body += _field(3, 0) + _varint(gtype)
-            body += _len_delim(4, _packed_varints(commands))
+            if geom_field is not None:
+                body += geom_field
+            else:
+                body += _len_delim(4, _packed_varints(commands))
             feats += _len_delim(2, bytes(body))
         layer = bytearray()
         layer += _field(15, 0) + _varint(2)  # version
