@@ -95,6 +95,22 @@ def main(argv=None):
 
     if args.cmd == "convert":
         try:
+            if args.src.endswith((".osm.pbf", ".pbf")):
+                # planet ingestion: parallel blob decode -> one parquet
+                # dataset per entity kind (nodes / way_refs / relations)
+                from .sources import osmpbf
+
+                counts = {}
+                for name, reader in (
+                    ("nodes", osmpbf.read_pbf_nodes),
+                    ("way_refs", osmpbf.read_pbf_way_refs),
+                    ("relation_members", osmpbf.read_pbf_relation_members),
+                ):
+                    ds = reader(args.src)
+                    ds.write_parquet(f"{args.out}/{name}")
+                    counts[name] = "written"
+                print(json.dumps({"out": args.out, "tables": counts}))
+                return 0
             if args.src.endswith(".gpkg"):
                 from .sources.geopackage import read_geopackage
 

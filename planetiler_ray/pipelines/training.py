@@ -176,7 +176,7 @@ def q_embedding_neardup(sf_dir: str):
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
+        mat = ann._to_matrix(batch).astype(np.float32)
         # deterministic tiny perturbation seeded by vec_id
         pert = mat.copy()
         for i, v in enumerate(ids):
@@ -254,7 +254,7 @@ def q_neardup_planted(sf_dir: str):
 
     def plant(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float32)
+        mat = ann._to_matrix(batch).astype(np.float32)
         pert = mat.copy()
         for i, v in enumerate(ids):
             rng = np.random.default_rng(int(v))

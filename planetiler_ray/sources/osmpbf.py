@@ -844,3 +844,80 @@ def read_pbf_relation_members(path: str):
     return ray.data.from_items(_data_blob_items(path)).map_batches(
         decode, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------- Ray sink --
+
+
+def write_pbf_nodes_shards(ds, out_dir: str):
+    """Sharded .osm.pbf export of a (node_id, lat_mdeg, lon_mdeg) Dataset:
+    each batch becomes a standalone shard file (own OSMHeader + blobs), so
+    the write is parallel and resumable; every shard is independently
+    readable by ``read_pbf_nodes``.  Returns a manifest Dataset
+    (path, n_nodes)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("node_id").to_numpy()
+        if len(ids) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_nodes": pa.array([], pa.int64())})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        la = batch.column("lat_mdeg").to_numpy()[order] * 1_000_000
+        lo = batch.column("lon_mdeg").to_numpy()[order] * 1_000_000
+        path = os.path.join(out_dir, f"nodes-{int(ids[0]):012d}.osm.pbf")
+        tmp = path + ".tmp"
+        with PbfWriter(tmp) as w:
+            w.write_dense_nodes(ids, la, lo)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_nodes": pa.array([len(ids)], pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow", batch_size=65536)
+
+
+def write_pbf_ways_shards(ds, out_dir: str, n_buckets: int = 64):
+    """Sharded .osm.pbf export of an exploded (way_id, seq, node_id) refs
+    Dataset.  Ways are re-assembled per way-id hash bucket (whole ways per
+    shard regardless of input batching) and each bucket becomes one shard
+    file.  Returns a manifest Dataset (path, n_ways)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        wid = g.column("way_id").to_numpy()
+        if len(wid) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_ways": pa.array([], pa.int64())})
+        seq = g.column("seq").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        order = np.lexsort((seq, wid))
+        wid, nid = wid[order], nid[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(wid)) + 1])
+        ids = wid[starts]
+        lens = np.diff(np.append(starts, len(wid)))
+        bucket = int(ids[0]) % n_buckets
+        path = os.path.join(out_dir, f"ways-{bucket:05d}.osm.pbf")
+        tmp = path + ".tmp"
+        with PbfWriter(tmp) as w:
+            w.write_ways(ids, nid, lens)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_ways": pa.array([len(ids)], pa.int64())})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(
+            lambda g: write_bucket(g.drop_columns(["wbucket"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -148,3 +148,40 @@ def test_ray_readers(pbf_file, ray_session):
     wdf = read_pbf_way_refs(path).to_pandas().sort_values(["way_id", "seq"])
     assert list(wdf["node_id"]) == [10, 20, 35, 4000, 4001, 10]
     assert list(wdf["seq"]) == [1, 2, 3, 1, 2, 3]
+
+
+def test_pbf_shard_sinks(tmp_path, ray_session):
+    import ray.data
+
+    from planetiler_ray.sources.osmpbf import (
+        read_pbf_nodes,
+        read_pbf_way_refs,
+        write_pbf_nodes_shards,
+        write_pbf_ways_shards,
+    )
+
+    nodes = ray.data.from_items(
+        [{"node_id": int(i), "lat_mdeg": int(i % 170000 - 85000),
+          "lon_mdeg": int((i * 7) % 360000 - 180000)} for i in range(1, 501)]
+    )
+    man = write_pbf_nodes_shards(nodes, str(tmp_path / "nodes")).to_pandas()
+    assert man["n_nodes"].sum() == 500
+    back = []
+    for p in man["path"]:
+        back.append(read_pbf_nodes(p).to_pandas())
+    import pandas as pd
+
+    allb = pd.concat(back).sort_values("node_id").reset_index(drop=True)
+    assert len(allb) == 500
+    assert allb["lat_mdeg"].tolist() == [i % 170000 - 85000 for i in range(1, 501)]
+
+    refs = ray.data.from_items(
+        [{"way_id": int(w), "seq": int(s), "node_id": int(w * 100 + s)}
+         for w in range(1, 41) for s in range(1, (w % 5) + 3)]
+    )
+    man2 = write_pbf_ways_shards(refs, str(tmp_path / "ways"), n_buckets=4).to_pandas()
+    assert man2["n_ways"].sum() == 40
+    got = pd.concat([read_pbf_way_refs(p).to_pandas() for p in man2["path"]])
+    got = got.sort_values(["way_id", "seq"]).reset_index(drop=True)
+    exp = refs.to_pandas().sort_values(["way_id", "seq"]).reset_index(drop=True)
+    assert got.equals(exp)
