@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_planted": training.q_simhash_planted,
         "embedding_neardup": training.q_embedding_neardup,
         "neardup_planted": training.q_neardup_planted,
+        "dedup_components": training.q_dedup_components,
         # similarity search
         "ann_brute": training.q_ann_brute,
         "ann_ivf": training.q_ann_ivf,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": training.q_distinct_langs,
         "semi_join": training.q_semi_join,
         "hash_sample": training.q_hash_sample,
+        "stratified_sample": training.q_stratified_sample,
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
         "relation_assembly": _q_relation_assembly,
@@ -236,6 +238,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": oracle.sql_distinct_langs(),
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),
+        "stratified_sample": (
+            "WITH h AS (SELECT event_id, event_type,"
+            " (event_id * 2654435761) % 4294967296 AS hv FROM events),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+            " ORDER BY hv, event_id) AS rn FROM h)"
+            " SELECT event_id, event_type, CAST(hv AS BIGINT) AS hv"
+            " FROM r WHERE rn <= 20"
+        ),
         "media_frames": oracle.sql_media_frames(),
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
@@ -243,6 +253,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_planted": (
             "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b,"
             " CAST(0 AS BIGINT) AS hamming FROM documents"
+        ),
+        "dedup_components": (
+            "WITH e AS (SELECT doc_id - 1 AS a, doc_id AS b"
+            " FROM documents WHERE doc_id % 7 <> 0),"
+            " n AS (SELECT a AS node FROM e UNION SELECT b FROM e)"
+            " SELECT node, node - (node % 7) AS comp FROM n"
         ),
         "way_assembly": _sql_way_assembly(),
         "relation_assembly": _sql_relation_assembly(),

@@ -470,3 +470,36 @@ def q_sliding_window(sf_dir: str):
 
 def q_median_by_type(sf_dir: str):
     return events.median_by_type(events_ds(sf_dir, ["event_type", "value"]))
+
+
+def q_dedup_components(sf_dir: str):
+    """Connected components over a deterministic chain-edge graph derived
+    from the documents table (edge (d-1, d) unless d % 7 == 0): components
+    are the 7-blocks {7k..7k+6}, reached only after the propagation walks
+    the chain (diameter 6) — exercising multiple shuffle-join rounds.
+    Output (node, comp=min id of component); oracle is the closed form."""
+    import pyarrow as pa
+
+    def chain_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        m = d % 7 != 0
+        return pa.table(
+            {
+                "a": pa.array(d[m] - 1, pa.int64()),
+                "b": pa.array(d[m], pa.int64()),
+            }
+        )
+
+    edges = docs_ds(sf_dir, ["doc_id"]).map_batches(chain_edges, batch_format="pyarrow")
+    return dedup.connected_components(edges)
+
+
+def q_stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic k-per-event_type sample (multiplicative-hash rank;
+    exact row_number SQL twin)."""
+    from ..stages.sampling import stratified_sample
+
+    return stratified_sample(
+        events_ds(sf_dir, ["event_id", "event_type"]),
+        group_col="event_type", id_col="event_id", k=k,
+    ).select_columns(["event_id", "event_type", "hv"])

@@ -589,3 +589,123 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
         )
 
     return shared.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------- component clustering --
+
+
+def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
+                         n_buckets: int = 64, max_rounds: int = 32):
+    """Connected components over a near-dup pair Dataset -> (node, comp)
+    with ``comp`` = min node id of the component — the final clustering
+    step of a dedup pipeline (pick one representative per component).
+
+    Distributed min-label propagation: each round ships every node's
+    current label across its edges (bucketed shuffle join, same pattern as
+    the OSM way⋈node join) and keeps the per-node min.  Rounds are bounded
+    by the component diameter; near-dup components are stars/cliques from
+    the pair emitters (diameter <= ~2 per blocking table), so a handful of
+    rounds converges — ``max_rounds`` guards pathological chains.  Labels
+    are materialized once per round (the iterative-algorithm exception to
+    no-mid-pipeline-materialize: each round's output IS the next input).
+    Convergence is detected with an O(1) aggregate (sum of labels is
+    strictly decreasing until fixpoint).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy()
+        b = batch.column(b_col).to_numpy()
+        # both directions so labels flow both ways
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.groupby("u")
+        .aggregate(Min("v", alias_name="_dummy"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("u"),
+                    "label": t.column("u"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def tag(col):
+        def f(batch: pa.Table) -> pa.Table:
+            bk = batch.column(col).to_numpy() % n_buckets
+            return batch.append_column("bkt", pa.array(bk, pa.int64()))
+
+        return f
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # rows: label side (node, label) + edge side (u, v); emit (v, label[u])
+        is_lab = g.column("node").is_valid().to_numpy(zero_copy_only=False)
+        lab_t = g.filter(pa.array(is_lab))
+        edge_t = g.filter(pa.array(~is_lab))
+        nodes = lab_t.column("node").to_numpy()
+        labs = lab_t.column("label").to_numpy()
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, labs_s = nodes[order], labs[order]
+        u = edge_t.column("u").to_numpy()
+        pos = np.searchsorted(nodes_s, u)
+        pos_c = np.minimum(pos, max(len(nodes_s) - 1, 0))
+        ok = (len(nodes_s) > 0) & (pos < len(nodes_s))
+        ok = ok & (nodes_s[pos_c] == u) if len(nodes_s) else np.zeros(len(u), bool)
+        hit = np.flatnonzero(ok)
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([edge_t.column("v").to_numpy()[hit], nodes]),
+                    pa.int64(),
+                ),
+                "cand": pa.array(np.concatenate([labs_s[pos[hit]], labs]), pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab_side = labels.map_batches(tag("node"), batch_format="pyarrow").map_batches(
+            lambda b: b.append_column("u", pa.nulls(b.num_rows, pa.int64()))
+            .append_column("v", pa.nulls(b.num_rows, pa.int64()))
+            .select(["node", "label", "u", "v", "bkt"]),
+            batch_format="pyarrow",
+        )
+        edge_side = edges.map_batches(tag("u"), batch_format="pyarrow").map_batches(
+            lambda b: b.append_column("node", pa.nulls(b.num_rows, pa.int64()))
+            .append_column("label", pa.nulls(b.num_rows, pa.int64()))
+            .select(["node", "label", "u", "v", "bkt"]),
+            batch_format="pyarrow",
+        )
+        labels = (
+            lab_side.union(edge_side)
+            .groupby("bkt")
+            .map_groups(
+                lambda g: join_bucket(g.drop_columns(["bkt"])),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "comp": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,70 @@
+"""Deterministic sampling operators (training-data ops).
+
+* :func:`stratified_sample` — exact top-k per group under a deterministic
+  multiplicative hash ranking: a reproducible uniform-ish stratified
+  sample whose SQL twin is a ``row_number() OVER (PARTITION BY ...)``
+  (same hash, same tiebreak), so the driver can value-check it.
+* ``hash_sample`` (Bernoulli-style 1/m keep by hash) lives in
+  ``pipelines/training.q_hash_sample``.
+
+Scale pattern: each batch keeps its own per-group top-k partial (the
+group cardinality is small — strata like language or event type), so only
+``n_blocks * n_groups * k`` candidate rows reach the final exact
+per-group rank — never a full shuffle of the input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HASH_MULT = 2654435761  # Knuth multiplicative constant (shared w/ oracle)
+HASH_MOD = 1 << 32
+
+
+def _rank_topk(group_keys: np.ndarray, hv: np.ndarray, ids: np.ndarray,
+               k: int) -> np.ndarray:
+    """Indices of rows ranked < k within their group by (hv, id)."""
+    order = np.lexsort((ids, hv, group_keys))
+    gk = group_keys[order]
+    new = np.ones(len(gk), dtype=bool)
+    new[1:] = gk[1:] != gk[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(gk)))
+    rank = np.arange(len(gk)) - np.repeat(starts, lens)
+    return order[rank < k]
+
+
+def stratified_sample(ds, group_col: str, id_col: str, k: int = 20):
+    """Exact deterministic k-per-group sample ranked by
+    ``(id * KNUTH) % 2^32`` then id."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        hv = (ids.astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+        gvals = batch.column(group_col)
+        # factorize group values to int codes for the lexsort
+        codes = gvals.combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        keep = _rank_topk(codes, hv, ids, k)
+        out = batch.take(pa.array(np.sort(keep)))
+        ids_k = out.column(id_col).to_numpy()
+        hv_k = (ids_k.astype(np.uint64) * np.uint64(HASH_MULT)) % np.uint64(HASH_MOD)
+        return out.append_column("hv", pa.array(hv_k.astype(np.int64), pa.int64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        hv = g.column("hv").to_numpy()
+        codes = (
+            g.column(group_col).combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keep = _rank_topk(codes, hv, ids, k)
+        return g.take(pa.array(np.sort(keep)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
