@@ -192,8 +192,11 @@ class PbfWriter:
     # -- entities --
 
     def write_dense_nodes(self, ids: np.ndarray, lat_nano: np.ndarray,
-                          lon_nano: np.ndarray, tags: list | None = None):
-        """tags: optional list (len = n nodes) of [(k, v), ...] per node."""
+                          lon_nano: np.ndarray, tags: list | None = None,
+                          info: dict | None = None):
+        """tags: optional list (len = n nodes) of [(k, v), ...] per node;
+        info: optional DenseInfo arrays {version, timestamp, changeset,
+        uid} (delta-coded on the wire)."""
         g = self.granularity
         ids = np.ascontiguousarray(ids, np.int64)
         la = np.ascontiguousarray(lat_nano, np.int64) // g
@@ -213,9 +216,21 @@ class PbfWriter:
                         kv.append(sid[k.encode()])
                         kv.append(sid[v.encode()])
                     kv.append(0)
-            dense = (
-                _len_delim(1, pack_varints(zigzag_encode(delta_encode(ids[s:e]))).tobytes())
-                + _len_delim(8, pack_varints(zigzag_encode(delta_encode(la[s:e]))).tobytes())
+            dense = _len_delim(
+                1, pack_varints(zigzag_encode(delta_encode(ids[s:e]))).tobytes()
+            )
+            if info is not None:
+                di = _len_delim(
+                    1, pack_varints(np.asarray(info["version"][s:e], np.uint64)).tobytes()
+                )
+                for fn, key in ((2, "timestamp"), (3, "changeset"), (4, "uid")):
+                    if key in info:
+                        di += _len_delim(fn, pack_varints(zigzag_encode(
+                            delta_encode(np.asarray(info[key][s:e], np.int64))
+                        )).tobytes())
+                dense += _len_delim(5, di)
+            dense += (
+                _len_delim(8, pack_varints(zigzag_encode(delta_encode(la[s:e]))).tobytes())
                 + _len_delim(9, pack_varints(zigzag_encode(delta_encode(lo[s:e]))).tobytes())
             )
             if tags is not None and any(len(tags[i]) for i in range(s, e)):
@@ -459,6 +474,51 @@ def _blob_payload(blob: bytes) -> bytes:
     raise ValueError("Blob has neither raw nor zlib_data")
 
 
+def read_pbf_header(path: str) -> dict:
+    """Decode the OSMHeader blob -> {bbox_nano, required_features,
+    optional_features, writingprogram, source}.  A reader should refuse
+    files whose required_features it does not implement
+    (OsmInputFile.java's schema validation)."""
+    hdr = next((b for b in scan_blobs(path) if b["type"] == "OSMHeader"), None)
+    if hdr is None:
+        raise ValueError(f"{path}: no OSMHeader blob")
+    with open(path, "rb") as f:
+        f.seek(hdr["offset"])
+        payload = _blob_payload(f.read(hdr["size"]))
+    out = {
+        "bbox_nano": None, "required_features": [], "optional_features": [],
+        "writingprogram": None, "source": None,
+    }
+    for num, wire, val in _scan_fields(payload):
+        if num == 1:  # HeaderBBox: left/right/top/bottom sint64 nanodeg
+            bb = {}
+            for fn, fw, fv in _scan_fields(val):
+                bb[fn] = int(zigzag_decode(np.array([fv], np.uint64))[0])
+            out["bbox_nano"] = (bb.get(1), bb.get(2), bb.get(3), bb.get(4))
+        elif num == 4:
+            out["required_features"].append(bytes(val).decode())
+        elif num == 5:
+            out["optional_features"].append(bytes(val).decode())
+        elif num == 16:
+            out["writingprogram"] = bytes(val).decode()
+        elif num == 17:
+            out["source"] = bytes(val).decode()
+    return out
+
+
+SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+
+
+def check_required_features(path: str) -> dict:
+    """Raise if the file requires a feature this reader does not implement
+    (e.g. HistoricalInformation) — mirror of the reference's input gate."""
+    hdr = read_pbf_header(path)
+    missing = [f for f in hdr["required_features"] if f not in SUPPORTED_FEATURES]
+    if missing:
+        raise ValueError(f"{path}: unsupported required_features {missing}")
+    return hdr
+
+
 def _decode_string_table(buf) -> list[str]:
     return [bytes(v).decode("utf-8") for num, _, v in _scan_fields(buf) if num == 1]
 
@@ -506,10 +566,13 @@ def decode_primitive_block(payload: bytes) -> dict:
             if num == 2:  # DenseNodes
                 ids = la = lo = None
                 kv = np.empty(0, np.int64)
+                info = {}
                 for fn, fw, fv in _scan_fields(val):
                     b = np.frombuffer(bytes(fv), np.uint8)
                     if fn == 1:
                         ids = delta_decode(zigzag_decode(unpack_varints(b)))
+                    elif fn == 5:  # DenseInfo (versions/timestamps/...)
+                        info = _decode_dense_info(fv)
                     elif fn == 8:
                         la = delta_decode(zigzag_decode(unpack_varints(b)))
                     elif fn == 9:
@@ -522,12 +585,18 @@ def decode_primitive_block(payload: bytes) -> dict:
                 nodes["lat_nano"].append(lat_off + g * la)
                 nodes["lon_nano"].append(lon_off + g * lo)
                 nodes["tags"].append(_dense_tags(kv, len(ids), strings))
+                for k in ("version", "timestamp", "changeset", "uid"):
+                    nodes.setdefault(k, []).append(
+                        info.get(k, np.zeros(len(ids), np.int64))
+                    )
             elif num == 1:  # non-dense Nodes (rare)
                 nid, nla, nlo, ntags = _decode_plain_node(val, strings)
                 nodes["id"].append(np.array([nid], np.int64))
                 nodes["lat_nano"].append(np.array([lat_off + g * nla], np.int64))
                 nodes["lon_nano"].append(np.array([lon_off + g * nlo], np.int64))
                 nodes["tags"].append([ntags])
+                for k in ("version", "timestamp", "changeset", "uid"):
+                    nodes.setdefault(k, []).append(np.zeros(1, np.int64))
             elif num == 3:
                 way_bodies.append(val)
             elif num == 4:
@@ -550,6 +619,11 @@ def decode_primitive_block(payload: bytes) -> dict:
             "lat_nano": _cat(nodes["lat_nano"]),
             "lon_nano": _cat(nodes["lon_nano"]),
             "tags": [t for chunk in nodes["tags"] for t in chunk],
+            **{
+                k: _cat(nodes[k])
+                for k in ("version", "timestamp", "changeset", "uid")
+                if k in nodes
+            },
         },
         "ways": {
             "id": _cat(ways["id"]),
@@ -566,6 +640,24 @@ def decode_primitive_block(payload: bytes) -> dict:
             "tags": rels["tags"],
         },
     }
+
+
+def _decode_dense_info(buf) -> dict:
+    """DenseInfo (osmformat.proto): version packed int32; timestamp /
+    changeset / uid packed DELTA-coded sint64/sint32 -> absolute int64
+    arrays."""
+    out = {}
+    for num, wire, val in _scan_fields(buf):
+        b = np.frombuffer(bytes(val), np.uint8)
+        if num == 1:
+            out["version"] = unpack_varints(b).astype(np.int64)
+        elif num == 2:
+            out["timestamp"] = delta_decode(zigzag_decode(unpack_varints(b)))
+        elif num == 3:
+            out["changeset"] = delta_decode(zigzag_decode(unpack_varints(b)))
+        elif num == 4:
+            out["uid"] = delta_decode(zigzag_decode(unpack_varints(b)))
+    return out
 
 
 def _dense_tags(kv: np.ndarray, n: int, strings: list[str]) -> list:

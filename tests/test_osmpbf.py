@@ -185,3 +185,32 @@ def test_pbf_shard_sinks(tmp_path, ray_session):
     got = got.sort_values(["way_id", "seq"]).reset_index(drop=True)
     exp = refs.to_pandas().sort_values(["way_id", "seq"]).reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_dense_info_and_header(tmp_path):
+    from planetiler_ray.sources.osmpbf import (
+        check_required_features,
+        read_blob_entities,
+        read_pbf_header,
+    )
+
+    path = str(tmp_path / "info.osm.pbf")
+    ids = np.array([1, 5, 9], np.int64)
+    info = {
+        "version": np.array([1, 3, 2], np.int64),
+        "timestamp": np.array([1_600_000_000, 1_600_000_050, 1_599_999_000], np.int64),
+        "changeset": np.array([77, 77, 90], np.int64),
+        "uid": np.array([42, -1, 42], np.int64),
+    }
+    with PbfWriter(path) as w:
+        w.write_dense_nodes(ids, ids * 1_000_000, ids * 2_000_000, info=info)
+    hdr = read_pbf_header(path)
+    assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+    assert hdr["writingprogram"] == "planetiler_ray"
+    check_required_features(path)  # no raise
+    b = [x for x in scan_blobs(path) if x["type"] == "OSMData"][0]
+    ent = read_blob_entities(path, b["offset"], b["size"])["nodes"]
+    assert np.array_equal(ent["version"], info["version"])
+    assert np.array_equal(ent["timestamp"], info["timestamp"])
+    assert np.array_equal(ent["changeset"], info["changeset"])
+    assert np.array_equal(ent["uid"], info["uid"])
