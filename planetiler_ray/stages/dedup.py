@@ -52,11 +52,28 @@ def char_ngrams(text: pd.Series, n: int = 4) -> pd.Series:
 
 
 def _flat_tokens(text: pd.Series):
-    """Tokenize a batch -> (flat word list, per-doc lengths int64)."""
-    toks = tokenize_words(text)
-    lens = toks.map(len).to_numpy().astype(np.int64)
-    flat = list(chain.from_iterable(toks))
-    return flat, lens
+    """Tokenize a batch -> (flat Arrow string array, per-doc lengths).
+
+    Arrow-native (round 3): lower + regex split + list_flatten run in C and
+    the flat token array feeds ``fnv64_arrow`` directly — no Python word
+    lists (the old ``findall`` + ``chain`` materialized millions of str
+    objects per batch).  Token grammar identical to ``tokenize_words``
+    (runs of [a-z0-9] on the lowercased text; parity-tested)."""
+    import pyarrow.compute as pc
+
+    col = pa.Array.from_pandas(text.astype(str))
+    low = pc.utf8_lower(col)
+    parts = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = parts.offsets.to_numpy()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(nonempty)])
+    lens = (cum[offs[1:]] - cum[offs[:-1]]).astype(np.int64)
+    return flat.filter(pa.array(nonempty)), lens
 
 
 def _shingle_flat(text: pd.Series, k: int = 3):
@@ -70,9 +87,9 @@ def _shingle_flat(text: pd.Series, k: int = 3):
     """
     flat, lens = _flat_tokens(text)
     n = len(lens)
-    if not flat:
+    if len(flat) == 0:
         return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
-    wh = fnv64_arrow(pa.array(flat, pa.string()))
+    wh = fnv64_arrow(flat)
     word_start = np.concatenate([[0], np.cumsum(lens)])
     n_sh = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
     starts = np.concatenate([[0], np.cumsum(n_sh)]).astype(np.int64)
@@ -351,9 +368,9 @@ def simhash64(text: pd.Series) -> np.ndarray:
     flat, lens = _flat_tokens(text)
     n = len(text)
     out = np.zeros(n, dtype=np.uint64)
-    if not flat:
+    if len(flat) == 0:
         return out
-    wh = fnv64_arrow(pa.array(flat, pa.string()))
+    wh = fnv64_arrow(flat)
     word_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
     ne = np.flatnonzero(lens > 0)
     starts = word_start[ne]
