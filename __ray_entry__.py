@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yaml_tiles": _q_yaml_tiles,
         # line layer: assembled ways -> sliced -> per-tile merged lines
         "route_tiles": _q_route_tiles,
+        # oracle-expressible core of the route path: render length gate
+        "route_zoom_gate": _q_route_zoom_gate,
         # archive statistics (tilestats analogue)
         "zoom_summary": _q_zoom_summary,
     }
@@ -98,6 +100,12 @@ def _q_route_tiles(sf_dir: str):
     return routes.route_tiles_ds(sf_dir, zooms=[0, 4, 8]).select_columns(
         ["tile_id", "z", "tile_x", "tile_y", "n_features", "n_bytes"]
     )
+
+
+def _q_route_zoom_gate(sf_dir: str):
+    from planetiler_ray.pipelines import routes
+
+    return routes.route_zoom_gate_ds(sf_dir)
 
 
 def _q_zoom_summary(sf_dir: str):
@@ -114,6 +122,12 @@ def _q_zoom_summary(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
+
+
+def _sql_route_zoom_gate() -> str:
+    from planetiler_ray.pipelines import routes
+
+    return routes.sql_route_zoom_gate()
 
 
 def _sql_way_assembly() -> str:
@@ -249,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": oracle.sql_media_frames(),
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
+        "route_zoom_gate": _sql_route_zoom_gate(),
         "minhash_planted": "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b FROM documents",
         "simhash_planted": (
             "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b,"

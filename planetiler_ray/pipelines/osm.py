@@ -29,6 +29,9 @@ import ray
 import ray.data
 
 NODE_LAT_MULT, NODE_LON_MULT = 28657, 33461
+# Per-way local anchor for the route-line world (way_lines_ds) — shared with
+# the route_zoom_gate oracle mirror (pipelines/routes.py).
+WAY_ANCHOR_LAT_MULT, WAY_ANCHOR_LON_MULT = 9176, 7351
 
 
 def nodes_ds(sf_dir: str) -> ray.data.Dataset:
@@ -211,8 +214,8 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         # intercontinental bbox — unrealistic and clipping-hostile).  The
         # anchor comes from way_id, node offsets (±1 deg) from the node
         # coords, all deterministic integers.
-        base_lat = (wid * 9176) % 160000 - 80000
-        base_lon = (wid * 7351) % 350000 - 175000
+        base_lat = (wid * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+        base_lon = (wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
         lat = (base_lat + (g["lat_mdeg"].to_numpy() % 2000) - 1000) / 1000.0
         lon = (base_lon + (g["lon_mdeg"].to_numpy() % 2000) - 1000) / 1000.0
         bounds = np.flatnonzero(np.diff(wid)) + 1
