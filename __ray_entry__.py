@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": training.q_text_stats,
         "quality": training.q_quality,
         "fingerprint": training.q_fingerprint,
+        "doc_repetition": training.q_doc_repetition,
+        "tfidf_topk": training.q_tfidf_topk,
         "langid": training.q_langid,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -242,6 +244,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracle.sql_text_stats(),
         "quality": oracle.sql_quality(),
         "fingerprint": oracle.sql_fingerprint(),
+        "doc_repetition": oracle.sql_doc_repetition(),
+        "tfidf_topk": oracle.sql_tfidf_topk(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

@@ -233,6 +233,60 @@ WHERE (shared * 1000) // (na + nb - shared) >= {t}
 """
 
 
+def sql_doc_repetition(k: int = 3) -> str:
+    """Mirror of ``text.doc_repetition``: k-word shingles as joined strings
+    (engine uses positional FNV-combined hashes — equal iff the word
+    sequence is equal, modulo ~2^-65 collisions); short docs (0 < n < k)
+    contribute one all-words shingle, exactly the engine's fallback."""
+    return f"""
+WITH w AS (
+    SELECT doc_id, {TOKENS_EXPR} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id, CASE
+        WHEN len(toks) >= {k} THEN list_transform(
+            range(1, len(toks) - {k - 2}),
+            i -> array_to_string(toks[i : i + {k - 1}], ' '))
+        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        ELSE [] END AS shingles
+    FROM w
+)
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       len(list_distinct(shingles)) AS n_distinct,
+       (len(shingles) - len(list_distinct(shingles))) * 10000
+           // greatest(len(shingles), 1) AS rep_bp
+FROM sh
+"""
+
+
+def sql_tfidf_topk(k: int = 3) -> str:
+    """Mirror of ``training.q_tfidf_topk``: score = tf * ln(N / df) with
+    the identical double expression; ties (equal score implies equal
+    (tf, df)) broken by term ascending on both sides."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKENS_EXPR}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ranked AS (
+    SELECT f.doc_id, f.term, f.tf, d.df,
+           row_number() OVER (
+               PARTITION BY f.doc_id
+               ORDER BY f.tf * ln((SELECT n FROM n) / d.df) DESC, f.term
+           ) AS rk
+    FROM tf f JOIN df d USING (term)
+)
+SELECT doc_id, term, tf, df FROM ranked WHERE rk <= {k}
+"""
+
+
 def sql_text_stats() -> str:
     return r"""
 SELECT doc_id,

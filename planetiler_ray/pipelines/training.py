@@ -133,6 +133,58 @@ def q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fp_md5"])
 
 
+def q_doc_repetition(sf_dir: str):
+    """Within-doc duplicate-shingle ratio (boilerplate quality signal) —
+    per-doc metric, embarrassingly parallel, exact-integer oracle."""
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text.doc_repetition, batch_format="pyarrow"
+    )
+
+
+def q_tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-doc top-k keywords by tf-idf.
+
+    Two-pass broadcast design: (1) DF pass — per-batch partial (term,
+    count-of-docs) aggregates -> ONE small groupby-sum over the
+    vocabulary (bounded by the language, not the corpus); (2) scoring
+    pass — the DF table is ``ray.put`` once and each ``TfIdfTopK`` actor
+    builds its lookup in ``__init__``, then per-batch vectorized scoring
+    + lexsort top-k.  No all-to-all over the doc-term explosion.
+    """
+    from ..stages.text import TfIdfTopK, doc_term_freq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = docs_ds(sf_dir, ["doc_id", "text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        t = doc_term_freq(batch)  # (doc, term) distinct by construction
+        return t.group_by("term").aggregate([("doc_id", "count")]).rename_columns(
+            ["term", "n"]
+        )
+
+    df_pd = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .to_pandas()  # vocab-sized (small side), not the corpus
+    )
+    handle = ray.put(
+        pa.table(
+            {
+                "term": pa.array(df_pd["term"], pa.string()),
+                "df": pa.array(df_pd["sum(n)"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+    return ds.map_batches(
+        TfIdfTopK,
+        fn_constructor_kwargs={"df_handle": handle, "n_docs": n_docs, "k": k},
+        concurrency=(1, 8),
+        num_cpus=0.5,
+        batch_format="pyarrow",
+    )
+
+
 def q_langid(sf_dir: str):
     """Heuristic language guess (rows-only: heuristic, no SQL twin)."""
     return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(

@@ -158,3 +158,114 @@ def fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
             "fp_winnow": pa.array(fps.astype(np.int64), pa.int64()),
         }
     )
+
+
+def doc_repetition(batch: pa.Table, k: int = 3, col: str = "text") -> pa.Table:
+    """Within-document repetition: duplicate k-word-shingle fraction.
+
+    The classic "repetitive boilerplate" quality signal for web corpora
+    (n_shingles, n_distinct, rep_bp = duplicated fraction in basis points
+    — all exact integers).  Per-document metric -> embarrassingly parallel
+    ``map_batches``, no shuffle; reuses the vectorized shingle kernel of
+    the dedup suite (``dedup._shingle_flat``: k-windows over FNV word
+    hashes, short docs contribute one all-words shingle).  Distinctness is
+    over 64-bit shingle hashes (collision odds ~n^2/2^65 per doc —
+    negligible at any batch size).
+    """
+    from .dedup import _shingle_flat
+
+    t = batch.column(col).to_pandas()
+    sh, starts = _shingle_flat(t, k)
+    n_sh = np.diff(starts).astype(np.int64)
+    if len(sh):
+        doc_idx = np.repeat(np.arange(len(n_sh)), n_sh)
+        order = np.lexsort((sh, doc_idx))
+        s, d = sh[order], doc_idx[order]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        n_distinct = np.bincount(d[new], minlength=len(n_sh)).astype(np.int64)
+    else:
+        n_distinct = np.zeros(len(n_sh), np.int64)
+    rep_bp = (n_sh - n_distinct) * 10000 // np.maximum(n_sh, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "rep_bp": pa.array(rep_bp, pa.int64()),
+        }
+    )
+
+
+def doc_term_freq(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Explode documents into (doc_id, term, tf) rows — tokenizer shared
+    with the dedup suite (runs of [a-z0-9] on lowercased text); the
+    per-(doc, term) count runs in Arrow's C hash aggregator."""
+    from .dedup import _flat_tokens
+
+    t = batch.column(col).to_pandas()
+    flat, lens = _flat_tokens(t)
+    doc_ids = batch.column("doc_id").to_numpy()
+    doc_rep = np.repeat(doc_ids, lens)
+    tbl = pa.table({"doc_id": pa.array(doc_rep, pa.int64()), "term": flat})
+    return tbl.group_by(["doc_id", "term"]).aggregate([([], "count_all")]).rename_columns(
+        ["doc_id", "term", "tf"]
+    )
+
+
+class TfIdfTopK:
+    """Per-document top-k keyword extraction by tf-idf (actor-pool stage).
+
+    ``df_handle`` is a ``ray.put`` broadcast of the document-frequency
+    table (term -> df) built by one partial-aggregated pass; each actor
+    deserializes it ONCE in ``__init__`` (the broadcast-small-side
+    pattern — vocabulary is bounded by the language, not the corpus, so
+    it stays a per-node constant even at 100 TB).  Scoring + per-doc
+    top-k selection is one lexsort per batch; score = tf * ln(N / df)
+    with the identical float expression in the DuckDB oracle
+    (``oracle.sql_tfidf_topk``), ties broken (score desc, term asc) —
+    exact because equal scores imply equal (tf, df).
+    """
+
+    def __init__(self, df_handle, n_docs: int, k: int = 3):
+        import ray
+
+        df_tbl = ray.get(df_handle)
+        self._df = pd.Series(
+            df_tbl["df"].to_numpy(), index=pd.Index(df_tbl["term"].to_pylist())
+        )
+        self._n = float(n_docs)
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tf_tbl = doc_term_freq(batch)
+        if tf_tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        terms = tf_tbl.column("term").to_pandas()
+        tf = tf_tbl.column("tf").to_numpy().astype(np.int64)
+        doc = tf_tbl.column("doc_id").to_numpy()
+        df = terms.map(self._df).to_numpy(dtype=np.float64)
+        score = tf.astype(np.float64) * np.log(self._n / df)
+        order = np.lexsort((terms.to_numpy(), -score, doc))
+        d_sorted = doc[order]
+        run_start = np.ones(len(d_sorted), dtype=bool)
+        run_start[1:] = d_sorted[1:] != d_sorted[:-1]
+        rank = np.arange(len(d_sorted)) - np.maximum.accumulate(
+            np.where(run_start, np.arange(len(d_sorted)), 0)
+        )
+        keep = order[rank < self._k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "term": pa.array(terms.iloc[keep].tolist(), pa.string()),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df[keep].astype(np.int64), pa.int64()),
+            }
+        )

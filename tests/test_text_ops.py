@@ -1,0 +1,84 @@
+"""doc_repetition + tf-idf top-k: edge cases the sf-table gate can't hit
+(empty / short / fully-repetitive docs, exact score ties)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def test_doc_repetition_edges():
+    from planetiler_ray.stages.text import doc_repetition
+
+    out = doc_repetition(
+        _batch(
+            [
+                "",  # no tokens -> 0/0/0
+                "one two",  # short doc: single all-words shingle
+                "a b c a b c a b c",  # 7 windows, 3 distinct
+                "x y z w",  # 2 windows, both distinct
+            ]
+        )
+    ).to_pandas()
+    assert out["n_shingles"].tolist() == [0, 1, 7, 2]
+    assert out["n_distinct"].tolist() == [0, 1, 3, 2]
+    # 4 duplicated of 7 -> 5714 bp
+    assert out["rep_bp"].tolist() == [0, 0, 4 * 10000 // 7, 0]
+
+
+def test_doc_repetition_matches_string_shingles():
+    rng = np.random.default_rng(3)
+    words = list("abcdefg")
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 12)).tolist())
+        for _ in range(200)
+    ]
+    from planetiler_ray.stages.text import doc_repetition
+
+    out = doc_repetition(_batch(texts)).to_pandas()
+    for txt, row in zip(texts, out.itertuples()):
+        toks = [w for w in txt.split() if w]
+        if len(toks) >= 3:
+            sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        elif toks:
+            sh = [" ".join(toks)]
+        else:
+            sh = []
+        assert row.n_shingles == len(sh)
+        assert row.n_distinct == len(set(sh))
+
+
+def test_tfidf_topk_ranks_and_ties(ray_session):
+    import ray
+
+    from planetiler_ray.stages.text import TfIdfTopK, doc_term_freq
+
+    # corpus: 'rare' appears in 1 doc, 'common' in all 4
+    texts = [
+        "rare common common",
+        "common beta beta gamma",
+        "common beta",
+        "common",
+    ]
+    tf = doc_term_freq(_batch(texts)).to_pandas()
+    df_tbl = tf.groupby("term", as_index=False).agg(df=("doc_id", "count"))
+    handle = ray.put(
+        pa.table({"term": pa.array(df_tbl["term"]), "df": pa.array(df_tbl["df"], pa.int64())})
+    )
+    top = TfIdfTopK(handle, n_docs=4, k=2)(_batch(texts)).to_pandas()
+    d0 = top[top.doc_id == 0]
+    # rare: tf=1, idf=ln(4); common: tf=2, idf=0 -> rare wins despite tf
+    assert d0.iloc[0]["term"] == "rare"
+    # doc 3 has only the zero-idf term; still emitted (k cap, not score gate)
+    assert set(top[top.doc_id == 3]["term"]) == {"common"}
+    # exact tie (same tf, same df) breaks by term ascending: doc 1 'beta'
+    # (tf=2) first, then gamma/common tie at tf=1 -> gamma? no: scores
+    # common=0 < gamma=ln(4) -> [beta, gamma]
+    d1 = top[top.doc_id == 1]["term"].tolist()
+    assert d1 == ["beta", "gamma"]
