@@ -286,7 +286,11 @@ def oracle_sql() -> dict[str, str]:
         "pbf_way_assembly": _sql_way_assembly(),  # identical world via pbf
         "pbf_node_tags": _sql_pbf_node_tags(),
         "pbf_relation_members": _sql_pbf_relation_members(),
+        "langid": oracle.sql_langid(),
         # rows-only (probabilistic / approximate / stubbed):
-        #   minhash_lsh, simhash, embedding_neardup, ann_ivf, langid,
-        #   media_features
+        #   minhash_lsh, simhash, embedding_neardup, ann_ivf, media_features
+        #   (each approximate op has an exact planted-oracle twin;
+        #    media decode is a documented stub), plus route_tiles
+        #   (line-slice coverage; deterministic core covered by
+        #   route_zoom_gate)
     }

@@ -325,6 +325,43 @@ FROM s
 """
 
 
+def sql_langid() -> str:
+    """Mirror of ``text.langid_ngram``: DISTINCT marker-word counts per
+    language, argmax with the engine's fixed tie order (en, fr, de, es —
+    numpy argmax takes the first maximum), 'und' when no marker hits.
+    Marker lists are imported from the engine module so they cannot
+    drift."""
+    from .stages.text import _LANG_MARKERS, _LANGS
+
+    score_cols = []
+    for lang in _LANGS:
+        marks = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        score_cols.append(f"len(list_intersect(w, [{marks}])) AS {lang}")
+    total = " + ".join(_LANGS)
+    best = f"greatest({', '.join(_LANGS)})"
+    # argmax cascade in _LANGS order = numpy first-max tie semantics
+    cascade = "CASE WHEN {t} = 0 THEN 'und' ".format(t=total)
+    for i, lang in enumerate(_LANGS[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in _LANGS[i + 1 :])
+        cascade += f"WHEN {conds} THEN '{lang}' "
+    cascade += f"ELSE '{_LANGS[-1]}' END"
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+),
+scores AS (
+    SELECT doc_id, {", ".join(score_cols)} FROM toks
+)
+SELECT doc_id,
+       {cascade} AS lang_guess,
+       CASE WHEN {total} = 0 THEN 0
+            ELSE {best} * 10000 // ({total}) END AS lang_conf_bp
+FROM scores
+"""
+
+
 def sql_fingerprint() -> str:
     return """
 SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp_md5 FROM documents

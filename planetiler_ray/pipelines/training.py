@@ -186,7 +186,8 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language guess (rows-only: heuristic, no SQL twin)."""
+    """Heuristic language guess (exact oracle: the marker-count argmax is
+    deterministic integer logic, mirrored in ``oracle.sql_langid``)."""
     return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         text.langid_ngram, batch_format="pyarrow"
     )

@@ -77,8 +77,40 @@ def test_tfidf_topk_ranks_and_ties(ray_session):
     assert d0.iloc[0]["term"] == "rare"
     # doc 3 has only the zero-idf term; still emitted (k cap, not score gate)
     assert set(top[top.doc_id == 3]["term"]) == {"common"}
-    # exact tie (same tf, same df) breaks by term ascending: doc 1 'beta'
-    # (tf=2) first, then gamma/common tie at tf=1 -> gamma? no: scores
-    # common=0 < gamma=ln(4) -> [beta, gamma]
+    # doc 1: beta tf=2 ranks first; gamma (idf=ln(4)) beats common (idf=0)
     d1 = top[top.doc_id == 1]["term"].tolist()
     assert d1 == ["beta", "gamma"]
+
+
+def test_langid_oracle_parity_multilang():
+    """Engine vs DuckDB oracle on a corpus that actually exercises the
+    fr/de/es branches and ties (the sf tables are English-ish)."""
+    import duckdb
+
+    from planetiler_ray import oracle
+    from planetiler_ray.stages.text import langid_ngram
+
+    texts = [
+        "the cat and the dog of york",      # en
+        "le chat et la mer",                # fr
+        "der hund und die katze",           # de
+        "el mar y los rios",                # es
+        "the le der el",                    # 4-way tie -> en (first max)
+        "nothing here matches",             # und? ('nothing' has no marker)
+        "",                                 # und
+        "und und und",                      # de marker only
+        "y the",                            # tie en/es -> en
+    ]
+    batch = _batch(texts)
+    eng = langid_ngram(batch).to_pandas().sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    ora = con.execute(oracle.sql_langid()).fetchdf().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert eng["lang_guess"].tolist() == ora["lang_guess"].tolist()
+    assert eng["lang_conf_bp"].tolist() == ora["lang_conf_bp"].tolist()
+    assert eng["lang_guess"].tolist()[:5] == ["en", "fr", "de", "es", "en"]
