@@ -148,7 +148,9 @@ def encode_commands(kind: str, parts: list[np.ndarray], scale: int = SCALE) -> n
             # multipolygon parts must arrive pre-oriented (render/_orient_
             # polygon, multipolygon.nest_rings, rasterunion.trace_contours
             # all guarantee it).
-            sa = np.dot(q[:, 0], np.roll(q[:, 1], -1)) - np.dot(np.roll(q[:, 0], -1), q[:, 1])
+            xs, ys = q[:, 0], q[:, 1]
+            sa = (int(np.dot(xs[:-1], ys[1:])) + int(xs[-1]) * int(ys[0])
+                  - int(np.dot(xs[1:], ys[:-1])) - int(xs[0]) * int(ys[-1]))
             if (int(sa) < 0) == (pi == 0):
                 q = q[::-1].copy()
         dx = np.diff(np.concatenate([[cx], q[:, 0]]))

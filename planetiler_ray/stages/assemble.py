@@ -20,13 +20,16 @@ import pyarrow as pa
 from ..geo import mvt, wkb
 from ..pipelines.profile import TilingProfile, resolve_zoom
 
+import hashlib as _hashlib
+
+_md5 = _hashlib.md5
+
+
 def content_hash64(data: bytes) -> int:
     """64-bit content hash for tile dedup — md5 prefix (C speed; the
     per-byte Python FNV loop was ~17% of bucket assembly time).  Only
     EQUALITY across tiles matters for dedup, not the specific function."""
-    import hashlib
-
-    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+    return int.from_bytes(_md5(data).digest()[:8], "big")
 
 
 def merge_layer_features(feats: list[dict], spec) -> list[dict]:
@@ -124,11 +127,37 @@ def make_bucket_assembler(profile: TilingProfile):
     ONCE, rows are ordered by a single lexsort on (tile_id, layer_rank,
     sort_key, feature_id), and the per-tile loop touches only array slices —
     zero per-tile Arrow calls.
+
+    Layers with no merging and no post-process hook take a FUSED path that
+    writes each feature's protobuf bytes directly while scanning the segment
+    (no intermediate feature dicts, no second pass in ``encode_tile``) —
+    byte-identical to the generic path (differential-tested).
     """
 
     layer_order = list(profile.layers)
     layer_rank = {name: i for i, name in enumerate(layer_order)}
     specs = [profile.layers[n] for n in layer_order]
+    fast_layer = [
+        not (s.merge_points or s.merge_lines or s.merge_polygons
+             or s.merge_polygons_union or s.post_process is not None)
+        for s in specs
+    ]
+    # per-layer constant wire fragments (field order mirrors encode_tile)
+    _v = mvt._varint
+    name_frag = []
+    for s in specs:
+        nb = s.name.encode("utf-8")
+        name_frag.append(b"\x78\x02" + b"\x0a" + _v(len(nb)) + nb)
+    extent_frag = b"\x28" + _v(mvt.EXTENT)
+    type_frag = {k: b"\x18" + _v(t) for k, t in mvt._KIND_TO_TYPE.items()}
+    key_frag = {}  # attr col -> framed key-table entry (field 3)
+
+    def _key_frag(c: str) -> bytes:
+        b = key_frag.get(c)
+        if b is None:
+            kb = c.encode("utf-8")
+            b = key_frag[c] = b"\x1a" + _v(len(kb)) + kb
+        return b
 
     def assemble_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -204,6 +233,24 @@ def make_bucket_assembler(profile: TilingProfile):
         V.scatter_segments(ibuf, ioff[:-1] + 1, idp, id_nb)
         id_flat = ibuf.tobytes()
 
+        isnan_px = np.isnan(px)
+        generic_tile = profile.post_process_tile is not None
+        packed = mvt._packed_varints
+        enc_val = mvt._encode_value
+        vcache = mvt._VARINT_CACHE
+        gated_cache: dict = {}
+
+        def gated(lr: int, z: int):
+            """Zoom-eligible (attr col, value list) pairs, attr_cols order."""
+            hit = gated_cache.get((lr, z))
+            if hit is None:
+                sp = specs[lr]
+                hit = gated_cache[(lr, z)] = [
+                    (c, attr_data[c]) for c in sp.attr_cols
+                    if z >= sp.attr_min_zoom.get(c, 0) and c in attr_data
+                ]
+            return hit
+
         bounds = np.flatnonzero(np.diff(tid_s)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(tid_s)]])
@@ -212,6 +259,7 @@ def make_bucket_assembler(profile: TilingProfile):
             i0 = rows[0]
             z = int(z_arr[i0])
             layers_out: dict[str, list[dict]] = {}
+            tile_b = bytearray()
             n_features = 0
             # rows are already laid out layer-major inside the tile run
             li = s
@@ -229,22 +277,98 @@ def make_bucket_assembler(profile: TilingProfile):
                     continue
                 grid_px = resolve_zoom(spec.label_grid_px, z)
                 limit = resolve_zoom(spec.label_grid_limit, z)
+                seen: dict[int, int] = {}
+                use_grid = bool(grid_px and limit)
+                if fast_layer[lr] and not generic_tile:
+                    # fused path: write feature wire bytes in the scan
+                    ga = gated(lr, z)
+                    key_idx: dict[str, int] = {}
+                    val_idx: dict[bytes, int] = {}
+                    keys_b = bytearray()
+                    vals_b = bytearray()
+                    feats_b = bytearray()
+                    for i in seg:
+                        pxi = px[i]
+                        if use_grid and not isnan_px[i]:
+                            c = int(pxi // grid_px) * 100003 + int(py[i] // grid_px)
+                            cnt = seen.get(c, 0)
+                            if cnt >= limit:
+                                continue
+                            seen[c] = cnt + 1
+                        tags: list[int] = []
+                        for c, vlist in ga:
+                            v = vlist[i]
+                            if v is None:
+                                continue
+                            ki = key_idx.get(c)
+                            if ki is None:
+                                ki = key_idx[c] = len(key_idx)
+                                keys_b += _key_frag(c)
+                            vb = enc_val(v)
+                            vi = val_idx.get(vb)
+                            if vi is None:
+                                vi = val_idx[vb] = len(val_idx)
+                                vals_b += b"\x22" + _v(len(vb)) + vb
+                            tags.append(ki)
+                            tags.append(vi)
+                        if kinds[i] == "point" and not isnan_px[i]:
+                            geom_b = geom_flat[goff[i] : goff[i + 1]]
+                            tb = b"\x18\x01"
+                        else:
+                            blob = geom_px[i]
+                            hit = cmd_cache.get(blob)
+                            if hit is None:
+                                gk, gd = wkb.decode_wkb(blob)
+                                parts = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
+                                if gk == "multilinestring":
+                                    gk = "linestring"
+                                pb = packed(mvt.encode_commands(gk, parts))
+                                hit = (gk, b"\x22" + _v(len(pb)) + pb)
+                                cmd_cache[blob] = hit
+                            kind_out, geom_b = hit
+                            tb = type_frag[kind_out]
+                        idb = id_flat[ioff[i] : ioff[i + 1]]
+                        if tags:
+                            # tile-local tag indexes are tiny — cache-hit packs
+                            tp = b"".join([vcache[t] for t in tags]) \
+                                if len(val_idx) < 16384 else packed(tags)
+                            tf = b"\x12" + _v(len(tp))
+                            body_len = len(idb) + len(tf) + len(tp) + 2 + len(geom_b)
+                            feats_b += b"\x12" + _v(body_len)
+                            feats_b += idb
+                            feats_b += tf
+                            feats_b += tp
+                        else:
+                            body_len = len(idb) + 2 + len(geom_b)
+                            feats_b += b"\x12" + _v(body_len)
+                            feats_b += idb
+                        feats_b += tb
+                        feats_b += geom_b
+                        n_features += 1
+                    if feats_b:
+                        lay_len = (len(name_frag[lr]) + len(feats_b)
+                                   + len(keys_b) + len(vals_b) + len(extent_frag))
+                        tile_b += b"\x1a" + _v(lay_len)
+                        tile_b += name_frag[lr]
+                        tile_b += feats_b
+                        tile_b += keys_b
+                        tile_b += vals_b
+                        tile_b += extent_frag
+                    continue
                 needs_parts = (spec.merge_points or spec.merge_lines
                                or spec.merge_polygons or spec.merge_polygons_union)
                 feats: list[dict] = []
-                seen: dict[int, int] = {}
-                use_grid = bool(grid_px and limit)
                 for i in seg:
                     pxi = px[i]
-                    if use_grid and not np.isnan(pxi):
+                    if use_grid and not isnan_px[i]:
                         c = int(pxi // grid_px) * 100003 + int(py[i] // grid_px)
                         cnt = seen.get(c, 0)
                         if cnt >= limit:
                             continue
                         seen[c] = cnt + 1
                     kind = kinds[i]
-                    commands = parts_out = geom_field = None
-                    if kind == "point" and not np.isnan(pxi):
+                    geom_field = parts_out = None
+                    if kind == "point" and not isnan_px[i]:
                         kind_out = "point"
                         if needs_parts:
                             parts_out = [np.array([[pxi, py[i]]])]
@@ -263,22 +387,18 @@ def make_bucket_assembler(profile: TilingProfile):
                                 parts = gd if gk in ("linestring", "polygon", "multilinestring") else [gd]
                                 if gk == "multilinestring":
                                     gk = "linestring"
-                                hit = (gk, mvt.encode_commands(gk, parts))
+                                pb = packed(mvt.encode_commands(gk, parts))
+                                hit = (gk, b"\x22" + _v(len(pb)) + pb)
                                 cmd_cache[blob] = hit
-                            kind_out, commands = hit
+                            kind_out, geom_field = hit
                     attrs = {}
-                    for c in spec.attr_cols:
-                        if z < spec.attr_min_zoom.get(c, 0):
-                            continue  # zoom-gated attr (ZoomFunction-in-attrs)
-                        vals = attr_data.get(c)
-                        if vals is not None and vals[i] is not None:
-                            attrs[c] = vals[i]
+                    for c, vlist in gated(lr, z):
+                        if vlist[i] is not None:
+                            attrs[c] = vlist[i]
                     f = {"id": int(fid[i]), "kind": kind_out, "attrs": attrs,
                          "id_field": id_flat[ioff[i] : ioff[i + 1]]}
                     if geom_field is not None:
                         f["geom_field"] = geom_field
-                    elif commands is not None:
-                        f["commands"] = commands
                     else:
                         f["parts"] = parts_out
                     feats.append(f)
@@ -287,14 +407,19 @@ def make_bucket_assembler(profile: TilingProfile):
                 if feats and spec.post_process is not None:
                     feats = spec.post_process(feats, z)
                 if feats:
-                    layers_out[spec.name] = feats
+                    if generic_tile:
+                        layers_out[spec.name] = feats
+                    else:
+                        tile_b += mvt.encode_tile({spec.name: feats})
                     n_features += len(feats)
-            if profile.post_process_tile is not None:
+            if generic_tile:
                 layers_out = profile.post_process_tile(
                     layers_out, z, int(tx_arr[i0]), int(ty_arr[i0])
                 )
                 n_features = sum(len(v) for v in layers_out.values())
-            data = mvt.encode_tile(layers_out)
+                data = mvt.encode_tile(layers_out)
+            else:
+                data = bytes(tile_b)
             gz = mvt.gzip_tile(data)
             out_tid.append(int(tid_s[s]))
             out_z.append(z)

@@ -136,3 +136,25 @@ def test_post_process_hooks(ray_session):
     for f in d["places"]["features"]:
         assert "poi_id" not in f["attrs"]
         assert f["attrs"]["zxy"] == f"2/{int(row.tile_x)}/{int(row.tile_y)}"
+
+
+def test_fused_encode_matches_generic_path(ray_session):
+    """The fused per-layer wire-byte fast path (no merging, no hooks) must be
+    byte-identical to the generic feature-dict -> encode_tile path.  Forcing
+    an identity post_process on every layer disables the fast path without
+    changing semantics, so the gzipped tile bytes must match exactly."""
+    from planetiler_ray.pipelines import flagship
+    from planetiler_ray.pipelines.profile import flagship_profile
+
+    generic = flagship_profile()
+    for spec in generic.layers.values():
+        spec.post_process = lambda feats, z: feats  # forces generic path
+
+    a = flagship.tiles_ds(SF, zooms=[0, 2, 4], n_buckets=16).to_pandas()
+    b = flagship.tiles_ds(SF, zooms=[0, 2, 4], n_buckets=16,
+                          profile=generic).to_pandas()
+    a = a.sort_values("tile_id", ignore_index=True)
+    b = b.sort_values("tile_id", ignore_index=True)
+    assert list(a.tile_id) == list(b.tile_id)
+    assert (a.n_features == b.n_features).all()
+    assert all(x == y for x, y in zip(a.tile_gz, b.tile_gz))
