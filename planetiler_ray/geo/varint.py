@@ -69,6 +69,23 @@ def segment_sum(values: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
+def copy_segments(out: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
+                  src_off: np.ndarray, lens: np.ndarray) -> None:
+    """``out[dst_off[i]:dst_off[i]+lens[i]] = src[src_off[i]:+lens[i]]`` for
+    all segments in one vectorized gather/scatter (segments may come from
+    arbitrary, non-contiguous source offsets — the general form of
+    :func:`scatter_segments`)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return
+    rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.concatenate([[0], np.cumsum(lens)])[:-1], lens))
+    out[np.asarray(dst_off, dtype=np.int64)[rep] + pos] = \
+        src[np.asarray(src_off, dtype=np.int64)[rep] + pos]
+
+
 def scatter_segments(out: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
                      seg_lens: np.ndarray) -> None:
     """Copy consecutive segments of ``src`` (segment i has seg_lens[i]
