@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": training.q_doc_repetition,
         "tfidf_topk": training.q_tfidf_topk,
         "langid": training.q_langid,
+        "pii_scrub": training.q_pii_scrub,
+        "line_dedup": training.q_line_dedup,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_frames": training.q_media_frames,
@@ -246,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": oracle.sql_fingerprint(),
         "doc_repetition": oracle.sql_doc_repetition(),
         "tfidf_topk": oracle.sql_tfidf_topk(),
+        "pii_scrub": oracle.sql_pii_scrub(),
+        "line_dedup": oracle.sql_line_dedup(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

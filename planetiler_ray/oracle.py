@@ -973,3 +973,70 @@ SELECT ((CAST(1 AS BIGINT) << (2 * z)) - 1) // 3
        z, tile_x, tile_y, CAST(sum(n) AS BIGINT) AS n_features
 FROM counts GROUP BY 1, 2, 3, 4
 """
+
+
+def sql_pii_scrub() -> str:
+    """Mirror of ``training.q_pii_scrub``: identical planted concat, then
+    the SAME RE2 patterns (``stages/text.EMAIL_RE`` / ``PHONE_RE``) via
+    DuckDB's RE2 regexp_replace/extract_all — emails scrubbed first, phones
+    counted on the email-scrubbed text, exactly as the engine orders it."""
+    from .stages.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           text || ' mail u' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+                || '.com tel 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM base
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM s1
+"""
+
+
+def sql_line_dedup(max_df: int = 10) -> str:
+    """Mirror of ``training.q_line_dedup``: identical planted boilerplate
+    concat, explode lines with order, document-frequency per exact line
+    content, drop lines with df > max_df, reassemble with chr(10) in
+    original order (docs whose every line was boilerplate still appear,
+    with n_kept = 0 and clean_text = '')."""
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           text || chr(10) || 'all rights reserved' || chr(10)
+                || 'share this page on network ' || CAST(doc_id % 7 AS VARCHAR)
+           AS text
+    FROM documents
+),
+parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+lines AS (
+    SELECT doc_id, ls[i] AS line, i - 1 AS ord
+    FROM parts, UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+df AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+kept AS (
+    SELECT l.doc_id, l.line, l.ord
+    FROM lines l JOIN df ON l.line = df.line
+    WHERE df.c <= {max_df}
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY ord) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id AS doc_id, t.n_lines AS n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""

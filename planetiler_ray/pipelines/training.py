@@ -133,6 +133,56 @@ def q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fp_md5"])
 
 
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII injection (SQL-mirrorable concat): every doc gains
+    one email and one phone so the scrub operator has work to do."""
+    import pyarrow.compute as pc
+
+    d = batch.column("doc_id").to_numpy()
+    out = pc.binary_join_element_wise(
+        batch.column("text"),
+        " mail u", pa.array(d.astype("U20"), pa.string()),
+        "@ex", pa.array((d % 5).astype("U4"), pa.string()),
+        ".com tel 555-", pa.array((1000 + d % 9000).astype("U4"), pa.string()),
+        "",
+    )
+    return pa.table({"doc_id": batch.column("doc_id"), "text": out})
+
+
+def q_pii_scrub(sf_dir: str):
+    """RE2 regex PII redaction over a deterministically planted corpus —
+    exact oracle (pyarrow and DuckDB both compile the shared patterns with
+    RE2, so replace semantics match by construction)."""
+    return docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _plant_pii, batch_format="pyarrow"
+    ).map_batches(text.pii_scrub, batch_format="pyarrow")
+
+
+def _plant_boilerplate(batch: pa.Table) -> pa.Table:
+    """Append two boilerplate lines per doc (one global, one per doc_id%7
+    cohort) so corpus-level line dedup has planted high-df lines; the SQL
+    twin replays the identical concat."""
+    import pyarrow.compute as pc
+
+    d = batch.column("doc_id").to_numpy()
+    out = pc.binary_join_element_wise(
+        batch.column("text"),
+        "\nall rights reserved\nshare this page on network ",
+        pa.array((d % 7).astype("U4"), pa.string()),
+        "",
+    )
+    return pa.table({"doc_id": batch.column("doc_id"), "text": out})
+
+
+def q_line_dedup(sf_dir: str, max_df: int = 10):
+    """Corpus-level duplicate-line scrub (C4/RefinedWeb boilerplate
+    removal) over the planted corpus — exact full-text oracle."""
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _plant_boilerplate, batch_format="pyarrow"
+    )
+    return dedup.line_dedup(ds, max_df=max_df)
+
+
 def q_doc_repetition(sf_dir: str):
     """Within-doc duplicate-shingle ratio (boilerplate quality signal) —
     per-doc metric, embarrassingly parallel, exact-integer oracle."""

@@ -726,3 +726,167 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------- line dedup --
+
+
+def _explode_lines(batch: pa.Table, col: str = "text") -> pa.Table:
+    """One row per line: doc_id, ord (0-based position), line, 128-bit
+    line hash — all array-level (split_pattern + list_flatten + repeat)."""
+    import pyarrow.compute as pc
+
+    from ..functions.vmd5 import digest128_u64_arrow
+
+    s = batch.column(col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    ls = pc.split_pattern(s, "\n")
+    counts = pc.list_value_length(ls).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(ls)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc = np.repeat(batch.column("doc_id").to_numpy(), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ordv = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+    hi, lo = digest128_u64_arrow(flat)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "ord": pa.array(ordv, pa.int64()),
+            "line": flat,
+            "h_hi": pa.array(hi.astype(np.int64), pa.int64()),
+            "h_lo": pa.array(lo.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _member2(hi: np.ndarray, lo: np.ndarray, bhi_s: np.ndarray,
+             blo_s: np.ndarray) -> np.ndarray:
+    """Exact vectorized membership of (hi, lo) rows in a (lex-sorted by
+    hi-then-lo) reference pair set: searchsorted range on hi, single-probe
+    lo compare (the overwhelmingly common range==1 case), with a loop ONLY
+    over hi-collision ranges (rare by construction: reference set is small)."""
+    n = len(hi)
+    match = np.zeros(n, dtype=bool)
+    if len(bhi_s) == 0 or n == 0:
+        return match
+    left = np.searchsorted(bhi_s, hi, "left")
+    right = np.searchsorted(bhi_s, hi, "right")
+    one = right - left == 1
+    idx = np.minimum(left, len(bhi_s) - 1)
+    match[one] = blo_s[idx[one]] == lo[one]
+    for i in np.nonzero(right - left > 1)[0]:
+        match[i] = lo[i] in blo_s[left[i]:right[i]]
+    return match
+
+
+def line_dedup(ds, max_df: int = 10, col: str = "text", n_buckets: int = 64):
+    """Corpus-level duplicate-LINE removal (the C4/RefinedWeb boilerplate
+    scrub): drop every line whose exact content appears in more than
+    ``max_df`` documents' lines corpus-wide, then reassemble each document
+    from its surviving lines in original order.
+
+    Output: doc_id, n_lines, n_kept, clean_text ('' when everything was
+    boilerplate — fully-scrubbed docs are still emitted).
+
+    Scale shape: pass 1 streams line-hash partial counts into a small
+    ``groupby`` (volume = distinct lines per batch, not lines); the >max_df
+    survivor set is BROADCAST (``ray.put``) — bounded by total_lines/max_df
+    distinct values and in practice tiny (boilerplate is, by definition,
+    repeated); pass 2 re-explodes, marks keep via exact 128-bit membership,
+    and reassembles per doc-hash bucket with one in-group lexsort + list
+    offsets + ``pc.binary_join`` (no per-doc Python).  If the survivor set
+    ever outgrew a broadcast, the same mark step drops onto the repo's
+    hash-bucket join pattern (``pipelines/osm.py``) — documented fallback,
+    not needed at any tested scale.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = _explode_lines(batch, col)
+        df = (
+            t.select(["h_hi", "h_lo"])
+            .to_pandas()
+            .groupby(["h_hi", "h_lo"], as_index=False)
+            .size()
+            .rename(columns={"size": "c_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    boiler = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["h_hi", "h_lo"])
+        .aggregate(Sum("c_part", alias_name="c"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("c"), max_df)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # post-aggregation, filtered: small by construction
+    )
+    if "h_hi" not in boiler.columns:  # empty result loses its schema
+        boiler = pd.DataFrame({"h_hi": [], "h_lo": []})
+    bhi = boiler["h_hi"].to_numpy(dtype=np.int64)
+    blo = boiler["h_lo"].to_numpy(dtype=np.int64)
+    order = np.lexsort((blo, bhi))
+    handle = ray.put((bhi[order], blo[order]))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        t = _explode_lines(batch, col)
+        bhi_s, blo_s = ray.get(handle)
+        drop = _member2(
+            t.column("h_hi").to_numpy(), t.column("h_lo").to_numpy(),
+            bhi_s, blo_s,
+        )
+        doc = t.column("doc_id").to_numpy()
+        bucket = (doc.astype(np.uint64) * _COMBINE_PRIME
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return (
+            t.select(["doc_id", "ord", "line"])
+            .append_column("keep", pa.array(~drop))
+            .append_column("bucket", pa.array(bucket, pa.int64()))
+        )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy()
+        ordv = g.column("ord").to_numpy()
+        keep = g.column("keep").to_numpy(zero_copy_only=False)
+        lines = g.column("line")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        order = np.lexsort((ordv, doc))
+        doc_s = doc[order]
+        keep_s = keep[order]
+        run_start = np.ones(len(doc_s), dtype=bool)
+        run_start[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.nonzero(run_start)[0]
+        bounds = np.concatenate([starts, [len(doc_s)]])
+        n_lines = np.diff(bounds)
+        n_kept = np.add.reduceat(keep_s.astype(np.int64), starts)
+        n_kept[n_lines == 0] = 0  # reduceat quirk on empty runs (unreachable)
+        kept_lines = lines.take(pa.array(order[keep_s], pa.int64()))
+        offsets = np.concatenate([[0], np.cumsum(n_kept)])
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_lines
+        )
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s[starts], pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "clean_text": pc2.binary_join(la, "\n"),
+            }
+        )
+
+    return (
+        ds.map_batches(mark, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: assemble(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -269,3 +269,35 @@ class TfIdfTopK:
                 "df": pa.array(df[keep].astype(np.int64), pa.int64()),
             }
         )
+
+
+# RE2 syntax shared verbatim with the DuckDB oracle (both engines compile
+# these with RE2, so match semantics are identical by construction)
+EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_scrub(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Redact email/phone PII (training-data curation op, e.g. the
+    RefinedWeb/Dolma scrub stage).  Fully vectorized: two RE2 passes over
+    the Arrow string buffer (`pc.replace_substring_regex`), no Python rows.
+
+    Emails are counted/replaced on the raw text, phones on the
+    email-scrubbed text (ordering mirrored in ``oracle.sql_pii_scrub``).
+    Output: doc_id, n_emails, n_phones, clean_text.
+    """
+    import pyarrow.compute as pc
+
+    s = batch.column(col)
+    n_email = pc.count_substring_regex(s, EMAIL_RE)
+    clean = pc.replace_substring_regex(s, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(clean, PHONE_RE)
+    clean = pc.replace_substring_regex(clean, PHONE_RE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pc.cast(n_email, pa.int64()),
+            "n_phones": pc.cast(n_phone, pa.int64()),
+            "clean_text": clean,
+        }
+    )

@@ -114,3 +114,66 @@ def test_langid_oracle_parity_multilang():
     assert eng["lang_guess"].tolist() == ora["lang_guess"].tolist()
     assert eng["lang_conf_bp"].tolist() == ora["lang_conf_bp"].tolist()
     assert eng["lang_guess"].tolist()[:5] == ["en", "fr", "de", "es", "en"]
+
+
+def test_pii_scrub_redacts_and_counts():
+    from planetiler_ray.stages.text import pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "write to bob7@mail.org or 555-1234 now",
+                "no pii here, 12-34 and a@b are not matches",
+                "two mails x@y.com z9@q.net and 999-0000 123-4567",
+            ],
+        }
+    )
+    out = pii_scrub(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "clean_text"] == "write to <EMAIL> or <PHONE> now"
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[2, "clean_text"] == t.column("text")[1].as_py()
+    assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_phones"] == 2
+
+
+def test_line_dedup_drops_high_df_lines(ray_session):
+    import ray
+
+    from planetiler_ray.stages.dedup import line_dedup
+
+    # 12 docs share the line "boiler"; each doc also has a unique line and
+    # doc 0 consists ONLY of boilerplate (must still be emitted, empty).
+    rows = []
+    for d in range(12):
+        if d == 0:
+            rows.append({"doc_id": d, "text": "boiler"})
+        else:
+            rows.append({"doc_id": d, "text": f"unique {d}\nboiler\ntail {d}"})
+    ds = ray.data.from_items(rows)
+    out = (
+        line_dedup(ds, max_df=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert len(out) == 12
+    assert out.loc[0, "n_lines"] == 1 and out.loc[0, "n_kept"] == 0
+    assert out.loc[0, "clean_text"] == ""
+    for d in range(1, 12):
+        assert out.loc[d, "n_lines"] == 3 and out.loc[d, "n_kept"] == 2
+        assert out.loc[d, "clean_text"] == f"unique {d}\ntail {d}"
+
+
+def test_line_dedup_keeps_lines_at_or_below_df_cap(ray_session):
+    import ray
+
+    from planetiler_ray.stages.dedup import line_dedup
+
+    rows = [{"doc_id": d, "text": f"shared\nmine {d}"} for d in range(5)]
+    out = (
+        line_dedup(ray.data.from_items(rows), max_df=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out["n_kept"] == 2).all()  # df == 5 <= max_df: kept
