@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": training.q_langid,
         "pii_scrub": training.q_pii_scrub,
         "line_dedup": training.q_line_dedup,
+        "decontaminate": training.q_decontaminate,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_frames": training.q_media_frames,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oracle.sql_tfidf_topk(),
         "pii_scrub": oracle.sql_pii_scrub(),
         "line_dedup": oracle.sql_line_dedup(),
+        "decontaminate": oracle.sql_decontaminate(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

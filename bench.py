@@ -94,6 +94,8 @@ def run_bench() -> dict:
     timed("minhash_lsh", lambda: training.q_minhash_lsh(SF_DIR).count())
     timed("ann_brute", lambda: training.q_ann_brute(SF_DIR).count())
     timed("window", lambda: training.q_window(SF_DIR).count())
+    timed("pii_scrub", lambda: training.q_pii_scrub(SF_DIR).count())
+    timed("line_dedup", lambda: training.q_line_dedup(SF_DIR).count())
     timed("way_assembly", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["assemble_ways"]
     ).assemble_ways(SF_DIR).count())

@@ -1040,3 +1040,33 @@ SELECT t.doc_id AS doc_id, t.n_lines AS n_lines,
        COALESCE(a.clean_text, '') AS clean_text
 FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
+
+
+def sql_decontaminate(k: int = 3, mod: int = 97) -> str:
+    """Mirror of ``training.q_decontaminate``: identical token grammar
+    (lowercase runs of [a-z0-9] — the ``_flat_tokens`` regex), probe set =
+    DISTINCT first-k-gram of every doc_id % mod == 0 doc with >= k words,
+    hits counted per gram POSITION (no distinct).  The engine compares
+    64-bit shingle hashes where this SQL compares gram strings — divergence
+    requires an FNV collision (accepted class, see decontaminate docstring)."""
+    return f"""
+WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    FROM documents
+),
+probes AS (
+    SELECT DISTINCT array_to_string(ws[1:{k}], ' ') AS gram
+    FROM words WHERE doc_id % {mod} = 0 AND len(ws) >= {k}
+),
+grams AS (
+    SELECT doc_id, array_to_string(ws[i:i+{k - 1}], ' ') AS gram
+    FROM words, UNNEST(generate_series(1, len(ws) - {k - 1})) AS t(i)
+),
+hits AS (
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g JOIN probes p ON g.gram = p.gram GROUP BY g.doc_id
+)
+SELECT w.doc_id AS doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM words w LEFT JOIN hits h ON w.doc_id = h.doc_id
+"""

@@ -183,6 +183,18 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
+    """Benchmark decontamination: flag docs containing any probe k-gram
+    (probes = first k words of every doc_id % mod == 0 doc, so the query
+    is self-contained and the oracle re-derives the probe set in SQL)."""
+    probes = dedup.probe_gram_hashes(
+        docs_ds(sf_dir, ["doc_id", "text"]), k=k, mod=mod
+    )
+    return dedup.decontaminate(
+        docs_ds(sf_dir, ["doc_id", "text"]), ray.put(probes), k=k
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Within-doc duplicate-shingle ratio (boilerplate quality signal) —
     per-doc metric, embarrassingly parallel, exact-integer oracle."""

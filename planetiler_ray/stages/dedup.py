@@ -890,3 +890,79 @@ def line_dedup(ds, max_df: int = 10, col: str = "text", n_buckets: int = 64):
             batch_format="pyarrow",
         )
     )
+
+
+# ------------------------------------------------------ decontamination --
+
+
+def probe_gram_hashes(ds, k: int = 3, mod: int = 97, col: str = "text"):
+    """Benchmark-probe k-gram hash set for :func:`decontaminate`.
+
+    Derives one probe per doc with ``doc_id % mod == 0`` (its first k
+    words), hashed with the SAME FNV word-combine as ``_shingle_flat`` so
+    probe and corpus grams live in one hash space.  In production the probe
+    list is an external benchmark suite (a small file); this derivation
+    keeps the demo self-contained and SQL-mirrorable.  Returns a sorted
+    unique uint64 array (small: |docs|/mod entries, driver-collected
+    post-filter like the other broadcast small sides).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        m = d % mod == 0
+        out = np.empty(0, np.uint64)
+        if m.any():
+            texts = batch.column(col).to_pandas()[m]
+            flat, lens = _flat_tokens(texts)
+            wh = fnv64_arrow(flat)
+            ws = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)
+            ok = lens >= k
+            if ok.any():
+                with np.errstate(over="ignore"):
+                    v = wh[ws[ok]].copy()
+                    for j in range(1, k):
+                        v = v * _COMBINE_PRIME + wh[ws[ok] + j]
+                out = v
+        return pa.table({"probe_h": pa.array(out, pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["probe_h"].to_numpy(dtype=np.uint64))
+
+
+def decontaminate(ds, probes_handle, k: int = 3, col: str = "text"):
+    """Benchmark decontamination (GPT-3/Lee-et-al. style): per doc, count
+    word-k-gram positions whose gram is in the broadcast probe set.
+
+    Output: doc_id, n_hits, contaminated — a training pipeline filters on
+    ``~contaminated``.  Scale shape: probe set broadcast once (``ray.put``),
+    per-batch vectorized shingle hashing (`_shingle_flat`) + sorted
+    searchsorted membership; no shuffle at all.  Equality is in 64-bit
+    shingle-hash space (the oracle compares gram STRINGS — divergence needs
+    an FNV collision, same accepted class as the dedup suite).
+    """
+    import ray
+
+    def mark(batch: pa.Table) -> pa.Table:
+        text = batch.column(col).to_pandas()
+        sh, starts = _shingle_flat(text, k)
+        ph = _resolve_probes(probes_handle)
+        if len(ph) and len(sh):
+            pos = np.minimum(np.searchsorted(ph, sh), len(ph) - 1)
+            hit = (ph[pos] == sh).astype(np.int64)
+        else:
+            hit = np.zeros(len(sh), np.int64)
+        c = np.concatenate([[0], np.cumsum(hit)])
+        n_hits = c[starts[1:]] - c[starts[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    def _resolve_probes(h):
+        import ray as _r
+
+        return _r.get(h) if isinstance(h, _r.ObjectRef) else h
+
+    return ds.map_batches(mark, batch_format="pyarrow")

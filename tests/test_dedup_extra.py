@@ -28,3 +28,35 @@ def test_connected_components_singleton_pairs(ray_session):
     ds = ray.data.from_items([{"a": 7, "b": 3}])
     out = connected_components(ds).to_pandas()
     assert sorted(out["comp"]) == [3, 3]
+
+
+def test_decontaminate_counts_probe_gram_positions(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import dedup
+
+    # doc 0 (id % 97 == 0) supplies probe "alpha beta gamma"; doc 5 repeats
+    # it twice, doc 6 contains it once mid-text, doc 7 is clean, doc 8 has
+    # only 2 words (short-doc path).
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 5, "text": "alpha beta gamma x alpha beta gamma"},
+        {"doc_id": 6, "text": "zz Alpha BETA gamma yy"},
+        {"doc_id": 7, "text": "nothing to see here at all"},
+        {"doc_id": 8, "text": "two words"},
+    ]
+    ds = ray.data.from_items(rows)
+    probes = dedup.probe_gram_hashes(ds, k=3, mod=97)
+    assert len(probes) == 1
+    out = (
+        dedup.decontaminate(ds, ray.put(probes), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_hits"] == 1 and bool(out.loc[0, "contaminated"])
+    assert out.loc[5, "n_hits"] == 2
+    assert out.loc[6, "n_hits"] == 1  # case-insensitive token grammar
+    assert out.loc[7, "n_hits"] == 0 and not bool(out.loc[7, "contaminated"])
+    assert out.loc[8, "n_hits"] == 0
