@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.q_decontaminate,
         # multimodal plumbing
         "media_features": training.q_media_features,
+        "media_stats": training.q_media_stats,
         "media_frames": training.q_media_frames,
         # stream-shaped ops
         "window": training.q_window,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM r WHERE rn <= 20"
         ),
         "media_frames": oracle.sql_media_frames(),
+        "media_stats": oracle.sql_media_stats(),
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),

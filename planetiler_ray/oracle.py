@@ -1070,3 +1070,41 @@ SELECT w.doc_id AS doc_id, COALESCE(h.n_hits, 0) AS n_hits,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM words w LEFT JOIN hits h ON w.doc_id = h.doc_id
 """
+
+
+def sql_media_stats() -> str:
+    """Mirror of ``training.q_media_stats``: re-derives the stub payload
+    (md5 of the decimal doc_id string, tiled) byte-for-byte in SQL and
+    replays the extractor arithmetic — first w*h bytes of the repeating
+    16-byte digest, pixel_mean = exact integer sum / need (single float64
+    division, matching numpy's exact integer accumulation), histogram of
+    byte >> 5 with one float64 division rounded to REAL exactly as the
+    engine's float32 store."""
+    hists = ",\n         ".join(
+        f"sum(CASE WHEN bin = {b} THEN times ELSE 0 END) AS h{b}" for b in range(8)
+    )
+    fcols = ",\n       ".join(
+        f"CAST(CAST(h{b} AS DOUBLE) / need AS REAL) AS f{b}" for b in range(8)
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, 16 + (doc_id % 48) AS w, 16 + (doc_id % 32) AS h, j,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2*j + 1, 2) AS INT) AS byte
+    FROM documents, UNNEST(generate_series(0, 15)) AS t(j)
+),
+c AS (
+    SELECT doc_id, j, byte, w * h AS need,
+           (w * h) // 16 + CASE WHEN j < (w * h) % 16 THEN 1 ELSE 0 END AS times,
+           byte // 32 AS bin
+    FROM b
+),
+agg AS (
+    SELECT doc_id, any_value(need) AS need,
+         sum(byte * times) AS total,
+         {hists}
+    FROM c GROUP BY doc_id
+)
+SELECT doc_id AS item_id, CAST(total AS DOUBLE) / need AS pixel_mean,
+       {fcols}
+FROM agg
+"""

@@ -409,6 +409,34 @@ def q_media_features(sf_dir: str):
     return media_pipeline(docs_ds(sf_dir, ["doc_id"]))
 
 
+def q_media_stats(sf_dir: str):
+    """Exact-oracle twin of the media feature path: same synthesize ->
+    actor-pool decode+extract pipeline, with the list<float32> feature
+    exploded to scalar columns (f0..f7) so the oracle compares plain
+    REAL values.  pixel_mean/hist are integer-exact byte arithmetic over
+    the md5-string payload, fully re-derived in SQL."""
+    import pyarrow as pa
+
+    from ..stages.multimodal import media_pipeline
+
+    def expand(batch: pa.Table) -> pa.Table:
+        feats = batch.column("feature")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.values).reshape(batch.num_rows, -1)
+        cols = {
+            "item_id": batch.column("item_id"),
+            "pixel_mean": batch.column("pixel_mean"),
+        }
+        for j in range(mat.shape[1]):
+            cols[f"f{j}"] = pa.array(mat[:, j], pa.float32())
+        return pa.table(cols)
+
+    return media_pipeline(docs_ds(sf_dir, ["doc_id"])).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Video frame sampling — per-frame row explosion with exact-count
     oracle (frames = ceil(n_frames / 4), n_frames = 4 + doc_id % 13)."""

@@ -34,7 +34,10 @@ def synthesize_media(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
     w = np.empty(len(ids), dtype=np.int32)
     h = np.empty(len(ids), dtype=np.int32)
     for i, d in enumerate(ids):
-        seed = hashlib.md5(struct.pack("<q", int(d))).digest()
+        # seed = md5 of the DECIMAL doc_id string: arbitrary for a stub, but
+        # chosen so DuckDB's md5(CAST(doc_id AS VARCHAR)) re-derives the
+        # payload bytes exactly (oracle.sql_media_stats)
+        seed = hashlib.md5(str(int(d)).encode()).digest()
         reps = payload_bytes // len(seed) + 1
         payloads.append((seed * reps)[:payload_bytes])
         w[i] = 16 + (d % 48)
