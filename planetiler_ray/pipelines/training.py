@@ -280,36 +280,42 @@ def q_ann_ivf(sf_dir: str):
     return ann.ivf_topk(embs, ray.put(q), ray.put(cent), k=5)
 
 
+def _plant_siblings(batch: pa.Table) -> pa.Table:
+    """Deterministic planted near-dups: every vector gains a sibling
+    (vec_id + 1_000_000) displaced by a tiny splitmix-hash perturbation —
+    fully vectorized (one integer-mix over an (n, dim) grid; no per-row
+    RNG objects).  Noise amplitude ±0.01/dim keeps sibling cosine >> tau
+    while leaving unrelated random vectors near-orthogonal."""
+    ids = batch.column("vec_id").to_numpy()
+    mat = ann._to_matrix(batch).astype(np.float32)
+    dim = mat.shape[1]
+    with np.errstate(over="ignore"):
+        h = (
+            ids.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ (np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9))
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    pert = mat + ((u - 0.5) * 0.02).astype(np.float32)
+    out_ids = np.concatenate([ids, ids + 1_000_000])
+    out_mat = np.concatenate([mat, pert])
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": pa.array(list(out_mat), pa.list_(pa.float32())),
+        }
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (rows-only: bucketed approximation).
 
     Random vectors are near-orthogonal, so to demonstrate the operator the
-    query plants near-duplicates: each vector gets a sibling (vec_id +
-    1_000_000) with a deterministic small perturbation; the operator should
-    recover exactly those pairs."""
-    import pyarrow as pa
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy()
-        mat = ann._to_matrix(batch).astype(np.float32)
-        # deterministic tiny perturbation seeded by vec_id
-        pert = mat.copy()
-        for i, v in enumerate(ids):
-            rng = np.random.default_rng(int(v))
-            pert[i] += rng.normal(0, 0.01, mat.shape[1]).astype(np.float32)
-        out_ids = np.concatenate([ids, ids + 1_000_000])
-        out_mat = np.concatenate([mat, pert])
-        return pa.table(
-            {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(list(out_mat), pa.list_(pa.float32())),
-            }
-        )
-
+    query plants near-duplicates via :func:`_plant_siblings`; the operator
+    should recover exactly those pairs."""
     n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     embs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(plant, batch_format="pyarrow")
+    ).map_batches(_plant_siblings, batch_format="pyarrow")
     return ann.embedding_neardup(embs, tau=0.99, count_hint=2 * n_rows)
 
 
@@ -362,27 +368,10 @@ def q_ngram_jaccard(sf_dir: str, n: int = 4, threshold: float = 0.3):
 
 def q_neardup_planted(sf_dir: str):
     """Exact-oracle variant of :func:`q_embedding_neardup`: with planted
-    sibling pairs the correct answer is EXACTLY {(v, v+1e6)}; centroids are
-    trained from a deterministic sample (parquet head, bounded driver read)
-    so the bucketing — and hence full recall — is reproducible."""
-    import pyarrow as pa
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy()
-        mat = ann._to_matrix(batch).astype(np.float32)
-        pert = mat.copy()
-        for i, v in enumerate(ids):
-            rng = np.random.default_rng(int(v))
-            pert[i] += rng.normal(0, 0.01, mat.shape[1]).astype(np.float32)
-        out_ids = np.concatenate([ids, ids + 1_000_000])
-        out_mat = np.concatenate([mat, pert])
-        return pa.table(
-            {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(list(out_mat), pa.list_(pa.float32())),
-            }
-        )
-
+    sibling pairs (:func:`_plant_siblings`) the correct answer is EXACTLY
+    {(v, v+1e6)}; centroids are trained from a deterministic sample
+    (parquet head, bounded driver read) so the bucketing — and hence full
+    recall — is reproducible."""
     meta = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
     sample = np.stack(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
@@ -394,7 +383,7 @@ def q_neardup_planted(sf_dir: str):
     cent = ann.train_centroids(sample, n_clusters)
     embs = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(plant, batch_format="pyarrow")
+    ).map_batches(_plant_siblings, batch_format="pyarrow")
     # cap high enough that no in-bucket recursive split can ever separate a
     # sibling pair at gate scales (buckets are ~n_probe*N/n_clusters ~ 1k)
     return ann.embedding_neardup(
