@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": training.q_pii_scrub,
         "line_dedup": training.q_line_dedup,
         "decontaminate": training.q_decontaminate,
+        "pack_sequences": training.q_pack_sequences,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_stats": training.q_media_stats,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracle.sql_pii_scrub(),
         "line_dedup": oracle.sql_line_dedup(),
         "decontaminate": oracle.sql_decontaminate(),
+        "pack_sequences": oracle.sql_pack_sequences(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

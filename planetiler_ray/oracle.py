@@ -1108,3 +1108,23 @@ SELECT doc_id AS item_id, CAST(total AS DOUBLE) / need AS pixel_mean,
        {fcols}
 FROM agg
 """
+
+
+def sql_pack_sequences(max_tokens: int = 2048) -> str:
+    """Mirror of ``training.q_pack_sequences``: the distributed prefix sum
+    collapses to a single window function in SQL (same whitespace token
+    grammar as ``sql_text_stats``)."""
+    return rf"""
+WITH t AS (
+    SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+    FROM documents
+),
+p AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_start
+    FROM t
+)
+SELECT doc_id, n_tokens, tok_start, tok_start // {max_tokens} AS seq_id FROM p
+"""

@@ -183,6 +183,15 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_pack_sequences(sf_dir: str, max_tokens: int = 2048):
+    """LLM sequence packing via distributed prefix sum — integer-exact
+    window-function oracle (docs laid end-to-end in doc_id order, each
+    assigned to the sequence holding its first token)."""
+    return text.pack_sequences(
+        docs_ds(sf_dir, ["doc_id", "text"]), max_tokens=max_tokens
+    )
+
+
 def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     """Benchmark decontamination: flag docs containing any probe k-gram
     (probes = first k words of every doc_id % mod == 0 doc, so the query

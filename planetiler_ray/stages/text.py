@@ -301,3 +301,92 @@ def pii_scrub(batch: pa.Table, col: str = "text") -> pa.Table:
             "clean_text": clean,
         }
     )
+
+
+def pack_sequences(ds, max_tokens: int = 2048, range_size: int = 4096,
+                   col: str = "text"):
+    """Sequence packing for LLM pretraining: lay documents end-to-end in
+    doc_id order and assign each to the fixed-size training sequence that
+    holds its first token (seq_id = exclusive-prefix-token-count //
+    max_tokens).
+
+    The interesting primitive is the DISTRIBUTED PREFIX SUM: stage 1
+    streams per-range token totals (range = doc_id // range_size) into a
+    small groupby, the driver builds the exclusive range-offset table
+    (corpus/range_size entries — tiny) and broadcasts it; stage 2 shuffles
+    docs ONCE by range (bounded groups of <= range_size docs) and computes
+    the in-range prefix with one argsort + cumsum plus the broadcast
+    offset.  No global sort, no ordered single-scan bottleneck.
+
+    Output: doc_id, n_tokens (whitespace tokens), tok_start, seq_id —
+    integer-exact, mirrored by a SQL window function.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        nt = pc.count_substring_regex(
+            batch.column(col), r"\S+"
+        ).to_numpy().astype(np.int64)
+        df = (
+            pd.DataFrame({"range_id": d // range_size, "t_part": nt})
+            .groupby("range_id", as_index=False)["t_part"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(Sum("t_part", alias_name="tok"))
+        .to_pandas()  # corpus/range_size rows: small by construction
+    )
+    if "range_id" not in totals.columns:
+        totals = pd.DataFrame({"range_id": [], "tok": []})
+    totals = totals.sort_values("range_id")
+    rids = totals["range_id"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(totals["tok"].to_numpy(dtype=np.int64))[:-1]]) \
+        if len(totals) else np.empty(0, np.int64)
+    handle = ray.put((rids, offs))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        nt = pc.count_substring_regex(
+            batch.column(col), r"\S+"
+        ).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "range_id": pa.array(d // range_size, pa.int64()),
+            }
+        )
+
+    def assign(g: pa.Table) -> pa.Table:
+        rids_s, offs_s = ray.get(handle)
+        d = g.column("doc_id").to_numpy()
+        nt = g.column("n_tokens").to_numpy()
+        rid = g.column("range_id").to_numpy()
+        order = np.argsort(d, kind="stable")
+        tok_start = np.empty(len(d), dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(nt[order])[:-1]])
+        base = offs_s[np.searchsorted(rids_s, rid[order])]
+        tok_start[order] = base + csum
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "seq_id": pa.array(tok_start // max_tokens, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(mark, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(
+            lambda g: assign(g), batch_format="pyarrow"
+        )
+    )

@@ -177,3 +177,27 @@ def test_line_dedup_keeps_lines_at_or_below_df_cap(ray_session):
         .sort_values("doc_id")
     )
     assert (out["n_kept"] == 2).all()  # df == 5 <= max_df: kept
+
+
+def test_pack_sequences_prefix_and_boundaries(ray_session):
+    import ray
+
+    from planetiler_ray.stages.text import pack_sequences
+
+    # token counts: 3, 4, 0, 5, 2 -> prefixes 0, 3, 7, 7, 12
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "d e f g"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "h i j k l"},
+        {"doc_id": 4, "text": "m n"},
+    ]
+    out = (
+        pack_sequences(ray.data.from_items(rows), max_tokens=5, range_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out["n_tokens"].tolist() == [3, 4, 0, 5, 2]
+    assert out["tok_start"].tolist() == [0, 3, 7, 7, 12]
+    assert out["seq_id"].tolist() == [0, 0, 1, 1, 2]
