@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": training.q_line_dedup,
         "decontaminate": training.q_decontaminate,
         "pack_sequences": training.q_pack_sequences,
+        "vocab_topk": training.q_vocab_topk,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_stats": training.q_media_stats,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": oracle.sql_line_dedup(),
         "decontaminate": oracle.sql_decontaminate(),
         "pack_sequences": oracle.sql_pack_sequences(),
+        "vocab_topk": oracle.sql_vocab_topk(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

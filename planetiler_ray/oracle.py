@@ -1128,3 +1128,16 @@ p AS (
 )
 SELECT doc_id, n_tokens, tok_start, tok_start // {max_tokens} AS seq_id FROM p
 """
+
+
+def sql_vocab_topk(k: int = 50) -> str:
+    """Mirror of ``training.q_vocab_topk`` (same token grammar as
+    ``sql_decontaminate``; deterministic (count DESC, token ASC) order)."""
+    return f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT token, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, token LIMIT {k}
+"""

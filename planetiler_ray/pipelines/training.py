@@ -183,6 +183,12 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus-wide top-k vocabulary with deterministic tie-break —
+    heavy-hitter aggregation, exact SQL twin."""
+    return text.vocab_topk(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
+
+
 def q_pack_sequences(sf_dir: str, max_tokens: int = 2048):
     """LLM sequence packing via distributed prefix sum — integer-exact
     window-function oracle (docs laid end-to-end in doc_id order, each

@@ -390,3 +390,46 @@ def pack_sequences(ds, max_tokens: int = 2048, range_size: int = 4096,
             lambda g: assign(g), batch_format="pyarrow"
         )
     )
+
+
+def vocab_topk(ds, k: int = 50, col: str = "text"):
+    """Corpus-wide vocabulary heavy hitters: top-k tokens by total count
+    (ties broken token-ascending, so the answer is deterministic).
+
+    Scale shape: per-batch token counts via Arrow group_by (volume =
+    distinct tokens per batch, not tokens) -> ONE groupby-sum over the
+    vocabulary -> per-block partial top-k (argpartition, ties kept) ->
+    tiny exact sort + limit.  Never a global sort of the token stream.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token": g.column("token"), "c_part": g.column("token_count")}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        if len(n) > k:
+            tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+            thresh = np.partition(n, len(n) - k)[len(n) - k]
+            cand = np.flatnonzero(n >= thresh)
+            order = cand[np.lexsort((tok[cand], -n[cand]))][:k]
+            return batch.take(pa.array(order, pa.int64()))
+        return batch
+
+    return (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

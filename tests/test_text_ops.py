@@ -201,3 +201,20 @@ def test_pack_sequences_prefix_and_boundaries(ray_session):
     assert out["n_tokens"].tolist() == [3, 4, 0, 5, 2]
     assert out["tok_start"].tolist() == [0, 3, 7, 7, 12]
     assert out["seq_id"].tolist() == [0, 0, 1, 1, 2]
+
+
+def test_vocab_topk_counts_and_ties(ray_session):
+    import ray
+
+    from planetiler_ray.stages.text import vocab_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple Cherry"},
+        {"doc_id": 1, "text": "banana apple date cherry"},
+        {"doc_id": 2, "text": "egg egg egg egg"},
+    ]
+    out = vocab_topk(ray.data.from_items(rows), k=3).to_pandas()
+    # counts: egg=4, apple=3, banana=2, cherry=2, date=1 -> tie at rank 3
+    # broken token-ascending => banana beats cherry
+    assert out["token"].tolist() == ["egg", "apple", "banana"]
+    assert out["n"].tolist() == [4, 3, 2]
