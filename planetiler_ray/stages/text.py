@@ -18,24 +18,38 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 def text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     """doc_id, n_chars_txt, n_ws_tokens (whitespace), n_bpe_tokens (regex),
-    n_stopwords, n_punct — all exact-int, oracle-checkable."""
-    t = batch.column(col).to_pandas()
-    n_chars = t.str.len().to_numpy(dtype=np.int64)
-    n_ws = t.str.split().map(len).to_numpy(dtype=np.int64)
-    bpe = t.str.findall(BPE_TOKEN_RE)
-    n_bpe = bpe.map(len).to_numpy(dtype=np.int64)
-    words = t.str.lower().str.findall(r"[a-z0-9]+")
-    stop = set(STOPWORDS)
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop)).to_numpy(dtype=np.int64)
-    n_punct = t.str.count(r"[^a-zA-Z0-9\s]").to_numpy(dtype=np.int64)
+    n_punct via RE2 match-count kernels over the Arrow string buffer (the
+    oracle's regexp_extract_all uses the same RE2, so counts agree by
+    construction; the grammar's alternatives are disjoint, so leftmost-first
+    vs leftmost-longest cannot differ); n_stopwords via the shared flat
+    tokenizer + is_in + one cumsum-difference per doc.  No per-row Python
+    (this stage runs over the full corpus)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _flat_tokens
+
+    s = batch.column(col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+    n_ws = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int64())
+    n_bpe = pc.cast(pc.count_substring_regex(s, BPE_TOKEN_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(s, r"[^a-zA-Z0-9\s]"), pa.int64())
+    flat, lens = _flat_tokens(s.to_pandas())
+    hit = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    c = np.concatenate([[0], np.cumsum(hit)])
+    b = np.concatenate([[0], np.cumsum(lens)])
+    n_stop = c[b[1:]] - c[b[:-1]]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars_txt": pa.array(n_chars, pa.int64()),
-            "n_ws_tokens": pa.array(n_ws, pa.int64()),
-            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_chars_txt": n_chars,
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": n_bpe,
             "n_stopwords": pa.array(n_stop, pa.int64()),
-            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_punct": n_punct,
         }
     )
 
