@@ -1141,3 +1141,26 @@ WITH tok AS (
 c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
 SELECT token, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, token LIMIT {k}
 """
+
+
+def sql_dup_spans(length: int = 32, stride: int = 16) -> str:
+    """Mirror of ``training.q_dup_spans``: every stride-aligned
+    ``length``-char window of each doc (ASCII corpus: char == byte),
+    windows whose exact content appears in >1 distinct docs, counted per
+    doc.  The position series uses a constant bound (DuckDB's
+    generate_series rejects lateral/subquery parameters) filtered to each
+    doc's real length — 65536 comfortably exceeds every testdata doc."""
+    return f"""
+WITH pos AS (
+  SELECT doc_id, substr(text, CAST(p AS INTEGER), {length}) AS sh
+  FROM documents
+  JOIN generate_series(1, 65536, {stride}) AS t(p)
+    ON p <= CAST(length(text) AS INTEGER) - {length - 1}
+),
+dup AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) > 1
+)
+SELECT doc_id, count(*) AS n_dup_spans
+FROM pos JOIN dup USING (sh)
+GROUP BY doc_id
+"""

@@ -183,6 +183,13 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring detection (Lee et al. 2022 detection
+    pass, stride-16 32-char windows) — per-doc count of windows whose
+    content recurs in another document; exact SQL twin."""
+    return dedup.dup_spans(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_vocab_topk(sf_dir: str, k: int = 50):
     """Corpus-wide top-k vocabulary with deterministic tie-break —
     heavy-hitter aggregation, exact SQL twin."""

@@ -966,3 +966,148 @@ def decontaminate(ds, probes_handle, k: int = 3, col: str = "text"):
         return _r.get(h) if isinstance(h, _r.ObjectRef) else h
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicated substrings --
+
+
+def _span_shingles(batch: pa.Table, length: int, stride: int,
+                   col: str = "text") -> tuple:
+    """Vectorized fixed-length span extraction: every document contributes
+    a ``length``-byte window at byte offsets 0, stride, 2*stride, ...
+    (last window fully inside the doc).  One fancy-index over the flat
+    UTF-8 buffer builds ALL windows at once — no per-row slicing.
+
+    Returns (matrix, doc_rep): (n_spans, length) uint8 matrix + the doc id
+    of each span.  ASCII-only inputs make byte offsets == char offsets,
+    which is what lets the DuckDB ``substr`` oracle mirror this exactly;
+    non-ASCII inputs raise (the operator is still correct byte-wise, but
+    the oracle contract would silently diverge).
+    """
+    s = batch.column(col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    if s.null_count:
+        raise ValueError("dup_spans: null text not supported")
+    arr = s.cast(pa.large_string())
+    n = len(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    if np.any(data[offs[0]:offs[-1]] > 127):
+        raise ValueError("dup_spans: non-ASCII text breaks the char==byte "
+                         "oracle contract")
+    npos = np.where(lens >= length, (lens - length) // stride + 1, 0)
+    total = int(npos.sum())
+    doc_rep = np.repeat(batch.column("doc_id").to_numpy(), npos)
+    if total == 0:
+        return np.empty((0, length), np.uint8), doc_rep
+    excl = np.concatenate([[0], np.cumsum(npos)[:-1]])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(excl, npos)
+    starts = np.repeat(offs[:-1], npos) + pos_in_doc * stride
+    matrix = data[starts[:, None] + np.arange(length)]
+    return matrix, doc_rep
+
+
+def _merge_span_doc(matrix: np.ndarray, doc: np.ndarray,
+                    counts: np.ndarray | None = None) -> tuple:
+    """Collapse (span, doc) rows to distinct pairs with summed counts via
+    one structured-array sort (C-speed, no Python per row)."""
+    length = matrix.shape[1]
+    rec = np.empty(len(doc), dtype=[("sh", np.void, length), ("doc", np.int64)])
+    rec["sh"] = np.ascontiguousarray(matrix).view(
+        np.dtype((np.void, length))).reshape(-1)
+    rec["doc"] = doc
+    order = np.argsort(rec, kind="stable")
+    rs = rec[order]
+    first = np.ones(len(rs), dtype=bool)
+    first[1:] = rs[1:] != rs[:-1]
+    starts = np.flatnonzero(first)
+    c = np.ones(len(rs), np.int64) if counts is None else counts[order]
+    merged = np.add.reduceat(c, starts) if len(starts) else np.empty(0, np.int64)
+    return rs[starts], merged, starts, first
+
+
+def dup_spans(ds, length: int = 32, stride: int = 16, col: str = "text",
+              id_col: str = "doc_id", n_buckets: int = 64):
+    """Exact duplicated-substring detection (the detection pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    stride-``stride`` windowing in place of the single-machine suffix
+    array): for every document, count the fixed-stride ``length``-char
+    windows whose exact content also appears in at least one OTHER
+    document.  Output: one row per affected doc — (doc_id, n_dup_spans).
+
+    Scale shape: per-batch vectorized window extraction (ONE fancy-index
+    over the flat UTF-8 buffer), per-batch (span, doc)->count partial
+    collapse (structured sort, cuts shuffle volume by the in-batch dup
+    factor), ONE hash-bucket shuffle on the span content (buckets hold
+    many spans — never a per-span tiny group), per-bucket cross-doc test
+    + per-doc partial sums, then a small ``groupby(doc_id)`` over partials.
+    A span repeated in millions of docs costs linear work (its rows list),
+    never a pairwise blow-up.  Shuffle volume is ~length/stride x corpus
+    bytes (2x at the defaults) before the in-batch collapse.
+    """
+    from ray.data.aggregate import Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        matrix, doc = _span_shingles(batch, length, stride, col=col)
+        pairs, cnt, _, _ = _merge_span_doc(matrix, doc)
+        sh_bytes = np.frombuffer(pairs["sh"].tobytes(), np.uint8).reshape(
+            -1, length)
+        h = np.full(len(pairs), 14695981039346656037, dtype=np.uint64)
+        for j in range(length):
+            h = (h ^ sh_bytes[:, j].astype(np.uint64)) * _COMBINE_PRIME
+        buf = pa.py_buffer(sh_bytes.tobytes())
+        sh_arr = pa.Array.from_buffers(pa.binary(length), len(pairs), [None, buf])
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                                   pa.int64()),
+                "sh": sh_arr,
+                "doc_id": pa.array(pairs["doc"], pa.int64()),
+                "n_pos": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        sh = g.column("sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        matrix = np.frombuffer(sh.buffers()[1], dtype=np.uint8).reshape(
+            -1, length)[sh.offset:sh.offset + len(sh)]
+        doc = g.column("doc_id").to_numpy()
+        cnt = g.column("n_pos").to_numpy()
+        pairs, merged, starts, _ = _merge_span_doc(matrix, doc, cnt)
+        # span-run boundaries over the distinct (span, doc) rows
+        sh_only = pairs["sh"]
+        new_span = np.ones(len(pairs), dtype=bool)
+        new_span[1:] = sh_only[1:] != sh_only[:-1]
+        span_start = np.flatnonzero(new_span)
+        span_docs = np.diff(np.append(span_start, len(pairs)))
+        dup_row = np.repeat(span_docs, span_docs) >= 2
+        d, c = pairs["doc"][dup_row], merged[dup_row]
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        od = np.argsort(d, kind="stable")
+        d_s, c_s = d[od], c[od]
+        fd = np.ones(len(d_s), dtype=bool)
+        fd[1:] = d_s[1:] != d_s[:-1]
+        ds_idx = np.flatnonzero(fd)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[ds_idx], pa.int64()),
+                "n_part": pa.array(np.add.reduceat(c_s, ds_idx), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: bucket_dups(g.drop_columns(["bucket"])),
+                    batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_part", alias_name="n_dup_spans"))
+    )

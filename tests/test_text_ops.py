@@ -218,3 +218,53 @@ def test_vocab_topk_counts_and_ties(ray_session):
     # broken token-ascending => banana beats cherry
     assert out["token"].tolist() == ["egg", "apple", "banana"]
     assert out["n"].tolist() == [4, 3, 2]
+
+
+def test_dup_spans_planted(ray_session):
+    import ray
+
+    from planetiler_ray.stages.dedup import dup_spans
+
+    # doc 0 and 1 share an exact 64-char run -> both get flagged; doc 2 is
+    # unique text of the same length -> absent; doc 3 is too short for one
+    # 32-char window -> absent.
+    # prefixes are multiples of the stride so the shared run is window-
+    # aligned in both docs (the detector is exact, not shift-invariant)
+    shared = "x" * 30 + "SHARED RUN OF TEXT " + "y" * 30  # 79 chars
+    rows = [
+        {"doc_id": 0, "text": "a" * 16 + shared + " bbb"},
+        {"doc_id": 1, "text": "c" * 32 + shared + " dd"},
+        {"doc_id": 2, "text": "".join(chr(97 + (i * 7) % 26) for i in range(80))},
+        {"doc_id": 3, "text": "tiny"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = (
+        dup_spans(ds, length=32, stride=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert set(out.index) == {0, 1}
+    # windows at in-shared offsets 0, 16, 48 are fully inside the shared
+    # run in both docs (offset 32 straddles nothing — also inside): each
+    # doc counts the same >=3 duplicated stride positions
+    assert (out["n_dup_spans"] >= 3).all()
+
+
+def test_dup_spans_same_doc_repeat_not_flagged(ray_session):
+    import ray
+
+    from planetiler_ray.stages.dedup import dup_spans
+
+    # a window repeated WITHIN one doc only (distinct-doc count == 1) must
+    # not be reported; stride-aligned identical windows guaranteed by the
+    # 32-char period of the repeated block
+    block = "0123456789abcdef" * 2  # 32 chars, repeats at stride 32
+    rows = [
+        {"doc_id": 7, "text": block * 4},
+        {"doc_id": 8, "text": "completely different content herewith padding z"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = dup_spans(ds, length=32, stride=16).to_pandas()
+    # no cross-doc duplicate exists at all -> empty result
+    assert len(out) == 0
