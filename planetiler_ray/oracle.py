@@ -1164,3 +1164,18 @@ SELECT doc_id, count(*) AS n_dup_spans
 FROM pos JOIN dup USING (sh)
 GROUP BY doc_id
 """
+
+
+def sql_quantiles_by_lang() -> str:
+    """Mirror of ``training.q_quantiles_by_lang``: quantile_disc is the
+    ceil(q*n)-th smallest (verified), same convention as the engine's
+    merged-histogram read-off."""
+    return """
+SELECT lang,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.90) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99,
+       count(*) AS n_rows
+FROM documents
+GROUP BY lang
+"""

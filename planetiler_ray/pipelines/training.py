@@ -183,6 +183,17 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_quantiles_by_lang(sf_dir: str):
+    """Exact per-language length quantiles (p50/p90/p99) via distributed
+    histogram partials — per-group state is O(distinct lengths), never
+    O(rows); matches DuckDB quantile_disc exactly."""
+    from ..stages import events
+
+    return events.grouped_quantiles(
+        docs_ds(sf_dir, ["lang", "n_chars"]), "lang", "n_chars"
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicated-substring detection (Lee et al. 2022 detection
     pass, stride-16 32-char windows) — per-doc count of windows whose

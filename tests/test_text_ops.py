@@ -268,3 +268,23 @@ def test_dup_spans_same_doc_repeat_not_flagged(ray_session):
     out = dup_spans(ds, length=32, stride=16).to_pandas()
     # no cross-doc duplicate exists at all -> empty result
     assert len(out) == 0
+
+
+def test_grouped_quantiles_ceil_convention(ray_session):
+    import ray
+
+    from planetiler_ray.stages.events import grouped_quantiles
+
+    # group "a": 1..10 -> p50 = 5 (ceil(5)=5th), p90 = 9, p99 = 10
+    # group "b": [3, 3, 7] -> p50 = 3, p90 = 7, p99 = 7
+    rows = [{"g": "a", "v": i} for i in range(1, 11)]
+    rows += [{"g": "b", "v": v} for v in (3, 3, 7)]
+    ds = ray.data.from_items(rows)
+    out = (
+        grouped_quantiles(ds, "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .set_index("g")
+    )
+    assert out.loc["a", ["p50", "p90", "p99", "n_rows"]].tolist() == [5, 9, 10, 10]
+    assert out.loc["b", ["p50", "p90", "p99", "n_rows"]].tolist() == [3, 7, 7, 3]
