@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute": training.q_ann_brute,
         "ann_ivf": training.q_ann_ivf,
+        "ann_pq": training.q_ann_pq,
         # text analysis
         "text_stats": training.q_text_stats,
         "quality": training.q_quality,

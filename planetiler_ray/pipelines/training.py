@@ -313,6 +313,17 @@ def q_ann_ivf(sf_dir: str):
     return ann.ivf_topk(embs, ray.put(q), ray.put(cent), k=5)
 
 
+def q_ann_pq(sf_dir: str):
+    """IVFADC-style PQ top-k (rows-only: approximate by design; recall
+    pinned against brute_topk by unit test)."""
+    q = _query_vectors(sf_dir)
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    sample = np.stack(embs.limit(2048).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    books = ann.train_pq(sample, n_subspaces=8, n_codes=64)
+    return ann.pq_topk(embs, ray.put(q), ray.put(books), k=5)
+
+
 def _plant_siblings(batch: pa.Table) -> pa.Table:
     """Deterministic planted near-dups: every vector gains a sibling
     (vec_id + 1_000_000) displaced by a tiny splitmix-hash perturbation —

@@ -277,3 +277,141 @@ def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
         .aggregate(Count(alias_name="_n"), Min("sim1000", alias_name="sim1000"))
         .select_columns(["a", "b", "sim1000"])
     )
+
+
+# ------------------------------------------------- product quantization --
+
+
+def train_pq(sample: np.ndarray, n_subspaces: int = 8, n_codes: int = 256,
+             iters: int = 10, seed: int = 29) -> np.ndarray:
+    """Deterministic PQ codebooks (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split the (normalized) vector into
+    ``n_subspaces`` contiguous sub-vectors, k-means each subspace on the
+    sample.  Returns (n_subspaces, n_codes, sub_dim) float64.
+
+    At 100 TB this is the memory story: a 64-dim float32 vector (256 B)
+    compresses to ``n_subspaces`` uint8 codes (8 B) — the whole corpus'
+    codes fit in RAM for the ADC scan while raw vectors stay in Parquet.
+    """
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n, dim = sample.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    k = min(n_codes, n)
+    books = np.empty((n_subspaces, k, sub), dtype=np.float64)
+    for s in range(n_subspaces):
+        x = sample[:, s * sub:(s + 1) * sub]
+        idx = rng.choice(n, size=k, replace=False)
+        cent = x[idx].copy()
+        for _ in range(iters):
+            # squared L2 assignment (PQ quantizes raw sub-vectors, not angles)
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cent[c] = x[m].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def _pq_codes(m: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode normalized vectors -> (n, n_subspaces) uint8 codes (one
+    argmin-of-squared-distance GEMM per subspace, vectorized)."""
+    n_sub, k, sub = books.shape
+    codes = np.empty((len(m), n_sub), dtype=np.uint8)
+    for s in range(n_sub):
+        x = m[:, s * sub:(s + 1) * sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode(ds, codebooks_handle, id_col: str = "vec_id",
+              col: str = "embedding"):
+    """Dataset op: vec_id + PQ codes (fixed-size binary, n_subspaces bytes)."""
+    import ray
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = codebooks_handle
+        if isinstance(books, ray.ObjectRef):
+            books = ray.get(books)
+        m = _normalize(_to_matrix(batch, col))
+        codes = _pq_codes(m, books)
+        n_sub = codes.shape[1]
+        buf = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+        arr = pa.Array.from_buffers(pa.binary(n_sub), len(codes), [None, buf])
+        return pa.table({id_col: batch.column(id_col), "pq_code": arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(ds, queries_handle, codebooks_handle, k: int = 5,
+            rescore: int = 4, id_col: str = "vec_id", col: str = "embedding"):
+    """PQ/ADC approximate cosine top-k with exact candidate rescoring.
+
+    Per batch: encode vectors once (uint8 codes), build each query's ADC
+    lookup table LUT[s, code] = q_s . c_{s,code} (n_subspaces x n_codes —
+    tiny), approximate sim = sum_s LUT[s, code_s] via ONE gather-sum over
+    the codes matrix, select k*rescore ADC candidates, rescore those few
+    exactly against the raw in-batch vectors, emit exact-sim partials;
+    the final merge is the same tiny per-query groupby as brute/IVF.
+    The scan's per-vector cost is n_subspaces lookups instead of a dim-wide
+    multiply-add — the classic IVFADC scan shape, expressed as a streaming
+    ``map_batches`` with broadcast codebooks.  Approximate by design
+    (candidate selection can miss), hence rows-only at the gate; recall is
+    pinned by unit test against :func:`brute_topk`.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = queries_handle
+        b = codebooks_handle
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        if isinstance(b, ray.ObjectRef):
+            b = ray.get(b)
+        q_ids, q_mat = q
+        books = np.asarray(b)
+        n_sub, n_codes, sub = books.shape
+        m = _normalize(_to_matrix(batch, col))
+        ids = batch.column(id_col).to_numpy()
+        codes = _pq_codes(m, books)
+        qn = _normalize(np.asarray(q_mat, dtype=np.float64))
+        nq = len(qn)
+        # LUTs for all queries at once: (nq, n_sub, n_codes)
+        luts = np.einsum("qsd,scd->qsc", qn.reshape(nq, n_sub, sub), books)
+        flat_codes = codes.astype(np.int64) + \
+            (np.arange(n_sub, dtype=np.int64) * n_codes)[None, :]
+        out_q, out_id, out_s = [], [], []
+        kk = min(k * rescore + 1, len(ids))
+        for i in range(nq):
+            approx = luts[i].ravel()[flat_codes].sum(axis=1)
+            cand = np.argpartition(-approx, kk - 1)[:kk]
+            exact = qn[i] @ m[cand].T
+            out_q.append(np.full(kk, q_ids[i], dtype=np.int64))
+            out_id.append(ids[cand])
+            out_s.append(exact)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["query_id"] != group["neighbor_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -60,3 +60,60 @@ def test_decontaminate_counts_probe_gram_positions(ray_session):
     assert out.loc[6, "n_hits"] == 1  # case-insensitive token grammar
     assert out.loc[7, "n_hits"] == 0 and not bool(out.loc[7, "contaminated"])
     assert out.loc[8, "n_hits"] == 0
+
+
+def test_pq_topk_recall_vs_brute(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    df = embs.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q_ids = df["vec_id"].to_numpy()[:8]
+    q_mat = mat[:8]
+    handle = ray.put((q_ids, q_mat))
+    brute = ann.brute_topk(embs, handle, k=5).to_pandas()
+    books = ann.train_pq(mat, n_subspaces=8, n_codes=64)
+    pq = ann.pq_topk(embs, handle, ray.put(books), k=5).to_pandas()
+    # recall@5 of the ADC+rescore scan vs exact cosine
+    hits = 0
+    for qid in q_ids:
+        b = set(brute[brute.query_id == qid]["neighbor_id"])
+        p = set(pq[pq.query_id == qid]["neighbor_id"])
+        hits += len(b & p)
+    recall = hits / (5 * len(q_ids))
+    assert recall >= 0.7, recall
+    # rescored sims are exact, so any candidate ALSO in brute's top-k keeps
+    # identical rank ordering within the intersection
+    assert set(pq.columns) == {"query_id", "rank", "neighbor_id"}
+
+
+def test_pq_encode_roundtrip_distortion(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    df = embs.to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    books = ann.train_pq(mat, n_subspaces=8, n_codes=64)
+    out = ann.pq_encode(embs, ray.put(books)).to_pandas()
+    assert len(out) == len(df)
+    code = np.frombuffer(b"".join(out["pq_code"]), np.uint8).reshape(-1, 8)
+    # reconstruct and check mean cosine(orig, recon) is high
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = out["vec_id"].to_numpy().argsort()
+    code = code[order][df["vec_id"].to_numpy().argsort().argsort()]
+    recon = np.concatenate(
+        [books[s][code[:, s]] for s in range(8)], axis=1
+    )
+    recon /= np.maximum(np.linalg.norm(recon, axis=1, keepdims=True), 1e-12)
+    cos = (norm * recon).sum(axis=1)
+    assert cos.mean() > 0.8, cos.mean()
