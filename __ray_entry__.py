@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": training.q_vocab_topk,
         "dup_spans": training.q_dup_spans,
         "quantiles_by_lang": training.q_quantiles_by_lang,
+        "hll_users": training.q_hll_users,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_stats": training.q_media_stats,
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": oracle.sql_vocab_topk(),
         "dup_spans": oracle.sql_dup_spans(),
         "quantiles_by_lang": oracle.sql_quantiles_by_lang(),
+        "hll_users": oracle.sql_hll_users(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

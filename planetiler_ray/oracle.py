@@ -1179,3 +1179,40 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+def sql_hll_users(p: int = 8) -> str:
+    """Mirror of ``training.q_hll_users``: identical Mersenne-61 hash in
+    HUGEINT arithmetic; rho = trailing zeros of the non-register bits + 1
+    (w & -w isolates a power of two, whose float log2 is exact)."""
+    m = 1 << p
+    w_zero_rho = 61 - p + 1
+    return f"""
+WITH h0 AS (
+  SELECT event_type,
+         ((CAST(user_id AS HUGEINT) % 2305843009213693951)
+           * 1752450205419405103 + 1234567891011121314) % 2305843009213693951 AS a
+  FROM events
+), h1 AS (
+  SELECT event_type,
+         xor(CAST(a AS BIGINT), CAST(a AS BIGINT) // 536870912) % 2305843009213693951 AS b
+  FROM h0
+), h2t AS (
+  SELECT event_type,
+         (CAST(b AS HUGEINT) * 1803867173528181589) % 2305843009213693951 AS c
+  FROM h1
+), h AS (
+  SELECT event_type,
+         xor(CAST(c AS BIGINT), CAST(c AS BIGINT) // 2147483648) % 2305843009213693951 AS h2
+  FROM h2t
+), r AS (
+  SELECT event_type,
+         CAST(h2 % {m} AS BIGINT) AS register,
+         CAST(h2 // {m} AS BIGINT) AS w
+  FROM h
+)
+SELECT event_type, register,
+       max(CASE WHEN w = 0 THEN {w_zero_rho}
+            ELSE CAST(round(log2(CAST(w & -w AS DOUBLE))) AS BIGINT) + 1 END) AS max_rho
+FROM r GROUP BY event_type, register
+"""

@@ -183,6 +183,18 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register table (p=8) for distinct users per event type —
+    EXACT oracle: the Mersenne-61 multiplicative hash and trailing-zero rho
+    are integer-for-integer mirrorable in DuckDB HUGEINT arithmetic, so the
+    sketch itself (not just its estimate) is correctness-gated."""
+    from ..stages import sketch
+
+    return sketch.hll_registers(
+        events_ds(sf_dir, ["event_type", "user_id"]), "event_type", "user_id", p=8
+    )
+
+
 def q_quantiles_by_lang(sf_dir: str):
     """Exact per-language length quantiles (p50/p90/p99) via distributed
     histogram partials — per-group state is O(distinct lengths), never

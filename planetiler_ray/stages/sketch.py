@@ -1,0 +1,137 @@
+"""Distributed cardinality sketches (HyperLogLog).
+
+The 100-TB use case: "distinct users per event type" over 10^12 rows —
+an exact distinct is a full shuffle of every (type, user) pair, while the
+HLL register table is ``groups x 2^p`` integers built from per-batch
+partials and merged with ``max``: constant state per group, one tiny
+all-to-all.
+
+Everything here is EXACTLY mirrorable in ANSI SQL (the correctness gate's
+whole point), which drives two design choices:
+
+* the value hash is multiplicative hashing modulo the Mersenne prime
+  M61 = 2^61 - 1 — DuckDB computes it with HUGEINT arithmetic, numpy with
+  a decomposed 128-bit multiply (`_mulmod61`); both produce identical
+  integers, unlike any builtin ``hash()``.
+* rho uses TRAILING zeros of the non-register bits (Flajolet-Martin
+  style), because ``w & -w`` is a power of two whose float ``log2`` is
+  exact in both engines; leading-zero counts have no exact SQL analogue.
+
+Reference for the estimator: Flajolet et al. 2007 (HyperLogLog), with the
+small-range linear-counting correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+M61 = (1 << 61) - 1
+# random-looking odd constants < M61 (avalanche validated by the estimate
+# accuracy unit test, which fails loudly if register occupancy is skewed)
+HASH_A = 1752450205419405103
+HASH_B = 1803867173528181589
+HASH_C = 1234567891011121314
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _mulmod61(a: np.ndarray, b: int) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) for uint64 a < 2^61, scalar b < 2^61 —
+    decomposed 32-bit-half multiply (numpy wraps at 2^64; we need the
+    true 128-bit product), then reduction via 2^61 === 1 (mod M61)."""
+    a = a.astype(np.uint64)
+    b = np.uint64(b)
+    a0, a1 = a & _MASK32, a >> np.uint64(32)
+    b0, b1 = b & _MASK32, b >> np.uint64(32)
+    t = a0 * b0
+    k = t >> np.uint64(32)
+    lo = t & _MASK32
+    t = a1 * b0 + k
+    k2 = t & _MASK32
+    w2 = t >> np.uint64(32)
+    t = a0 * b1 + k2
+    k3 = t >> np.uint64(32)
+    hi = a1 * b1 + w2 + k3          # true high 64 bits
+    lo = lo | (t << np.uint64(32))  # true low 64 bits (wrapping ok)
+    # x = hi*2^64 + lo;  2^64 === 8 (mod M61);  lo = l1*2^61 + l0 === l1+l0
+    s = np.uint64(8) * hi + (lo >> np.uint64(61)) + (lo & np.uint64(M61))
+    return s % np.uint64(M61)
+
+
+def hash61(v: np.ndarray) -> np.ndarray:
+    """Murmur-style mix into [0, 2^61-1): multiply mod M61 interleaved
+    with xor-shift folds.  The folds are the crucial nonlinearity — a
+    purely multiplicative (affine) hash maps consecutive ids to an
+    arithmetic progression whose trailing-zero pattern is near-
+    deterministic, which biases the HLL estimator ~40% high (observed).
+    Both steps stay SQL-expressible: DuckDB ``xor()`` + ``//`` shifts."""
+    h = v.astype(np.uint64) % np.uint64(M61)
+    h = (_mulmod61(h, HASH_A) + np.uint64(HASH_C)) % np.uint64(M61)
+    h = (h ^ (h >> np.uint64(29))) % np.uint64(M61)
+    h = _mulmod61(h, HASH_B)
+    return (h ^ (h >> np.uint64(31))) % np.uint64(M61)
+
+
+def hll_registers(ds, group_col: str, value_col: str, p: int = 8):
+    """Sparse HLL register table per group: (group, register, max_rho).
+
+    register = h % 2^p, w = h // 2^p, rho = trailing_zeros(w) + 1
+    (w == 0 -> 61 - p + 1).  Per-batch partial max per (group, register)
+    -> one small ``groupby().max()``; rows out <= groups x 2^p regardless
+    of input size.  ``p >= 6`` keeps ``w < 2^55`` so the float log2 of the
+    isolated lowest bit is exact (same guarantee the SQL mirror relies on).
+    """
+    from ray.data.aggregate import Max
+
+    if not 6 <= p <= 16:
+        raise ValueError("p must be in [6, 16]")
+    m_mask = np.uint64((1 << p) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy().astype(np.int64)
+        h = hash61(v)
+        reg = (h & m_mask).astype(np.int64)
+        w = h >> np.uint64(p)
+        lowest = w & (~w + np.uint64(1))
+        rho = np.where(
+            w == 0, 61 - p + 1,
+            np.log2(np.maximum(lowest, np.uint64(1)).astype(np.float64)).astype(np.int64) + 1,
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "g": batch.column(group_col).to_pandas(),
+                "register": reg,
+                "rho": rho,
+            }
+        )
+        out = df.groupby(["g", "register"], as_index=False)["rho"].max()
+        return pa.table(
+            {
+                group_col: pa.array(out["g"]),
+                "register": pa.array(out["register"].to_numpy(), pa.int64()),
+                "max_rho": pa.array(out["rho"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "register"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, group_col: str, p: int = 8) -> pd.DataFrame:
+    """Cardinality estimate per group from a sparse register table
+    (harmonic mean + linear-counting small-range correction)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = []
+    for g, sub in registers.groupby(group_col):
+        zeros = m - len(sub)
+        s = zeros * 1.0 + np.power(2.0, -sub["max_rho"].to_numpy()).sum()
+        e = alpha * m * m / s
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)
+        out.append({group_col: g, "estimate": float(e)})
+    return pd.DataFrame(out)

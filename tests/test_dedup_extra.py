@@ -117,3 +117,58 @@ def test_pq_encode_roundtrip_distortion(ray_session):
     recon /= np.maximum(np.linalg.norm(recon, axis=1, keepdims=True), 1e-12)
     cos = (norm * recon).sum(axis=1)
     assert cos.mean() > 0.8, cos.mean()
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import sketch
+
+    # two groups with known cardinalities 10_000 and 500; rows repeat
+    # values (HLL must be insensitive to multiplicity)
+    rng = np.random.default_rng(11)
+    rows_a = rng.integers(0, 10_000, size=30_000)
+    rows_b = rng.integers(50_000, 50_500, size=5_000)
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(rows_a) + ["b"] * len(rows_b),
+            "v": np.concatenate([rows_a, rows_b]).astype(np.int64),
+        }
+    )
+    true_a = len(np.unique(rows_a))
+    true_b = len(np.unique(rows_b))
+    ds = ray.data.from_pandas(df)
+    regs = sketch.hll_registers(ds, "g", "v", p=8).to_pandas()
+    est = sketch.hll_estimate(regs, "g", p=8).set_index("g")["estimate"]
+    assert abs(est["a"] - true_a) / true_a < 0.15, (est["a"], true_a)
+    assert abs(est["b"] - true_b) / true_b < 0.15, (est["b"], true_b)
+
+
+def test_hll_register_merge_is_max(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from planetiler_ray.stages import sketch
+
+    # the sketch of a union equals the register-wise max of the parts
+    v1 = np.arange(0, 4000, dtype=np.int64)
+    v2 = np.arange(2000, 6000, dtype=np.int64)
+    d1 = pd.DataFrame({"g": "x", "v": v1})
+    d2 = pd.DataFrame({"g": "x", "v": v2})
+    r1 = sketch.hll_registers(ray.data.from_pandas(d1), "g", "v").to_pandas()
+    r2 = sketch.hll_registers(ray.data.from_pandas(d2), "g", "v").to_pandas()
+    ru = sketch.hll_registers(
+        ray.data.from_pandas(pd.concat([d1, d2])), "g", "v"
+    ).to_pandas()
+    merged = (
+        pd.concat([r1, r2])
+        .groupby(["g", "register"], as_index=False)["max_rho"]
+        .max()
+    )
+    a = ru.sort_values(["register"], ignore_index=True)[["register", "max_rho"]]
+    b = merged.sort_values(["register"], ignore_index=True)[["register", "max_rho"]]
+    assert a.equals(b)
