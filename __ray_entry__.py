@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": training.q_dup_spans,
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
+        "weighted_sample": training.q_weighted_sample,
+        "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_stats": training.q_media_stats,
@@ -264,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oracle.sql_dup_spans(),
         "quantiles_by_lang": oracle.sql_quantiles_by_lang(),
         "hll_users": oracle.sql_hll_users(),
+        "weighted_sample": oracle.sql_weighted_sample(),
+        "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

@@ -1216,3 +1216,44 @@ SELECT event_type, register,
             ELSE CAST(round(log2(CAST(w & -w AS DOUBLE))) AS BIGINT) + 1 END) AS max_rho
 FROM r GROUP BY event_type, register
 """
+
+
+_H61 = "2305843009213693951"
+
+
+def _hash61_ctes(table: str, key: str) -> str:
+    """CTE chain computing the engine's hash61(key) as column _h (HUGEINT
+    mod M61) — mirrors stages/sketch.py hash61 integer-for-integer."""
+    return f"""
+_h0 AS (SELECT *, ((CAST({key} AS HUGEINT) % {_H61})
+                   * 1752450205419405103 + 1234567891011121314) % {_H61} AS _a
+        FROM {table}),
+_h1 AS (SELECT *, xor(CAST(_a AS BIGINT), CAST(_a AS BIGINT) // 536870912)
+                   % {_H61} AS _b FROM _h0),
+_h2 AS (SELECT *, (CAST(_b AS HUGEINT) * 1803867173528181589) % {_H61} AS _c
+        FROM _h1),
+_hh AS (SELECT *, xor(CAST(_c AS BIGINT), CAST(_c AS BIGINT) // 2147483648)
+                   % {_H61} AS _h FROM _h2)"""
+
+
+def sql_weighted_sample() -> str:
+    """Mirror of ``training.q_weighted_sample``."""
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")}
+SELECT doc_id, lang, n_chars
+FROM _hh
+WHERE CAST(_h % 10000 AS BIGINT) < least(n_chars * 20, 9999)
+"""
+
+
+def sql_source_median_dev() -> str:
+    """Mirror of ``training.q_source_median_dev`` (quantile_disc median,
+    integer deviation)."""
+    return """
+WITH s AS (
+  SELECT source, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars - med AS dev
+FROM documents d JOIN s USING (source)
+"""

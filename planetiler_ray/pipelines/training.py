@@ -183,6 +183,55 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic importance sampling: keep probability proportional to
+    doc length (weight_bp = min(n_chars*20, 9999)) via the SQL-mirrorable
+    Mersenne-61 hash — exact oracle, no shuffle, reproducible."""
+    from ..stages.sampling import weighted_sample
+
+    def w(batch):
+        return np.minimum(
+            batch.column("n_chars").to_numpy().astype(np.int64) * 20, 9999
+        )
+
+    return weighted_sample(
+        docs_ds(sf_dir, ["doc_id", "lang", "n_chars"]), w, key_col="doc_id"
+    )
+
+
+def q_source_median_dev(sf_dir: str):
+    """Per-source median broadcast join-back: each doc's deviation from its
+    source's exact median length.  The aggregate side is the histogram-
+    partial quantile (O(distinct values) per group), the join-back is a
+    broadcast map — no row-level shuffle at any point."""
+    from ..stages import events as E
+
+    med = (
+        E.grouped_quantiles(docs_ds(sf_dir, ["source", "n_chars"]),
+                            "source", "n_chars", qs=(0.5,))
+        .to_pandas()  # post-aggregation: one row per source
+    )
+    lookup = dict(zip(med["source"], med["p50"].astype(np.int64)))
+    handle = ray.put(lookup)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        lk = ray.get(handle)
+        src = batch.column("source").to_pandas()
+        meds = src.map(lk).to_numpy().astype(np.int64)
+        d = batch.column("n_chars").to_numpy().astype(np.int64) - meds
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "dev": pa.array(d, pa.int64()),
+            }
+        )
+
+    return docs_ds(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        dev, batch_format="pyarrow"
+    )
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog register table (p=8) for distinct users per event type —
     EXACT oracle: the Mersenne-61 multiplicative hash and trailing-zero rho

@@ -68,3 +68,28 @@ def stratified_sample(ds, group_col: str, id_col: str, k: int = 20):
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def weighted_sample(ds, weight_bp_fn, key_col: str, denom: int = 10_000):
+    """Deterministic importance sampling: keep a row iff
+    ``hash61(key) % denom < weight_bp`` where ``weight_bp`` in [0, denom]
+    is a per-row importance weight (e.g. a quality score).  Reproducible
+    (re-runs keep identical rows — the resumability story the reference's
+    deterministic samplers provide) and exactly SQL-mirrorable since
+    :func:`..stages.sketch.hash61` is HUGEINT-expressible.
+
+    ``weight_bp_fn(batch) -> np.ndarray[int64]`` computes the weights
+    vectorized per batch; sampling itself is one hash + compare, no
+    shuffle, no driver state.
+    """
+    import pyarrow as pa
+
+    from .sketch import hash61
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = np.asarray(weight_bp_fn(batch), dtype=np.int64)
+        h = hash61(batch.column(key_col).to_numpy().astype(np.int64))
+        sel = (h % np.uint64(denom)).astype(np.int64) < w
+        return batch.filter(pa.array(sel))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
