@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
         "weighted_sample": training.q_weighted_sample,
+        "pagerank": training.q_pagerank,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_lang": oracle.sql_quantiles_by_lang(),
         "hll_users": oracle.sql_hll_users(),
         "weighted_sample": oracle.sql_weighted_sample(),
+        "pagerank": oracle.sql_pagerank(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

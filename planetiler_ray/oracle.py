@@ -1257,3 +1257,37 @@ WITH s AS (
 SELECT doc_id, d.source, n_chars - med AS dev
 FROM documents d JOIN s USING (source)
 """
+
+
+def sql_pagerank(iters: int = 5, damping_pct: int = 85, scale: int = 10**9) -> str:
+    """Mirror of ``training.q_pagerank``: identical integer fixed-point
+    arithmetic, iterations unrolled as CTE stages.  N is read from the
+    documents view itself (dense doc_ids 0..N-1)."""
+    head = f"""
+WITH n AS (SELECT count(*) AS nv FROM documents),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * doc_id + a) % (SELECT nv FROM n) AS dst
+  FROM documents, (VALUES (7), (13), (29)) AS t(a)
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+base AS (SELECT ({scale} // nv * {100 - damping_pct}) // 100 AS b,
+                {scale} // nv AS r0v FROM n),
+r0 AS (SELECT id, (SELECT r0v FROM base) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nodes.id,
+         (SELECT b FROM base)
+           + {damping_pct} * coalesce(s.c, 0) // 100 AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r{i-1}.r // deg.d) AS c
+    FROM edges e
+    JOIN r{i-1} ON r{i-1}.id = e.src
+    JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = nodes.id
+)""")
+    return (head + "".join(steps)
+            + f"\nSELECT id AS node_id, CAST(r AS BIGINT) AS rank FROM r{iters}\n")

@@ -183,6 +183,28 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_pagerank(sf_dir: str, iters: int = 5):
+    """Integer fixed-point PageRank (5 unrolled iterations) over a
+    deterministic synthetic link graph: doc d links to (d*d + a) % N for
+    a in (7, 13, 29) — quadratic maps give varied in-degree so ranks
+    differentiate.  Exact SQL twin (floor-division arithmetic)."""
+    from ..stages import graph
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return ray.data.from_pandas(graph.pagerank_int(e, n_nodes=n, iters=iters))
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic importance sampling: keep probability proportional to
     doc length (weight_bp = min(n_chars*20, 9999)) via the SQL-mirrorable

@@ -172,3 +172,36 @@ def test_hll_register_merge_is_max(ray_session):
     a = ru.sort_values(["register"], ignore_index=True)[["register", "max_rho"]]
     b = merged.sort_values(["register"], ignore_index=True)[["register", "max_rho"]]
     assert a.equals(b)
+
+
+def test_pagerank_uniform_on_ring(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from planetiler_ray.stages.graph import pagerank_int
+
+    # ring graph: every node has in-degree == out-degree == 1 -> PageRank
+    # is exactly uniform at every iteration (integer arithmetic included)
+    n = 64
+    e = pd.DataFrame({"src": np.arange(n), "dst": (np.arange(n) + 1) % n})
+    out = pagerank_int(ray.data.from_pandas(e), n_nodes=n, iters=4)
+    assert out["rank"].nunique() == 1
+    r = out["rank"].iloc[0]
+    scale = 10**9
+    base = (scale // n * 15) // 100
+    assert r == base + 85 * (scale // n) // 100
+
+
+def test_pagerank_sink_attracts_mass(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from planetiler_ray.stages.graph import pagerank_int
+
+    # star: all nodes point at node 0 -> node 0's rank dominates
+    n = 32
+    e = pd.DataFrame({"src": np.arange(1, n), "dst": np.zeros(n - 1, np.int64)})
+    out = pagerank_int(ray.data.from_pandas(e), n_nodes=n, iters=5).set_index("node_id")
+    assert out.loc[0, "rank"] > 10 * out.loc[1, "rank"]
