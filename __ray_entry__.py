@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": training.q_hll_users,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
+        "retention": training.q_retention,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": oracle.sql_hll_users(),
         "weighted_sample": oracle.sql_weighted_sample(),
         "pagerank": oracle.sql_pagerank(),
+        "retention": oracle.sql_retention(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

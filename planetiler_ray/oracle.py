@@ -1291,3 +1291,20 @@ r{i} AS (
 )""")
     return (head + "".join(steps)
             + f"\nSELECT id AS node_id, CAST(r AS BIGINT) AS rank FROM r{iters}\n")
+
+
+def sql_retention() -> str:
+    """Mirror of ``training.q_retention`` (weekly cohorts, epoch-us)."""
+    return """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_w
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS active_w
+  FROM events
+)
+SELECT cohort_w, active_w - cohort_w AS week_offset, count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_w, week_offset
+"""

@@ -183,6 +183,12 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention matrix over events — exact SQL twin; the
+    user-hash bucket makes it join-free and distinct-shuffle-free."""
+    return events.retention(events_ds(sf_dir, ["user_id", "ts"]))
+
+
 def q_pagerank(sf_dir: str, iters: int = 5):
     """Integer fixed-point PageRank (5 unrolled iterations) over a
     deterministic synthetic link graph: doc d links to (d*d + a) % N for

@@ -317,3 +317,61 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs=(0.5, 0.9, 0.99),
     return merged.repartition(1).map_batches(
         from_hist, batch_format="pyarrow", batch_size=None
     )
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def retention(ds, bucket_us: int = WEEK_US, n_buckets: int = 64):
+    """Cohort retention matrix: users bucketed by their FIRST event's week,
+    counted once per (cohort, week-offset) they were active in.
+
+    Output: cohort_w, week_offset (active week - cohort week), n_users.
+
+    Scale shape: the user-hash bucket co-locates each user's whole event
+    stream, so cohort (min ts) and the distinct active-week set both fall
+    out of ONE in-bucket lexsort — no user-level join, no distinct-count
+    shuffle; the cross-bucket merge is a tiny (cohorts x offsets) sum.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        w = ts // bucket_us
+        order = np.lexsort((w, uid))
+        u, wk = uid[order], w[order]
+        first_u = np.concatenate([[True], u[1:] != u[:-1]])
+        # distinct (user, week) pairs
+        pair_new = first_u | np.concatenate([[True], wk[1:] != wk[:-1]])
+        # cohort week per row = the week at the user's first (sorted) row
+        upos = np.maximum.accumulate(np.where(first_u, np.arange(len(u)), -1))
+        cohort = wk[upos]
+        sel = pair_new
+        df = (
+            pd.DataFrame(
+                {
+                    "cohort_w": cohort[sel],
+                    "week_offset": wk[sel] - cohort[sel],
+                }
+            )
+            .groupby(["cohort_w", "week_offset"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort_w": pa.array(df["cohort_w"].to_numpy(), pa.int64()),
+                "week_offset": pa.array(df["week_offset"].to_numpy(), pa.int64()),
+                "n_part": pa.array(df["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        _bucketed_by_user(ds, n_buckets)
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["ubucket"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_w", "week_offset"])
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
