@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
         "retention": training.q_retention,
+        "bigram_stats": training.q_bigram_stats,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": oracle.sql_weighted_sample(),
         "pagerank": oracle.sql_pagerank(),
         "retention": oracle.sql_retention(),
+        "bigram_stats": oracle.sql_bigram_stats(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1308,3 +1308,27 @@ SELECT cohort_w, active_w - cohort_w AS week_offset, count(*) AS n_users
 FROM a JOIN f USING (user_id)
 GROUP BY cohort_w, week_offset
 """
+
+
+def sql_bigram_stats(min_count: int = 5) -> str:
+    """Mirror of ``training.q_bigram_stats`` (same [a-z0-9]+ token grammar
+    as sql_vocab_topk; adjacency via list index + constant-bound series)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok JOIN generate_series(1, 65536) s(i) ON i <= len(ts) - 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+u AS (
+  SELECT w AS token, count(*) AS c
+  FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2
+FROM bc JOIN u u1 ON u1.token = bc.w1 JOIN u u2 ON u2.token = bc.w2
+WHERE c12 >= {min_count}
+"""

@@ -183,6 +183,12 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_bigram_stats(sf_dir: str):
+    """Collocation (PMI-core) bigram/unigram counts, min_count=5 —
+    integer-only output so the SQL twin is exact."""
+    return text.bigram_stats(docs_ds(sf_dir, ["doc_id", "text"]), min_count=5)
+
+
 def q_retention(sf_dir: str):
     """Weekly cohort retention matrix over events — exact SQL twin; the
     user-hash bucket makes it join-free and distinct-shuffle-free."""

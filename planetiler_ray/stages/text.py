@@ -447,3 +447,76 @@ def vocab_topk(ds, k: int = 50, col: str = "text"):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def bigram_stats(ds, min_count: int = 5, col: str = "text"):
+    """Collocation counting (the counting core of PMI phrase mining):
+    adjacent-token bigrams with corpus counts c12 >= min_count, each
+    joined with its unigram counts c1, c2.  Output columns
+    (w1, w2, c12, c1, c2) — all integers, so the oracle is exact; PMI
+    itself is a one-line float post-process consumers apply (log is
+    engine-dependent, counts are not).
+
+    Scale shape: per-batch bigram/unigram partial counts (volume =
+    distinct grams per batch), one groupby-sum each; the >= min_count
+    survivor set and the vocabulary are both heavy-hitter-sized (bounded
+    by corpus_tokens / min_count and corpus vocab), merged driver-side —
+    the token stream itself never shuffles row-wise.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_part": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        valid = np.ones(n - 1, dtype=bool)
+        # pairs spanning a document boundary are not bigrams
+        ends = starts[1:-1]
+        valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
+        sel = pa.array(valid)
+        # Arrow-native shifted pairing + group_by: no Python string objects
+        t = pa.table(
+            {"w1": flat.slice(0, n - 1).filter(sel),
+             "w2": flat.slice(1, n - 1).filter(sel)}
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table(
+            {"w1": g.column("w1"), "w2": g.column("w2"),
+             "c_part": g.column("w1_count")}
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g.column("token"),
+                         "c_part": g.column("token_count")})
+
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_part", alias_name="c12"))
+    )
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="c"))
+    )
+    # survivors and vocabulary are post-aggregation heavy-hitter tables
+    bdf = bi.to_pandas()
+    bdf = bdf[bdf["c12"] >= min_count]
+    udf = uni.to_pandas()
+    out = (
+        bdf.merge(udf.rename(columns={"token": "w1", "c": "c1"}), on="w1")
+        .merge(udf.rename(columns={"token": "w2", "c": "c2"}), on="w2")
+        [["w1", "w2", "c12", "c1", "c2"]]
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -288,3 +288,29 @@ def test_grouped_quantiles_ceil_convention(ray_session):
     )
     assert out.loc["a", ["p50", "p90", "p99", "n_rows"]].tolist() == [5, 9, 10, 10]
     assert out.loc["b", ["p50", "p90", "p99", "n_rows"]].tolist() == [3, 7, 7, 3]
+
+
+def test_bigram_stats_boundaries_and_counts(ray_session):
+    import ray
+
+    from planetiler_ray.stages.text import bigram_stats
+
+    rows = [
+        {"doc_id": 0, "text": "red fox red fox red"},
+        {"doc_id": 1, "text": "fox red fox"},
+        {"doc_id": 2, "text": ""},            # empty doc: no pairs
+        {"doc_id": 3, "text": "solo"},        # single token: no pairs
+    ]
+    out = (
+        bigram_stats(ray.data.from_items(rows), min_count=2)
+        .to_pandas()
+        .set_index(["w1", "w2"])
+    )
+    # "red fox": docs 0 (x2) + 1 (x1) = 3; "fox red": doc 0 (x2) + doc 1 (x1) = 3
+    assert out.loc[("red", "fox"), "c12"] == 3
+    assert out.loc[("fox", "red"), "c12"] == 3
+    # the doc boundary between doc 0 ("...red") and doc 1 ("fox...") must
+    # NOT create an extra "red fox" pair (counts above already prove it,
+    # since a leak would give 4)
+    assert out.loc[("red", "fox"), "c1"] == 4  # 'red' total occurrences
+    assert out.loc[("red", "fox"), "c2"] == 4  # 'fox' total occurrences
