@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": training.q_pagerank,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
+        "rare_bigrams": training.q_rare_bigrams,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.sql_pagerank(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
+        "rare_bigrams": oracle.sql_rare_bigrams(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

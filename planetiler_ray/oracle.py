@@ -1332,3 +1332,24 @@ SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
 FROM bc JOIN u u1 ON u1.token = bc.w1 JOIN u u2 ON u2.token = bc.w2
 WHERE c12 >= {min_count}
 """
+
+
+def sql_rare_bigrams(min_count: int = 5) -> str:
+    """Mirror of ``training.q_rare_bigrams``: bigrams below min_count are
+    rare; per-doc totals over the adjacent-pair stream."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok JOIN generate_series(1, 65536) s(i) ON i <= len(ts) - 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+common AS (SELECT w1, w2 FROM bc WHERE c12 >= {min_count})
+SELECT b.doc_id, count(*) AS n_bigrams,
+       CAST(count(*) FILTER (WHERE c.w1 IS NULL) AS BIGINT) AS n_rare
+FROM bi b LEFT JOIN common c ON b.w1 = c.w1 AND b.w2 = c.w2
+GROUP BY b.doc_id
+"""

@@ -183,6 +183,12 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_rare_bigrams(sf_dir: str):
+    """Per-doc rare-bigram counting (n-gram LM quality-filter core):
+    broadcast the heavy-hitter common set, count per-doc misses."""
+    return text.rare_bigram_rate(docs_ds(sf_dir, ["doc_id", "text"]), min_count=5)
+
+
 def q_bigram_stats(sf_dir: str):
     """Collocation (PMI-core) bigram/unigram counts, min_count=5 —
     integer-only output so the SQL twin is exact."""

@@ -520,3 +520,107 @@ def bigram_stats(ds, min_count: int = 5, col: str = "text"):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
+    """Per-doc count of corpus-RARE adjacent bigrams (c12 < min_count) —
+    the integer core of an n-gram LM quality filter (CCNet-style: docs
+    whose transitions the corpus has rarely seen are surprisal outliers).
+    Output: doc_id, n_bigrams, n_rare.
+
+    Scale shape: pass 1 aggregates bigram counts (distinct-gram volume)
+    and keeps the COMMON set (c12 >= min_count) — bounded by
+    total_bigrams / min_count, the broadcastable heavy-hitter side (the
+    rare set is the unbounded one); pass 2 re-streams docs, membership-
+    tests each bigram against the broadcast 128-bit pair-hash set and
+    emits per-doc sums.  No row-level shuffle in either pass.  Engine
+    equality is on FNV-128 pair hashes vs the oracle's string pairs —
+    divergence needs an FNV collision (the dedup suite's accepted class).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.vhash import fnv128_arrow
+    from .dedup import _flat_tokens, _member2
+
+    def _doc_bigrams(batch: pa.Table):
+        """(hi, lo, doc_rep) for every in-doc adjacent pair of the batch."""
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        n = len(flat)
+        doc = batch.column("doc_id").to_numpy()
+        if n < 2:
+            z = np.empty(0, np.uint64)
+            return z, z, np.empty(0, np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        valid = np.ones(n - 1, dtype=bool)
+        ends = starts[1:-1]
+        valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
+        sel = pa.array(valid)
+        pair = pc.binary_join_element_wise(
+            flat.slice(0, n - 1).filter(sel), flat.slice(1, n - 1).filter(sel), " "
+        )
+        hi, lo = fnv128_arrow(pair)
+        # doc id per SURVIVING pair: pair i belongs to the doc of token i
+        npairs = np.maximum(lens - 1, 0)
+        doc_rep = np.repeat(doc, npairs)
+        return hi, lo, doc_rep
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        hi, lo, _ = _doc_bigrams(batch)
+        df = (
+            pd.DataFrame({"hi": hi.astype(np.int64), "lo": lo.astype(np.int64)})
+            .groupby(["hi", "lo"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "hi": pa.array(df["hi"].to_numpy(), pa.int64()),
+                "lo": pa.array(df["lo"].to_numpy(), pa.int64()),
+                "c_part": pa.array(df["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    common = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["hi", "lo"])
+        .aggregate(Sum("c_part", alias_name="c12"))
+        .map_batches(
+            lambda b: b.filter(pa.compute.greater_equal(b.column("c12"), min_count)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # heavy-hitter-bounded by construction
+    )
+    if "hi" in common.columns and len(common):
+        chi = common["hi"].to_numpy(np.int64).astype(np.uint64)
+        clo = common["lo"].to_numpy(np.int64).astype(np.uint64)
+    else:
+        chi = np.empty(0, np.uint64)
+        clo = np.empty(0, np.uint64)
+    order = np.lexsort((clo, chi))
+    handle = ray.put((chi[order], clo[order]))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        hi, lo, doc_rep = _doc_bigrams(batch)
+        bhi, blo = ray.get(handle)
+        is_common = _member2(hi, lo, bhi, blo)
+        if len(doc_rep) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "n_rare": pa.array([], pa.int64())})
+        df = (
+            pd.DataFrame(
+                {"doc_id": doc_rep, "rare": (~is_common).astype(np.int64)}
+            )
+            .groupby("doc_id", as_index=False)
+            .agg(n_bigrams=("rare", "size"), n_rare=("rare", "sum"))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_bigrams": pa.array(df["n_bigrams"].to_numpy(), pa.int64()),
+                "n_rare": pa.array(df["n_rare"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
