@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
+        "canonical_docs": training.q_canonical_docs,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),
+        "canonical_docs": oracle.sql_canonical_docs(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1353,3 +1353,13 @@ SELECT b.doc_id, count(*) AS n_bigrams,
 FROM bi b LEFT JOIN common c ON b.w1 = c.w1 AND b.w2 = c.w2
 GROUP BY b.doc_id
 """
+
+
+def sql_canonical_docs() -> str:
+    """Closed-form mirror of ``training.q_canonical_docs`` on the planted
+    corpus: component of {2d, 2d+1} is 2d."""
+    return """
+SELECT doc_id * 2 AS node, doc_id * 2 AS comp FROM documents
+UNION ALL
+SELECT doc_id * 2 + 1 AS node, doc_id * 2 AS comp FROM documents
+"""

@@ -183,6 +183,18 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def q_canonical_docs(sf_dir: str):
+    """End-to-end dedup pipeline composition: planted corpus -> MinHash
+    signatures -> LSH candidate pairs -> connected components -> canonical
+    (min-id) representative per doc.  The planted construction (siblings
+    2d/2d+1 with identical shingle sets, disjoint across d) makes the
+    component structure exact, so the whole composed pipeline sits under a
+    closed-form SQL oracle."""
+    sigs = dedup.minhash_signatures(planted_text_ds(sf_dir))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.connected_components(pairs)
+
+
 def q_rare_bigrams(sf_dir: str):
     """Per-doc rare-bigram counting (n-gram LM quality-filter core):
     broadcast the heavy-hitter common set, count per-doc misses."""
