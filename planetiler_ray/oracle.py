@@ -1363,3 +1363,25 @@ SELECT doc_id * 2 AS node, doc_id * 2 AS comp FROM documents
 UNION ALL
 SELECT doc_id * 2 + 1 AS node, doc_id * 2 AS comp FROM documents
 """
+
+
+def sql_corpus_diff() -> str:
+    """Mirror of ``training.q_corpus_diff``: v2 snapshot replayed in SQL,
+    full outer join on doc_id, direct text comparison."""
+    return """
+WITH n AS (SELECT count(*) AS nv FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT (SELECT nv FROM n) + doc_id, 'fresh doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(o.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN o.text = v2.text THEN 'same'
+            ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id
+"""

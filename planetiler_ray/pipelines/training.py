@@ -183,6 +183,48 @@ def q_line_dedup(sf_dir: str, max_df: int = 10):
     return dedup.line_dedup(ds, max_df=max_df)
 
 
+def _v2_docs(batch: pa.Table, n: int) -> pa.Table:
+    """Deterministic second snapshot: drop d%10==0, append ' v2' to text
+    when d%7==0, and add brand-new ids n+d for d%13==0."""
+    import pyarrow.compute as pc
+
+    d = batch.column("doc_id").to_numpy()
+    keep = d % 10 != 0
+    kept = batch.filter(pa.array(keep))
+    kd = kept.column("doc_id").to_numpy()
+    changed = kd % 7 == 0
+    suffix = pa.array(np.where(changed, " v2", "").tolist(), pa.string())
+    text2 = pc.binary_join_element_wise(kept.column("text"), suffix, "")
+    newd = d[d % 13 == 0]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([kd, n + newd]), pa.int64()),
+            "text": pa.concat_arrays(
+                [text2.combine_chunks() if isinstance(text2, pa.ChunkedArray)
+                 else text2,
+                 pa.array(["fresh doc " + str(x) for x in newd], pa.string())]
+            ),
+        }
+    )
+
+
+def q_corpus_diff(sf_dir: str):
+    """Incremental snapshot diff: old vs deterministically-derived v2
+    corpus -> per-id added/removed/changed/same, one side-tagged
+    hash-bucket shuffle.  Exact SQL twin (full outer join on doc_id with
+    direct text comparison)."""
+    from ..stages.incremental import corpus_diff
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    old = docs_ds(sf_dir, ["doc_id", "text"])
+    new = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _v2_docs, batch_format="pyarrow", fn_kwargs={"n": n}
+    )
+    return corpus_diff(old, new)
+
+
 def q_canonical_docs(sf_dir: str):
     """End-to-end dedup pipeline composition: planted corpus -> MinHash
     signatures -> LSH candidate pairs -> connected components -> canonical
