@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_bigrams": training.q_rare_bigrams,
         "canonical_docs": training.q_canonical_docs,
         "corpus_diff": training.q_corpus_diff,
+        "funnel": training.q_funnel,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_bigrams": oracle.sql_rare_bigrams(),
         "canonical_docs": oracle.sql_canonical_docs(),
         "corpus_diff": oracle.sql_corpus_diff(),
+        "funnel": oracle.sql_funnel(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1385,3 +1385,28 @@ SELECT coalesce(o.doc_id, v2.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM documents o FULL OUTER JOIN v2 ON o.doc_id = v2.doc_id
 """
+
+
+def sql_funnel() -> str:
+    """Mirror of ``training.q_funnel`` (>= tie semantics at each level)."""
+    return """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_s1,
+       (SELECT count(*) FROM c) AS n_s2,
+       (SELECT count(*) FROM p) AS n_s3
+"""

@@ -208,6 +208,12 @@ def _v2_docs(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view->click->purchase conversion funnel — user counts per
+    level with first-match-in-order semantics; exact SQL twin."""
+    return events.funnel(events_ds(sf_dir, ["user_id", "ts", "event_type"]))
+
+
 def q_corpus_diff(sf_dir: str):
     """Incremental snapshot diff: old vs deterministically-derived v2
     corpus -> per-id added/removed/changed/same, one side-tagged

@@ -375,3 +375,76 @@ def retention(ds, bucket_us: int = WEEK_US, n_buckets: int = 64):
         .groupby(["cohort_w", "week_offset"])
         .aggregate(Sum("n_part", alias_name="n_users"))
     )
+
+
+def funnel(ds, steps=("view", "click", "purchase"), n_buckets: int = 64):
+    """Ordered conversion funnel: how many users performed step1, step1
+    then step2 (at ts >= the first step1), then step3 (ts >= the first
+    qualifying step2) — the first-match-in-order semantics of product
+    funnels.  Output: one row, n_s1 / n_s2 / n_s3 user counts.
+
+    Scale shape: per user-hash bucket, each step level is one segment-min
+    (reduceat) over the user's rows filtered by the previous level's
+    threshold — no per-user Python; buckets emit 3 partial counts and the
+    merge is a 3-integer sum.
+    """
+    from ray.data.aggregate import Sum
+
+    s1, s2, s3 = steps
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        et = g.column("event_type")
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        m1 = pc.equal(et, s1).to_numpy(zero_copy_only=False)[order]
+        m2 = pc.equal(et, s2).to_numpy(zero_copy_only=False)[order]
+        m3 = pc.equal(et, s3).to_numpy(zero_copy_only=False)[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(first) - 1
+        n_users = int(first.sum())
+        BIG = np.iinfo(np.int64).max
+
+        def level_min(mask: np.ndarray, thresh: np.ndarray) -> np.ndarray:
+            """Per-user min ts among rows with mask and ts >= thresh[user]
+            (thresh = BIG -> user disqualified)."""
+            ok = mask & (t >= thresh[gid])
+            vals = np.where(ok, t, BIG)
+            out = np.full(n_users, BIG, dtype=np.int64)
+            np.minimum.at(out, gid[ok], vals[ok])
+            return out
+
+        t1 = level_min(m1, np.zeros(n_users, dtype=np.int64))
+        t2 = level_min(m2, t1)
+        t3 = level_min(m3, t2)
+        return pa.table(
+            {
+                "n_s1": pa.array([int((t1 < BIG).sum())], pa.int64()),
+                "n_s2": pa.array([int((t2 < BIG).sum())], pa.int64()),
+                "n_s3": pa.array([int((t3 < BIG).sum())], pa.int64()),
+            }
+        )
+
+    def total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_s1": [b["n_s1"].sum()],
+                "n_s2": [b["n_s2"].sum()],
+                "n_s3": [b["n_s3"].sum()],
+            }
+        )
+
+    # bucket partials (one tiny row each) -> single-task exact sum
+    return (
+        _bucketed_by_user(ds, n_buckets)
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["ubucket"])),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(total, batch_format="pandas", batch_size=None)
+    )
