@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": training.q_canonical_docs,
         "corpus_diff": training.q_corpus_diff,
         "funnel": training.q_funnel,
+        "window_ohlc": training.q_window_ohlc,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": oracle.sql_canonical_docs(),
         "corpus_diff": oracle.sql_corpus_diff(),
         "funnel": oracle.sql_funnel(),
+        "window_ohlc": oracle.sql_window_ohlc(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

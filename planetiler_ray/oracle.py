@@ -1410,3 +1410,23 @@ SELECT (SELECT count(*) FROM v) AS n_s1,
        (SELECT count(*) FROM c) AS n_s2,
        (SELECT count(*) FROM p) AS n_s3
 """
+
+
+def sql_window_ohlc() -> str:
+    """Mirror of ``training.q_window_ohlc`` ((ts, event_id) tie order via
+    a HUGEINT-packed arg_min/arg_max key)."""
+    return """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS window_id,
+         CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id AS k,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, window_id,
+       arg_min(cents, k) AS open_cents,
+       arg_max(cents, k) AS close_cents,
+       min(cents) AS lo, max(cents) AS hi,
+       count(*) AS n_events
+FROM e GROUP BY event_type, window_id
+"""

@@ -208,6 +208,15 @@ def _v2_docs(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
+def q_window_ohlc(sf_dir: str):
+    """Per (event_type, 1h window) open/close/lo/hi value-cents — the
+    streaming OHLC shape via combinable candidate partials; exact SQL twin
+    (arg_min/arg_max with (ts, event_id) tiebreak)."""
+    return events.window_ohlc(
+        events_ds(sf_dir, ["event_id", "ts", "event_type", "value"])
+    )
+
+
 def q_funnel(sf_dir: str):
     """Ordered view->click->purchase conversion funnel — user counts per
     level with first-match-in-order semantics; exact SQL twin."""

@@ -448,3 +448,84 @@ def funnel(ds, steps=("view", "click", "purchase"), n_buckets: int = 64):
         .repartition(1)
         .map_batches(total, batch_format="pandas", batch_size=None)
     )
+
+
+def window_ohlc(ds, window_us: int = WINDOW_US, n_buckets: int = 64):
+    """Per (event_type, 1h window): open / close (value-cents of the first
+    / last event by (ts, event_id)), lo / hi, n_events — the streaming
+    OHLC shape, expressed as combinable partials.
+
+    Scale shape: each batch emits per-(type, window) candidate partials
+    (its own open/close candidates + lo/hi/n), so the shuffle moves
+    O(distinct windows per batch), not rows; a window-hash bucket
+    finalizes thousands of windows per group call with one lexsort.
+    Deterministic: ties on ts break on event_id.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "tsu": batch.column("ts").cast(pa.int64()).to_numpy(),
+                "event_id": batch.column("event_id").to_numpy(),
+                "cents": np.round(batch.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        df["w"] = df["tsu"] // window_us
+        df = df.sort_values(["event_type", "w", "tsu", "event_id"],
+                            ignore_index=True)
+        g = df.groupby(["event_type", "w"], sort=False)
+        first = g.head(1)
+        last = g.tail(1)
+        agg = g.agg(lo=("cents", "min"), hi=("cents", "max"),
+                    n_part=("cents", "size")).reset_index()
+        out = agg.merge(
+            first[["event_type", "w", "tsu", "event_id", "cents"]].rename(
+                columns={"tsu": "o_ts", "event_id": "o_eid", "cents": "o_cents"}),
+            on=["event_type", "w"],
+        ).merge(
+            last[["event_type", "w", "tsu", "event_id", "cents"]].rename(
+                columns={"tsu": "c_ts", "event_id": "c_eid", "cents": "c_cents"}),
+            on=["event_type", "w"],
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy()
+        et = batch.column("event_type").to_pandas()
+        h = (w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + pd.util.hash_array(et.to_numpy(dtype=object)).astype(np.uint64))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(["event_type", "w", "o_ts", "o_eid"],
+                            ignore_index=True)
+        gb = df.groupby(["event_type", "w"], sort=False)
+        opens = gb.head(1)[["event_type", "w", "o_cents"]]
+        df2 = df.sort_values(["event_type", "w", "c_ts", "c_eid"],
+                             ignore_index=True)
+        closes = df2.groupby(["event_type", "w"], sort=False).tail(1)[
+            ["event_type", "w", "c_cents"]
+        ]
+        agg = gb.agg(lo=("lo", "min"), hi=("hi", "max"),
+                     n_events=("n_part", "sum")).reset_index()
+        out = (
+            agg.merge(opens, on=["event_type", "w"])
+            .merge(closes, on=["event_type", "w"])
+            .rename(columns={"o_cents": "open_cents", "c_cents": "close_cents",
+                             "w": "window_id"})
+        )
+        out = out[["event_type", "window_id", "open_cents", "close_cents",
+                   "lo", "hi", "n_events"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: finalize(g.drop_columns(["bucket"])),
+                    batch_format="pyarrow")
+    )
