@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": training.q_corpus_diff,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
+        "mad_outliers": training.q_mad_outliers,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": oracle.sql_corpus_diff(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),
+        "mad_outliers": oracle.sql_mad_outliers(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

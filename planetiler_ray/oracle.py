@@ -1430,3 +1430,20 @@ SELECT event_type, window_id,
        count(*) AS n_events
 FROM e GROUP BY event_type, window_id
 """
+
+
+def sql_mad_outliers(k: int = 3) -> str:
+    """Mirror of ``training.q_mad_outliers`` (quantile_disc medians)."""
+    return f"""
+WITH m AS (
+  SELECT source, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT doc_id, d0.source, n_chars - med AS dev
+  FROM documents d0 JOIN m USING (source)
+),
+mad AS (SELECT source, quantile_disc(abs(dev), 0.5) AS mad FROM d GROUP BY source)
+SELECT doc_id, d.source, dev, abs(dev) > {k} * mad AS is_outlier
+FROM d JOIN mad USING (source)
+"""

@@ -208,6 +208,63 @@ def _v2_docs(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
+def q_mad_outliers(sf_dir: str, k: int = 3):
+    """Robust per-source outlier flags: |x - median| > k * MAD, all in
+    integers (two rounds of the histogram-partial exact quantile +
+    broadcast join-backs) — the quality-filter shape that is robust to the
+    heavy tails a mean/stddev z-score chokes on."""
+    from ..stages import events as E
+
+    med = (
+        E.grouped_quantiles(docs_ds(sf_dir, ["source", "n_chars"]),
+                            "source", "n_chars", qs=(0.5,))
+        .to_pandas()
+    )
+    med_lk = dict(zip(med["source"], med["p50"].astype(np.int64)))
+    h_med = ray.put(med_lk)
+
+    def add_dev(batch: pa.Table) -> pa.Table:
+        lk = ray.get(h_med)
+        src = batch.column("source").to_pandas()
+        m = src.map(lk).to_numpy().astype(np.int64)
+        d = batch.column("n_chars").to_numpy().astype(np.int64) - m
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "dev": pa.array(d, pa.int64()),
+                "absdev": pa.array(np.abs(d), pa.int64()),
+            }
+        )
+
+    devs = docs_ds(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        add_dev, batch_format="pyarrow"
+    )
+    mad = (
+        E.grouped_quantiles(devs.select_columns(["source", "absdev"]),
+                            "source", "absdev", qs=(0.5,))
+        .to_pandas()
+    )
+    mad_lk = dict(zip(mad["source"], mad["p50"].astype(np.int64)))
+    h_mad = ray.put(mad_lk)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        lk = ray.get(h_mad)
+        src = batch.column("source").to_pandas()
+        m = src.map(lk).to_numpy().astype(np.int64)
+        ad = batch.column("absdev").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "dev": batch.column("dev"),
+                "is_outlier": pa.array(ad > k * m),
+            }
+        )
+
+    return devs.map_batches(flag, batch_format="pyarrow")
+
+
 def q_window_ohlc(sf_dir: str):
     """Per (event_type, 1h window) open/close/lo/hi value-cents — the
     streaming OHLC shape via combinable candidate partials; exact SQL twin
