@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
         "mad_outliers": training.q_mad_outliers,
+        "range_join": training.q_range_join,
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),
         "mad_outliers": oracle.sql_mad_outliers(),
+        "range_join": oracle.sql_range_join(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1447,3 +1447,12 @@ mad AS (SELECT source, quantile_disc(abs(dev), 0.5) AS mad FROM d GROUP BY sourc
 SELECT doc_id, d.source, dev, abs(dev) > {k} * mad AS is_outlier
 FROM d JOIN mad USING (source)
 """
+
+
+def sql_range_join() -> str:
+    """Mirror of ``training.q_range_join`` (interval containment join)."""
+    return """
+SELECT doc_id, n_chars, n_nationkey
+FROM documents JOIN nation
+  ON n_chars >= n_nationkey * 22 AND n_chars < n_nationkey * 22 + 22
+"""

@@ -208,6 +208,26 @@ def _v2_docs(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
+def q_range_join(sf_dir: str):
+    """Broadcast range join: doc length mapped to the nation whose
+    [n_nationkey*22, +22) band contains it (the IP-geolocation shape —
+    interval table broadcast once per actor, searchsorted per batch, no
+    shuffle).  Inner-join semantics; exact SQL twin."""
+    from ..stages.joins import RangeJoiner
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey"])
+    keys = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    handle = ray.put((keys * 22, keys * 22 + 22, keys))
+    out = docs_ds(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        RangeJoiner(handle, value_col="n_chars", out_col="n_nationkey"),
+        batch_format="pyarrow",
+    )
+    return out.filter(lambda r: r["n_nationkey"] >= 0).select_columns(
+        ["doc_id", "n_chars", "n_nationkey"]
+    )
+
+
 def q_mad_outliers(sf_dir: str, k: int = 3):
     """Robust per-source outlier flags: |x - median| > k * MAD, all in
     integers (two rounds of the histogram-partial exact quantile +

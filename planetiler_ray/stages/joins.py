@@ -116,3 +116,35 @@ class KNNJoiner:
             cnt = self.index.count_within(lon, lat, self.within_radius)
             out = out.append_column("poi_within", pa.array(cnt, pa.int64()))
         return out
+
+
+class RangeJoiner:
+    """Broadcast range join (the IP-geolocation / tariff-table shape):
+    each row's integer value is matched to the interval [lo, hi) that
+    contains it.  Intervals must be non-overlapping; rows outside every
+    interval get label_id -1 (callers filter for inner-join semantics).
+
+    Actor-pool stage: the (lo, hi, label_id) table ships once per actor
+    via ``ray.put`` (never per batch); lookup is ONE ``searchsorted`` on
+    the sorted lo array + an upper-bound check per batch — O(log R) per
+    row against a million-interval table, no shuffle.
+    """
+
+    def __init__(self, ranges_handle, value_col: str, out_col: str = "label_id"):
+        lo, hi, label = _resolve(ranges_handle)
+        lo = np.asarray(lo, dtype=np.int64)
+        order = np.argsort(lo, kind="stable")
+        self.lo = lo[order]
+        self.hi = np.asarray(hi, dtype=np.int64)[order]
+        self.label = np.asarray(label, dtype=np.int64)[order]
+        if (self.lo[1:] < self.hi[:-1]).any():
+            raise ValueError("RangeJoiner: overlapping intervals")
+        self.value_col, self.out_col = value_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch.column(self.value_col).to_numpy().astype(np.int64)
+        pos = np.searchsorted(self.lo, v, side="right") - 1
+        pc = np.maximum(pos, 0)
+        inside = (pos >= 0) & (v < self.hi[pc])
+        out = np.where(inside, self.label[pc], -1)
+        return batch.append_column(self.out_col, pa.array(out, pa.int64()))
