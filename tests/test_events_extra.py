@@ -1,0 +1,85 @@
+"""Edge cases for the late-round event/incremental operators (the sf-table
+gate only sees the happy path)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(rows):
+    import ray
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    return ray.data.from_pandas(
+        df[["event_id", "ts", "user_id", "event_type", "value"]]
+        if "value" in df.columns
+        else df[["event_id", "ts", "user_id", "event_type"]]
+    )
+
+
+def test_funnel_order_matters(ray_session):
+    from planetiler_ray.stages.events import funnel
+
+    rows = [
+        # user 1: view -> click -> purchase (fully converts)
+        {"event_id": 1, "tsu": 100, "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "tsu": 200, "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "tsu": 300, "user_id": 1, "event_type": "purchase"},
+        # user 2: click BEFORE any view -> only level 1 (its view) counts
+        {"event_id": 4, "tsu": 100, "user_id": 2, "event_type": "click"},
+        {"event_id": 5, "tsu": 200, "user_id": 2, "event_type": "view"},
+        {"event_id": 6, "tsu": 150, "user_id": 2, "event_type": "purchase"},
+        # user 3: no view at all -> no levels
+        {"event_id": 7, "tsu": 100, "user_id": 3, "event_type": "purchase"},
+    ]
+    out = funnel(_events(rows)).to_pandas()
+    assert out["n_s1"].tolist() == [2]  # users 1 and 2 viewed
+    assert out["n_s2"].tolist() == [1]  # only user 1 clicked after viewing
+    assert out["n_s3"].tolist() == [1]
+
+
+def test_corpus_diff_statuses(ray_session):
+    import ray
+
+    from planetiler_ray.stages.incremental import corpus_diff
+
+    old = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    new = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [2, 3, 4], "text": ["b", "CHANGED", "d"]})
+    )
+    out = corpus_diff(old, new).to_pandas().set_index("doc_id")["status"]
+    assert out[1] == "removed"
+    assert out[2] == "same"
+    assert out[3] == "changed"
+    assert out[4] == "added"
+
+
+def test_window_ohlc_partial_merge_matches_single_batch(ray_session):
+    """Splitting the input into many tiny blocks must not change open/close
+    (candidate partials merge correctly)."""
+    import ray
+
+    from planetiler_ray.stages.events import window_ohlc
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "tsu": rng.integers(0, 4 * 3600 * 1_000_000, size=n),
+            "user_id": rng.integers(0, 10, size=n),
+            "event_type": rng.choice(["view", "click"], size=n),
+            "value": rng.normal(10, 3, size=n).round(2),
+        }
+    )
+    one = window_ohlc(_events(df.to_dict("records"))).to_pandas()
+    many = window_ohlc(
+        _events(df.to_dict("records")).repartition(37)
+    ).to_pandas()
+    key = ["event_type", "window_id"]
+    a = one.sort_values(key, ignore_index=True)
+    b = many.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
