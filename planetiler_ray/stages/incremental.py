@@ -23,6 +23,8 @@ def corpus_diff(old_ds, new_ds, id_col: str = "doc_id", col: str = "text",
     status: 'added' (only in new), 'removed' (only in old), 'changed'
     (both, different content hash), 'same'.  Hash equality stands in for
     text equality (FNV-128 — the dedup suite's accepted collision class).
+    Ids must be unique within each snapshot (the classifier reads exactly
+    the two rows of a both-sides run).
     """
     from ..functions.vhash import fnv128_arrow
 
