@@ -16,6 +16,88 @@ import json
 import sys
 
 
+def _corpus_cmd(args):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        from .pipelines import training
+
+        if args.op == "clean":
+            res = training.q_corpus_clean(
+                args.sf, min_quality_bp=args.min_quality_bp
+            )
+            if args.out:
+                res.write_parquet(args.out)
+                print(json.dumps({"out": args.out, "rows": res.count()}))
+            else:
+                print(json.dumps({"rows": res.count()}))
+        elif args.op == "dedup":
+            res = training.q_exact_dedup(args.sf)
+            if args.out:
+                res.write_parquet(args.out)
+            print(json.dumps({"rows": res.count()}))
+        elif args.op == "diff":
+            if not args.against:
+                print(json.dumps({"error": "diff requires --against"}))
+                return 2
+            from .stages.incremental import corpus_diff
+
+            old_ds = ray.data.read_parquet(
+                f"{args.sf}/documents.parquet", columns=["doc_id", "text"])
+            new_ds = ray.data.read_parquet(
+                f"{args.against}/documents.parquet", columns=["doc_id", "text"])
+            res = corpus_diff(old_ds, new_ds)
+            counts = (
+                res.groupby("status").count().to_pandas()
+                .set_index("status")["count()"].to_dict()
+            )
+            if args.out:
+                res.write_parquet(args.out)
+            print(json.dumps({"counts": counts}))
+        elif args.op == "stats":
+            from .stages import text as T
+
+            ds = ray.data.read_parquet(
+                f"{args.sf}/documents.parquet", columns=["doc_id", "text"])
+            st = ds.map_batches(T.text_stats, batch_format="pyarrow")
+            import pandas as pd
+
+            agg = st.to_pandas()[["n_chars_txt", "n_ws_tokens", "n_punct"]]
+            print(json.dumps({
+                "n_docs": len(agg),
+                "total_chars": int(agg.n_chars_txt.sum()),
+                "total_tokens": int(agg.n_ws_tokens.sum()),
+                "mean_chars": round(float(agg.n_chars_txt.mean()), 1),
+            }))
+        else:  # wds
+            if not args.out:
+                print(json.dumps({"error": "wds requires --out"}))
+                return 2
+            from .sinks.webdataset import write_webdataset
+
+            ds = ray.data.read_parquet(
+                f"{args.sf}/documents.parquet",
+                columns=["doc_id", "text", "lang", "source"])
+            m = write_webdataset(ds, args.out, n_shards=args.shards,
+                                 meta_cols=("lang", "source")).to_pandas()
+            print(json.dumps({
+                "out": args.out,
+                "shards": len(m),
+                "samples": int(m.n_samples.sum()),
+                "bytes": int(m.n_bytes.sum()),
+                "skipped": int(m.skipped.sum()),
+            }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="planetiler_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -45,6 +127,20 @@ def main(argv=None):
     c = sub.add_parser("compare", help="tile-by-tile diff of two archives")
     c.add_argument("--a", required=True)
     c.add_argument("--b", required=True)
+
+    co = sub.add_parser(
+        "corpus",
+        help="training-data curation ops over a documents parquet "
+             "(clean | dedup | diff | stats | wds-export)",
+    )
+    co.add_argument("op", choices=["clean", "dedup", "diff", "stats", "wds"])
+    co.add_argument("--sf", required=True, help="sf dir with documents.parquet")
+    co.add_argument("--out", default=None, help="output dir (parquet / tars)")
+    co.add_argument("--against", default=None,
+                    help="second sf dir (diff: old=--sf, new=--against)")
+    co.add_argument("--min-quality-bp", type=int, default=2000)
+    co.add_argument("--shards", type=int, default=64)
+    co.add_argument("--cpus", type=int, default=8)
 
     cv = sub.add_parser("convert", help="shapefile/geopackage -> WKB parquet")
     cv.add_argument("--src", required=True, help=".shp or .gpkg path")
@@ -83,6 +179,9 @@ def main(argv=None):
             "only_b": res.only_b[:5], "diff": res.diff[:5],
         }))
         return 0 if res.identical else 1
+
+    if args.cmd == "corpus":
+        return _corpus_cmd(args)
 
     import ray
 

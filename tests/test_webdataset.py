@@ -36,3 +36,31 @@ def test_webdataset_roundtrip_and_resume(ray_session, tmp_path):
     assert m2["n_samples"].sum() == 100
     for f in tars:
         assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+
+
+def test_corpus_cli_stats_and_wds(tmp_path):
+    """CLI smoke: corpus stats + wds export run in a fresh process (the
+    CLI owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "planetiler_ray", "corpus", "stats",
+         "--sf", "/root/testdata/sf0.001", "--cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] == 500 and out["total_chars"] > 0
+
+    wds_dir = str(tmp_path / "wds")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "planetiler_ray", "corpus", "wds",
+         "--sf", "/root/testdata/sf0.001", "--out", wds_dir,
+         "--shards", "4", "--cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-800:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["samples"] == 500 and out2["shards"] == 4
