@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_median_dev": training.q_source_median_dev,
         # multimodal plumbing
         "media_features": training.q_media_features,
+        "media_phash": training.q_media_phash,
         "media_stats": training.q_media_stats,
         "media_frames": training.q_media_frames,
         # stream-shaped ops

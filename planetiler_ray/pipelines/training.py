@@ -682,6 +682,15 @@ def q_neardup_planted(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_media_phash(sf_dir: str):
+    """Per-item 64-bit perceptual hash over the (stub-decoded) media path
+    (rows-only: the DCT is float math with no finite SQL mirror;
+    noise-invariance/discrimination/determinism pinned by unit tests)."""
+    from ..stages import multimodal as M
+
+    return M.image_phash_pipeline(docs_ds(sf_dir, ["doc_id"]))
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing demo (rows-only; stub decoder)."""
     from ..stages.multimodal import media_pipeline

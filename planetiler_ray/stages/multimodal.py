@@ -246,3 +246,85 @@ def media_embedding_pipeline(documents_ds, concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------ perceptual hash --
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), pure numpy."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: np.ndarray) -> np.ndarray:
+    """Classic 64-bit perceptual hash (pHash) of a stack of 32x32 grayscale
+    images: 2-D DCT, keep the top-left 8x8 low-frequency block (minus DC),
+    threshold at the median -> 64 bits.  Vectorized over the whole stack
+    (two batched matmuls per batch — no per-image Python).
+
+    ``pixels``: (n, 32, 32) float or uint8.
+    """
+    x = pixels.astype(np.float64)
+    # batched separable 2-D DCT: D @ img @ D.T for every image at once
+    coef = np.einsum("ij,njk,lk->nil", _DCT32, x, _DCT32)
+    block = coef[:, :8, :8].reshape(len(x), 64)
+    ac = block[:, 1:]  # drop the DC coefficient -> 63 AC bits
+    med = np.median(ac, axis=1, keepdims=True)
+    bits = (ac > med).astype(np.uint64)  # 63 bits
+    weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+
+class PerceptualHasher:
+    """Actor-pool stage: decode (stub) -> 32x32 block-mean resize ->
+    :func:`phash64` per item.  Output: item_id, phash (int64 bit pattern).
+
+    The dedup path then reuses the repo's simhash Hamming-blocking
+    machinery on the hash column — near-duplicate IMAGES with the same
+    bounded-bucket guarantees as near-duplicate text.
+    """
+
+    def __init__(self):
+        self.dct = _DCT32  # stands in for model/codec init (once per actor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_numpy()
+        hs = batch.column("height").to_numpy()
+        stack = np.empty((len(ids), 32, 32), dtype=np.float64)
+        for i in range(len(ids)):
+            px = _decode_stub(payloads[i], int(ws[i]), int(hs[i]))
+            # block-mean resample to 32x32 via index mapping (decode is the
+            # per-item part; the DCT below is one batched einsum)
+            yi = (np.arange(32) * px.shape[0] // 32)
+            xi = (np.arange(32) * px.shape[1] // 32)
+            stack[i] = px[np.ix_(yi, xi)]
+        ph = phash64(stack)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(ph.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def image_phash_pipeline(documents_ds, concurrency: int = 2,
+                         batch_size: int = 64):
+    """documents -> fake media -> per-item pHash (actor pool)."""
+    return documents_ds.map_batches(
+        synthesize_media, batch_format="pyarrow"
+    ).map_batches(
+        PerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

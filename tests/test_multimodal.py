@@ -89,3 +89,40 @@ def test_media_pipeline_end_to_end(ray_session):
     out = M.media_embedding_pipeline(ds, concurrency=(1, 2), batch_size=16).to_pandas()
     assert len(out) == 40
     assert len(out["embedding"].iloc[0]) == 4
+
+
+def test_phash_noise_invariance_and_discrimination():
+    import numpy as np
+
+    from planetiler_ray.stages.multimodal import phash64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (4, 32, 32)).astype(np.float64)
+    noisy = base + rng.normal(0, 2, base.shape)
+    other = rng.integers(0, 255, (4, 32, 32)).astype(np.float64)
+    hb, hn, ho = phash64(base), phash64(noisy), phash64(other)
+
+    def ham(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+
+    for i in range(4):
+        assert ham(hb[i], hn[i]) <= 8          # perceptually same
+        assert ham(hb[i], ho[i]) >= 12         # different content
+
+
+def test_image_phash_pipeline(ray_session):
+    import ray
+
+    from planetiler_ray.stages.multimodal import image_phash_pipeline
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    out = image_phash_pipeline(docs).to_pandas()
+    assert len(out) == 500
+    assert out["phash"].nunique() > 100  # fake images mostly distinct
+    # deterministic: same input -> same hashes
+    out2 = image_phash_pipeline(docs).to_pandas()
+    m = out.sort_values("item_id", ignore_index=True)
+    m2 = out2.sort_values("item_id", ignore_index=True)
+    assert m.equals(m2)
