@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": training.q_media_features,
         "media_phash": training.q_media_phash,
+        "table_profile": training.q_table_profile,
         "media_stats": training.q_media_stats,
         "media_frames": training.q_media_frames,
         # stream-shaped ops
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "window_ohlc": oracle.sql_window_ohlc(),
         "mad_outliers": oracle.sql_mad_outliers(),
         "range_join": oracle.sql_range_join(),
+        "table_profile": oracle.sql_table_profile(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1456,3 +1456,18 @@ SELECT doc_id, n_chars, n_nationkey
 FROM documents JOIN nation
   ON n_chars >= n_nationkey * 22 AND n_chars < n_nationkey * 22 + 22
 """
+
+
+def sql_table_profile() -> str:
+    """Mirror of ``training.q_table_profile`` — profiling over the VARCHAR
+    cast of each column (lexicographic min/max on both sides)."""
+    parts = []
+    for c in ("lang", "source", "n_chars"):
+        parts.append(f"""
+SELECT '{c}' AS column,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_v,
+       max(CAST({c} AS VARCHAR)) AS max_v
+FROM documents""")
+    return " UNION ALL ".join(parts)

@@ -682,6 +682,18 @@ def q_neardup_planted(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column profiling of documents (nulls / exact distincts /
+    lexicographic min-max over value strings) — ONE shuffle for all
+    columns; exact SQL twin (CAST-to-VARCHAR semantics on both sides)."""
+    from ..stages.profiling import table_profile
+
+    return table_profile(
+        docs_ds(sf_dir, ["lang", "source", "n_chars"]),
+        ["lang", "source", "n_chars"],
+    )
+
+
 def q_media_phash(sf_dir: str):
     """Per-item 64-bit perceptual hash over the (stub-decoded) media path
     (rows-only: the DCT is float math with no finite SQL mirror;
