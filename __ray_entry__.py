@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": training.q_media_features,
         "media_phash": training.q_media_phash,
         "table_profile": training.q_table_profile,
+        "dataset_split": training.q_dataset_split,
         "media_stats": training.q_media_stats,
         "media_frames": training.q_media_frames,
         # stream-shaped ops
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": oracle.sql_mad_outliers(),
         "range_join": oracle.sql_range_join(),
         "table_profile": oracle.sql_table_profile(),
+        "dataset_split": oracle.sql_dataset_split(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

@@ -1471,3 +1471,15 @@ SELECT '{c}' AS column,
        max(CAST({c} AS VARCHAR)) AS max_v
 FROM documents""")
     return " UNION ALL ".join(parts)
+
+
+def sql_dataset_split(val_bp: int = 100, test_bp: int = 100) -> str:
+    """Mirror of ``training.q_dataset_split``."""
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")}
+SELECT doc_id, lang,
+       CASE WHEN CAST(_h % 10000 AS BIGINT) < {val_bp} THEN 'val'
+            WHEN CAST(_h % 10000 AS BIGINT) < {val_bp + test_bp} THEN 'test'
+            ELSE 'train' END AS split
+FROM _hh
+"""

@@ -682,6 +682,14 @@ def q_neardup_planted(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic 98/1/1 train/val/test split by the SQL-mirrorable
+    M61 hash — reproducible, shuffle-free, stratified in expectation."""
+    from ..stages.sampling import dataset_split
+
+    return dataset_split(docs_ds(sf_dir, ["doc_id", "lang"]), key_col="doc_id")
+
+
 def q_table_profile(sf_dir: str):
     """Per-column profiling of documents (nulls / exact distincts /
     lexicographic min-max over value strings) — ONE shuffle for all

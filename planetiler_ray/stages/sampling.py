@@ -93,3 +93,29 @@ def weighted_sample(ds, weight_bp_fn, key_col: str, denom: int = 10_000):
         return batch.filter(pa.array(sel))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dataset_split(ds, key_col: str, val_bp: int = 100, test_bp: int = 100,
+                  denom: int = 10_000):
+    """Deterministic train/val/test assignment: split by
+    ``hash61(key) % denom`` thresholds (val < val_bp <= test < val_bp +
+    test_bp <= train).  Reproducible across runs and engines (the
+    Mersenne-61 hash has a HUGEINT SQL twin), shuffle-free, and
+    automatically stratified in expectation across any grouping because
+    the hash is independent of every feature.
+    """
+    import pyarrow as pa
+
+    from .sketch import hash61
+
+    SPLITS = np.array(["val", "test", "train"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = hash61(batch.column(key_col).to_numpy().astype(np.int64))
+        r = (h % np.uint64(denom)).astype(np.int64)
+        code = np.where(r < val_bp, 0, np.where(r < val_bp + test_bp, 1, 2))
+        return batch.append_column(
+            "split", pa.array(SPLITS[code].tolist(), pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
