@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash": training.q_media_phash,
         "table_profile": training.q_table_profile,
         "dataset_split": training.q_dataset_split,
+        "chunk_documents": training.q_chunk_documents,
         "media_stats": training.q_media_stats,
         "media_frames": training.q_media_frames,
         # stream-shaped ops
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oracle.sql_range_join(),
         "table_profile": oracle.sql_table_profile(),
         "dataset_split": oracle.sql_dataset_split(),
+        "chunk_documents": oracle.sql_chunk_documents(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "sliding_window": oracle.sql_sliding_window(),

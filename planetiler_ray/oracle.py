@@ -1483,3 +1483,18 @@ SELECT doc_id, lang,
             ELSE 'train' END AS split
 FROM _hh
 """
+
+
+def sql_chunk_documents(chunk_chars: int = 256, overlap: int = 64) -> str:
+    """Mirror of ``training.q_chunk_documents``."""
+    stride = chunk_chars - overlap
+    return f"""
+SELECT doc_id,
+       CAST((p - 1) // {stride} AS BIGINT) AS chunk_ord,
+       substr(text, CAST(p AS INTEGER), {chunk_chars}) AS chunk_text,
+       CAST(length(substr(text, CAST(p AS INTEGER), {chunk_chars})) AS BIGINT)
+         AS n_chunk_chars
+FROM documents
+JOIN generate_series(1, 65536, {stride}) AS t(p)
+  ON p <= CAST(length(text) AS INTEGER)
+"""

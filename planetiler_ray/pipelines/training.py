@@ -682,6 +682,12 @@ def q_neardup_planted(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed-size overlapping document chunking (256 chars, 64 overlap) —
+    the context-window prep op; exact substr oracle."""
+    return text.chunk_documents(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic 98/1/1 train/val/test split by the SQL-mirrorable
     M61 hash — reproducible, shuffle-free, stratified in expectation."""

@@ -624,3 +624,65 @@ def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def chunk_documents(ds, chunk_chars: int = 256, overlap: int = 64,
+                    col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size overlapping chunks (the context-
+    window prep every LLM training/RAG pipeline runs): chunks start every
+    ``chunk_chars - overlap`` characters; the final chunk may be shorter.
+    Output: doc_id, chunk_ord, chunk_text, n_chunk_chars.
+
+    Vectorized: all chunk bytes gather from the flat UTF-8 buffer with ONE
+    grouped-arange fancy index per batch — no per-doc slicing.  ASCII-only
+    guard keeps byte offsets == char offsets (the oracle's ``substr``
+    contract, same as dup_spans).
+    """
+    import pyarrow as pa
+
+    stride = chunk_chars - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_chars")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        arr = s.cast(pa.large_string())
+        n = len(arr)
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+        data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        if np.any(data[offs[0]:offs[-1]] > 127):
+            raise ValueError("chunk_documents: non-ASCII text breaks the "
+                             "char==byte oracle contract")
+        lens = offs[1:] - offs[:-1]
+        nch = np.where(lens > 0, 1 + (lens - 1) // stride, 0)
+        total = int(nch.sum())
+        ids = np.repeat(batch.column(id_col).to_numpy(), nch)
+        excl = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        ordv = np.arange(total, dtype=np.int64) - np.repeat(excl, nch)
+        starts = np.repeat(offs[:-1], nch) + ordv * stride
+        ends = np.minimum(starts + chunk_chars, np.repeat(offs[1:], nch))
+        clen = ends - starts
+        # grouped arange: one fancy index gathers every chunk's bytes
+        cexcl = np.concatenate([[0], np.cumsum(clen)[:-1]])
+        gather = (np.arange(int(clen.sum()), dtype=np.int64)
+                  - np.repeat(cexcl, clen) + np.repeat(starts, clen))
+        out_buf = pa.py_buffer(data[gather].tobytes())
+        out_offs = pa.py_buffer(
+            np.concatenate([[0], np.cumsum(clen)]).astype(np.int64).tobytes()
+        )
+        texts = pa.Array.from_buffers(pa.large_string(), total,
+                                      [None, out_offs, out_buf])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_ord": pa.array(ordv, pa.int64()),
+                "chunk_text": texts,
+                "n_chunk_chars": pa.array(clen, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
