@@ -348,3 +348,54 @@ def test_prometheus_exposition(tmp_path):
     assert "planetiler_ray_data_errors__total 1" in text  # sanitized name
     assert "planetiler_ray_mem_bytes 123" in text
     assert "planetiler_ray_elapsed_seconds 2.5" in text
+
+
+def test_mulmod61_exact_vs_python_ints():
+    import numpy as np
+
+    from planetiler_ray.stages.sketch import (
+        HASH_A, HASH_B, HASH_C, M61, _mulmod61, hash61)
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, M61, size=5000, dtype=np.int64).astype(np.uint64)
+    for b in (HASH_A, HASH_B, 3, M61 - 1, 1):
+        got = _mulmod61(a, b)
+        exp = [(int(x) * b) % M61 for x in a[:300]]
+        assert got[:300].tolist() == exp, b
+
+    v = rng.integers(-2**62, 2**62, size=300, dtype=np.int64)
+    got = hash61(v)
+    exp = []
+    for x in v:
+        h = (int(x) % (2**64)) % M61
+        h = (h * HASH_A + HASH_C) % M61
+        h = (h ^ (h >> 29)) % M61
+        h = (h * HASH_B) % M61
+        exp.append((h ^ (h >> 31)) % M61)
+    assert got.tolist() == exp
+
+
+def test_hash61_register_distribution():
+    """The xor-shift folds must break the affine structure: consecutive
+    ids spread ~uniformly over 256 registers AND the trailing-zero rho
+    follows the geometric law closely enough for HLL (the pure
+    multiplicative version failed this with ~40% estimator bias)."""
+    import numpy as np
+
+    from planetiler_ray.stages.sketch import hash61
+
+    h = hash61(np.arange(100_000, dtype=np.int64))
+    reg = h % np.uint64(256)
+    counts = np.bincount(reg.astype(np.int64), minlength=256)
+    # chi-square-ish sanity: all registers within 3x of the mean
+    assert counts.min() > 100_000 / 256 / 3
+    assert counts.max() < 100_000 / 256 * 3
+    w = h >> np.uint64(8)
+    tz = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    lowest = w[nz] & (~w[nz] + np.uint64(1))
+    tz[nz] = np.log2(lowest.astype(np.float64)).astype(np.int64)
+    # P(tz >= k) = 2^-k: check the first few levels within 20%
+    for k in (1, 2, 3, 4):
+        frac = (tz >= k).mean()
+        assert abs(frac - 2.0**-k) < 0.2 * 2.0**-k, (k, frac)
