@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
+        "url_parse": webgeo.q_url_parse,
+        "domain_stats": webgeo.q_domain_stats,
+        "domain_cap": webgeo.q_domain_cap,
         # dedup suite
         "exact_dedup": training.q_exact_dedup,
         "jaccard_pairs": training.q_jaccard_pairs,
@@ -260,6 +263,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
+        "url_parse": oracle.sql_url_parse(),
+        "domain_stats": oracle.sql_domain_stats(),
+        "domain_cap": oracle.sql_domain_cap(),
         "exact_dedup": oracle.sql_exact_dedup(),
         "jaccard_pairs": oracle.sql_jaccard_pairs(),
         "jaccard_rare": oracle.sql_jaccard_rare(),

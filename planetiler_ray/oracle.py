@@ -1498,3 +1498,53 @@ FROM documents
 JOIN generate_series(1, 65536, {stride}) AS t(p)
   ON p <= CAST(length(text) AS INTEGER)
 """
+
+
+# ------------------------------------------------------------- URL / domain --
+
+URL_EXPR = "'https://example' || (d.doc_id % 997) || '.com/p/' || d.doc_id"
+
+
+def sql_url_parse() -> str:
+    """Parse the url back apart with SQL string/list functions — an
+    independent re-derivation of the Arrow split/list kernel semantics."""
+    return f"""
+WITH pages AS (SELECT {URL_EXPR} AS url FROM documents d)
+SELECT url,
+       string_split(url, '/')[3] AS host,
+       '/' || array_to_string(string_split(url, '/')[4:], '/') AS path,
+       len(string_split(url, '/')) - 3 AS depth
+FROM pages
+ORDER BY url
+"""
+
+
+def sql_domain_stats() -> str:
+    return f"""
+SELECT 'example' || (d.doc_id % 997) || '.com' AS host,
+       count(*) AS n_pages,
+       CAST(SUM(strlen({sql_text_full()})) AS BIGINT) AS total_bytes,
+       MIN(d.doc_id) AS min_doc,
+       MAX(d.doc_id) AS max_doc
+FROM documents d
+GROUP BY 1
+ORDER BY host
+"""
+
+
+def sql_domain_cap(k: int = 2) -> str:
+    return f"""
+WITH pages AS (
+    SELECT 'example' || (d.doc_id % 997) || '.com' AS host,
+           d.doc_id AS doc_id,
+           {URL_EXPR} AS url
+    FROM documents d
+),
+ranked AS (
+    SELECT host, doc_id, url,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+    FROM pages
+)
+SELECT host, doc_id, url FROM ranked WHERE rn <= {k}
+ORDER BY host, doc_id
+"""

@@ -380,3 +380,143 @@ def q_pip_nearest(sf_dir: str) -> ray.data.Dataset:
         )
         .select_columns(["doc_id", "mention_idx", "admin_id"])
     )
+
+
+# --------------------------------------------------------- URL / domain ops --
+
+def _split_url(url: "pa.ChunkedArray | pa.Array"):
+    """``scheme://host/seg/...`` -> list<string> of '/'-separated parts.
+
+    One Arrow split kernel; callers pick host (element 2) / path (3+) from
+    the list without any per-row Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    return pc.split_pattern(url, "/")
+
+
+def q_url_parse(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized URL decomposition (the CC-pipeline normalize step): url ->
+    (host, path, depth) via Arrow split/list kernels — no row loop, no regex.
+    Mirrors the reference's per-source attribute parsing discipline
+    (``functions/parse`` family) applied to web corpora."""
+    import pyarrow.compute as pc
+
+    def parse(batch: pa.Table) -> pa.Table:
+        parts = _split_url(batch.column("url"))
+        host = pc.list_element(parts, 2)
+        tail = pc.binary_join(pc.list_slice(parts, 3), "/")
+        path = pc.binary_join_element_wise("/", tail, "")
+        depth = pc.cast(pc.subtract(pc.list_value_length(parts), 3), pa.int64())
+        return pa.table(
+            {"url": batch.column("url"), "host": host, "path": path, "depth": depth}
+        )
+
+    return pages_ds(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def q_domain_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain corpus analytics: page count, total page bytes, doc-id
+    range.  Scale pattern: per-batch partial aggregates grouped in-memory,
+    then ONE small groupby over <= #domains rows (combiner-before-shuffle,
+    same shape as ``q_tile_counts``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.list_element(_split_url(batch.column("url")), 2)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = pa.table(
+            {
+                "host": host,
+                "bytes": pc.cast(pc.binary_length(txt), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+        df = t.to_pandas().groupby("host", as_index=False).agg(
+            n_part=("bytes", "size"),
+            bytes_part=("bytes", "sum"),
+            min_part=("doc_id", "min"),
+            max_part=("doc_id", "max"),
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        pages_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_part", alias_name="n_pages"),
+            Sum("bytes_part", alias_name="total_bytes"),
+            Min("min_part", alias_name="min_doc"),
+            Max("max_part", alias_name="max_doc"),
+        )
+    )
+
+
+def q_domain_cap(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Domain frequency capping: keep at most ``k`` pages per host, ranked by
+    doc_id ascending (the deterministic tie-free order) — the standard
+    crawl-balancing step before LLM training.
+
+    Scale design: per-batch partial keep-k (a batch's k smallest doc_ids per
+    host necessarily contain the global winners), then hosts are hash-bucketed
+    (fnv64 of the host string, 64 buckets) so the final exact keep-k runs one
+    vectorized lexsort per THOUSANDS of hosts — never a map_groups per tiny
+    host group, never a global sort.  Bounded memory: each bucket holds
+    <= k * upstream_blocks rows per host."""
+    import pyarrow.compute as pc
+
+    from ..functions.vhash import fnv64_arrow
+
+    def keepk(host, doc_id, extra_cols):
+        order = np.lexsort((doc_id, host))
+        h, d = host[order], doc_id[order]
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        start = np.flatnonzero(new)
+        rank = np.arange(len(h)) - np.repeat(start, np.diff(np.append(start, len(h))))
+        keep = order[rank < k]
+        return keep
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host_arr = pc.list_element(_split_url(batch.column("url")), 2)
+        host = np.asarray(host_arr)
+        doc_id = batch.column("doc_id").to_numpy()
+        keep = keepk(host, doc_id, None)
+        bkt = (fnv64_arrow(host_arr.take(pa.array(keep))) % 64).astype(np.int64)
+        return pa.table(
+            {
+                "host": host_arr.take(pa.array(keep)),
+                "doc_id": pa.array(doc_id[keep], pa.int64()),
+                "url": batch.column("url").combine_chunks().take(pa.array(keep))
+                if isinstance(batch.column("url"), pa.ChunkedArray)
+                else batch.column("url").take(pa.array(keep)),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                }
+            )
+        host = np.asarray(g.column("host"))
+        doc_id = g.column("doc_id").to_numpy()
+        keep = keepk(host, doc_id, None)
+        keep_idx = pa.array(np.sort(keep))
+        return g.select(["host", "doc_id", "url"]).take(keep_idx)
+
+    return (
+        pages_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

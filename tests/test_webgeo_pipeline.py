@@ -156,3 +156,45 @@ def test_min_pixel_size_suppression():
     assert 10 in zs                      # present at high zoom
     # threshold monotone: once visible, stays visible
     assert zs == list(range(zs[0], 11))
+
+
+def test_url_parse_kernel(ray_session):
+    from planetiler_ray.pipelines import webgeo
+
+    t = webgeo.q_url_parse("/root/testdata/sf0.001").take_batch(50, batch_format="pandas")
+    for url, host, path, depth in zip(t["url"], t["host"], t["path"], t["depth"]):
+        assert url == f"https://{host}{path}"
+        assert depth == path.count("/")
+
+
+def test_domain_cap_trims_multi_page_domains(ray_session, tmp_path):
+    """Hosts collide when doc_ids span >997 (host = doc_id % 997): the cap
+    must keep exactly the k smallest doc_ids per host."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from planetiler_ray.pipelines import webgeo
+
+    # example5.com gets 3 pages (5, 1002, 1999), example7.com gets 2 (7, 1004)
+    ids = [5, 1002, 1999, 7, 1004, 42]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"body {i}" for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = (
+        webgeo.q_domain_cap(str(tmp_path), k=2)
+        .to_pandas()
+        .sort_values(["host", "doc_id"])
+        .reset_index(drop=True)
+    )
+    kept = df.groupby("host")["doc_id"].apply(list).to_dict()
+    assert kept["example5.com"] == [5, 1002]       # 1999 trimmed
+    assert kept["example7.com"] == [7, 1004]
+    assert kept["example42.com"] == [42]
+    assert len(df) == 5
