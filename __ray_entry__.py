@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         "url_parse": webgeo.q_url_parse,
+        "cluster_assign": training.q_cluster_assign,
         "domain_stats": webgeo.q_domain_stats,
         "domain_cap": webgeo.q_domain_cap,
         # dedup suite
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
         "url_parse": oracle.sql_url_parse(),
+        "cluster_assign": oracle.sql_cluster_assign(),
         "domain_stats": oracle.sql_domain_stats(),
         "domain_cap": oracle.sql_domain_cap(),
         "exact_dedup": oracle.sql_exact_dedup(),

@@ -1548,3 +1548,31 @@ ranked AS (
 SELECT host, doc_id, url FROM ranked WHERE rn <= {k}
 ORDER BY host, doc_id
 """
+
+
+def sql_cluster_assign(k: int = 8, dim: int = 64, scale: int = 1 << 14) -> str:
+    """Mirror of ``ann.kmeans_assign``: fixed-point quantize (floor of an
+    EXACT power-of-two float64 multiply), integer squared distances, argmin
+    with ties on the smaller centroid id (row_number ORDER BY dist2, cid)."""
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k}),
+dists AS (
+    SELECT q.vec_id, c.cid,
+           CAST(SUM((q.qv[r.i] - c.cv[r.i]) * (q.qv[r.i] - c.cv[r.i])) AS BIGINT) AS dist2
+    FROM q CROSS JOIN cent c CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT vec_id, cid, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM dists
+)
+SELECT vec_id, cid AS cluster, dist2 FROM best WHERE rn = 1
+ORDER BY vec_id
+"""

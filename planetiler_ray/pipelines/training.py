@@ -961,3 +961,23 @@ def q_stratified_sample(sf_dir: str, k: int = 20):
         events_ds(sf_dir, ["event_id", "event_type"]),
         group_col="event_type", id_col="event_id", k=k,
     ).select_columns(["event_id", "event_type", "hv"])
+
+
+def q_cluster_assign(sf_dir: str, k: int = 8):
+    """Exact nearest-centroid assignment (Lloyd map step / IVF routing) in
+    fixed-point integers: centroids are the k lowest-vec_id embeddings
+    (bounded, filter-pushdown driver read, broadcast into the stage); each
+    batch does one (B, k, d) integer GEMM — zero shuffles, exact SQL twin
+    (``sql_cluster_assign`` re-derives the same int64 distances)."""
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cq = ann.quantize_embedding(
+        np.stack(cent_tbl.column("embedding").to_numpy(zero_copy_only=False))
+    )
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann.kmeans_assign(embs, cq)

@@ -415,3 +415,57 @@ def pq_topk(ds, queries_handle, codebooks_handle, k: int = 5,
         .groupby("query_id")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- cluster assignment --
+
+KMEANS_SCALE = 1 << 14  # power-of-two: x * SCALE is an EXACT float64 multiply
+
+
+def quantize_embedding(m: np.ndarray) -> np.ndarray:
+    """float embedding matrix -> int64 fixed-point (floor(x * 2^14)).
+
+    Both the multiply (power of two) and floor are bit-deterministic, so a
+    SQL twin computing ``floor(CAST(x AS DOUBLE) * 16384.0)`` lands on the
+    SAME integers — squared distances then compare exactly (int64, ~2^40
+    max: also exactly representable if an engine sums in doubles)."""
+    return np.floor(m.astype(np.float64) * float(KMEANS_SCALE)).astype(np.int64)
+
+
+def kmeans_assign(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
+                  col: str = "embedding"):
+    """Nearest-centroid assignment (the Lloyd-iteration map kernel and the
+    IVF routing step, done as an EXACT integer op): for each vector, the
+    centroid minimising the fixed-point squared L2 distance, ties broken on
+    the smaller centroid index.
+
+    Scale: centroids are a tiny broadcast (ray.put upstream / closure
+    capture here — k x d int64), each batch does one vectorized (B, k, d)
+    distance reduction; no shuffle at all.  Output: (vec_id, cluster,
+    dist2) with dist2 the exact integer distance (what a driver would feed
+    the centroid-update groupby of a full Lloyd loop —
+    ``train_centroids`` holds the sampled-driver variant)."""
+    cq = centroids_q  # (k, d) int64
+    k = cq.shape[0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(col).to_numpy(zero_copy_only=False))
+        q = quantize_embedding(m)  # (B, d) int64
+        # |q - c|^2 = |q|^2 - 2 q.c + |c|^2 — GEMM form, int64-exact
+        # (dot < 64 * 2^34 ~ 2^40, far under both int64 and float53 limits)
+        dots = q @ cq.T                                   # (B, k)
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * dots
+            + (cq * cq).sum(axis=1)[None, :]
+        )
+        best = d2.argmin(axis=1)  # first occurrence = smallest centroid idx
+        return pa.table(
+            {
+                "vec_id": batch.column(id_col),
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                "dist2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
