@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": webgeo.q_knn,
         "url_parse": webgeo.q_url_parse,
         "cluster_assign": training.q_cluster_assign,
+        "ivf_exact": training.q_ivf_exact,
         "domain_stats": webgeo.q_domain_stats,
         "domain_cap": webgeo.q_domain_cap,
         # dedup suite
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": oracle.sql_knn(),
         "url_parse": oracle.sql_url_parse(),
         "cluster_assign": oracle.sql_cluster_assign(),
+        "ivf_exact": oracle.sql_ivf_exact(),
         "domain_stats": oracle.sql_domain_stats(),
         "domain_cap": oracle.sql_domain_cap(),
         "exact_dedup": oracle.sql_exact_dedup(),

@@ -1576,3 +1576,71 @@ best AS (
 SELECT vec_id, cid AS cluster, dist2 FROM best WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+def sql_ivf_exact(k_cent: int = 8, nq: int = 4, k: int = 5, n_probe: int = 2,
+                  dim: int = 64, scale: int = 1 << 14) -> str:
+    """Mirror of ``ann.ivf_exact_topk``: the ENTIRE inverted-file search in
+    integer arithmetic — route each vector to its nearest centroid (ties ->
+    smaller cid), each query probes its ``n_probe`` nearest centroids, scan
+    the probed lists with exact int squared-L2, rank ties on smaller
+    vec_id.  Same quantization as :func:`sql_cluster_assign`."""
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k_cent}),
+qry AS (SELECT vec_id AS query_id, qv AS quv FROM q
+        WHERE vec_id >= {k_cent} AND vec_id < {k_cent + nq}),
+vdist AS (
+    SELECT q.vec_id, c.cid,
+           CAST(SUM((q.qv[r.i] - c.cv[r.i]) * (q.qv[r.i] - c.cv[r.i])) AS BIGINT) AS dist2
+    FROM q CROSS JOIN cent c CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+vec_cluster AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM vdist
+    ) WHERE rn = 1
+),
+qdist AS (
+    SELECT y.query_id, c.cid,
+           CAST(SUM((y.quv[r.i] - c.cv[r.i]) * (y.quv[r.i] - c.cv[r.i])) AS BIGINT) AS dist2
+    FROM qry y CROSS JOIN cent c CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY dist2, cid) AS rn
+        FROM qdist
+    ) WHERE rn <= {n_probe}
+),
+cand AS (
+    SELECT p.query_id, v.vec_id
+    FROM probe p JOIN vec_cluster v ON v.cluster = p.cid
+    WHERE v.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           CAST(SUM((y.quv[r.i] - q.qv[r.i]) * (y.quv[r.i] - q.qv[r.i])) AS BIGINT) AS dist2
+    FROM cand c
+    JOIN qry y ON y.query_id = c.query_id
+    JOIN q ON q.vec_id = c.vec_id
+    CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, vec_id, dist2,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rn
+    FROM scored
+)
+SELECT query_id, rn AS rank, vec_id AS neighbor_id, dist2
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rank
+"""

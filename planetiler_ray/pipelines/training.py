@@ -981,3 +981,27 @@ def q_cluster_assign(sf_dir: str, k: int = 8):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return ann.kmeans_assign(embs, cq)
+
+
+def q_ivf_exact(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
+                n_probe: int = 2):
+    """Inverted-file ANN with a bitwise SQL twin: centroids are the
+    ``k_cent`` lowest-vec_id embeddings, queries the next ``nq``; routing,
+    probing and scoring all happen in fixed-point integers
+    (``ann.ivf_exact_topk``), so DuckDB re-derives the identical top-k —
+    the exact-oracle companion to the float ``ann_ivf`` path."""
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k_cent + nq)],
+    ).sort_by("vec_id")
+    mat = ann.quantize_embedding(
+        np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+    )
+    ids = head.column("vec_id").to_numpy()
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann.ivf_exact_topk(
+        embs, mat[:k_cent], ids[k_cent:], mat[k_cent:], k=k, n_probe=n_probe
+    )

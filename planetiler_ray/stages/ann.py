@@ -469,3 +469,87 @@ def kmeans_assign(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_exact_topk(ds, centroids_q: np.ndarray, query_ids, queries_q: np.ndarray,
+                   k: int = 5, n_probe: int = 2, id_col: str = "vec_id",
+                   col: str = "embedding"):
+    """IVF top-k where EVERY step is a deterministic integer op, so the
+    whole inverted-file search path (route -> probe -> scan -> rank) has a
+    bitwise SQL twin (:func:`oracle.sql_ivf_exact`) — the exact-oracle
+    companion to the float approximate :func:`ivf_topk` (reference parity:
+    the IVFADC routing of Jegou et al., done as Ray Data streaming scan).
+
+    * centroids/queries are tiny broadcast int64 fixed-point matrices
+      (closure capture; ``ray.put`` upstream on a real cluster);
+    * per batch: ONE (B, k_cent) GEMM routes vectors to their nearest
+      centroid (ties -> smaller cid), ONE (B, nq) GEMM scores all queries,
+      then each query keeps its k best probed candidates — per-batch
+      partial top-k, so the shuffle moves O(nq * k) rows per batch;
+    * final merge is a tiny per-query group sort (ties -> smaller vec_id).
+
+    Approximation structure is IDENTICAL to real IVF (probing can miss true
+    neighbors in unprobed lists) — but deterministically so, which is what
+    makes it oracle-checkable."""
+    cq = np.asarray(centroids_q, dtype=np.int64)
+    qq = np.asarray(queries_q, dtype=np.int64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # probe sets: stable argsort on integer distance == ties to smaller cid
+    dqc = ((qq[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)  # (nq, ncent)
+    probes = np.argsort(dqc, axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = quantize_embedding(
+            np.stack(batch.column(col).to_numpy(zero_copy_only=False))
+        )
+        ids = batch.column(id_col).to_numpy()
+        # route: nearest centroid, ties -> first (= smaller cid) via argmin
+        d2c = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2 * (m @ cq.T)
+            + (cq * cq).sum(axis=1)[None, :]
+        )
+        clus = d2c.argmin(axis=1)
+        # score all queries at once: (B, nq) integer distances
+        d2q = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2 * (m @ qq.T)
+            + (qq * qq).sum(axis=1)[None, :]
+        )
+        out_q, out_id, out_d = [], [], []
+        for i in range(len(qids)):
+            mask = np.isin(clus, probes[i]) & (ids != qids[i])
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            d2 = d2q[mask, i]
+            kk = min(k, len(cand_ids))
+            sel = np.lexsort((cand_ids, d2))[:kk]
+            out_q.append(np.full(kk, qids[i], dtype=np.int64))
+            out_id.append(cand_ids[sel])
+            out_d.append(d2[sel])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "dist2": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "dist2": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist2", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "dist2"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+    )
