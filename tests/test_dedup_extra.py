@@ -205,3 +205,52 @@ def test_pagerank_sink_attracts_mass(ray_session):
     e = pd.DataFrame({"src": np.arange(1, n), "dst": np.zeros(n - 1, np.int64)})
     out = pagerank_int(ray.data.from_pandas(e), n_nodes=n, iters=5).set_index("node_id")
     assert out.loc[0, "rank"] > 10 * out.loc[1, "rank"]
+
+def test_kmeans_assign_ties_and_exactness(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import ann
+
+    # two IDENTICAL centroids: ties must go to the smaller centroid id
+    cent = ann.quantize_embedding(np.array([[0.5, 0.5], [0.5, 0.5],
+                                            [-1.0, -1.0]]))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v}
+         for i, v in enumerate([[0.5, 0.5], [-0.9, -0.9], [0.0, 0.0]])]
+    )
+    out = (ann.kmeans_assign(ds, cent).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert out["cluster"].tolist() == [0, 2, 0]
+    assert out.loc[0, "dist2"] == 0
+    # dist2 is the exact integer squared distance
+    q = ann.quantize_embedding(np.array([[-0.9, -0.9]]))[0]
+    assert out.loc[1, "dist2"] == ((q - cent[2]) ** 2).sum()
+
+
+def test_ivf_exact_full_probe_equals_brute(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    df = embs.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = ann.quantize_embedding(np.stack(df["embedding"].to_numpy()))
+    ids = df["vec_id"].to_numpy()
+    k_cent, nq, k = 4, 3, 5
+    # probing EVERY list makes IVF exhaustive: must equal the integer brute
+    # top-k (ties on smaller vec_id)
+    out = ann.ivf_exact_topk(embs, mat[:k_cent], ids[k_cent:k_cent + nq],
+                             mat[k_cent:k_cent + nq], k=k,
+                             n_probe=k_cent).to_pandas()
+    for j in range(nq):
+        qid = ids[k_cent + j]
+        d2 = ((mat - mat[k_cent + j]) ** 2).sum(axis=1)
+        keep = ids != qid
+        order = np.lexsort((ids[keep], d2[keep]))[:k]
+        expect = ids[keep][order]
+        got = out[out.query_id == qid].sort_values("rank")["neighbor_id"]
+        assert got.tolist() == expect.tolist()
