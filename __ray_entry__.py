@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
+        "running_total": training.q_running_total,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
         # plain wide aggregate / relational ops
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
+        "running_total": oracle.sql_running_total(),
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),

@@ -1578,6 +1578,20 @@ ORDER BY vec_id
 """
 
 
+def sql_running_total() -> str:
+    """Mirror of ``events.running_total``: the canonical ordered-window
+    cumulative sum, integer cents (same rounding expression as the other
+    event oracles)."""
+    return """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+ORDER BY event_id
+"""
+
+
 def sql_ivf_exact(k_cent: int = 8, nq: int = 4, k: int = 5, n_probe: int = 2,
                   dim: int = 64, scale: int = 1 << 14) -> str:
     """Mirror of ``ann.ivf_exact_topk``: the ENTIRE inverted-file search in

@@ -786,6 +786,14 @@ def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def q_running_total(sf_dir: str):
+    """Ordered cumulative window (SUM OVER ... ROWS UNBOUNDED PRECEDING)
+    via the user-hash bucket + segment-cumsum kernel."""
+    return events.running_total(
+        events_ds(sf_dir, ["user_id", "event_id", "ts", "value"])
+    )
+
+
 def q_asof(sf_dir: str):
     return events.asof_join_views(
         events_ds(sf_dir, ["event_id", "user_id", "ts", "event_type"])

@@ -94,6 +94,46 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US, n_buckets: int = 64):
     )
 
 
+def running_total(ds, n_buckets: int = 64):
+    """Per-event cumulative spend per user — the ordered-window aggregate
+    ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)``.
+
+    Ray Data has no ordered window operator; the scale-correct expression
+    is the user-hash bucket (thousands of users per group call): one
+    lexsort per bucket, then a segment-offset cumsum (no per-user Python,
+    no per-tiny-group shuffle).  Integer cents -> the DuckDB twin
+    (``oracle.sql_running_total``) matches bitwise."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        cents = np.round(
+            g.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], cents[order]
+        n = len(u)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        cum = np.cumsum(c)
+        # prefix sum just BEFORE each user's first row, broadcast down the
+        # segment (sign-safe: indexes, not max-accumulated sums)
+        seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        running = cum - (cum - c)[seg_start]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
 def asof_join_views(ds, n_buckets: int = 64):
     """For each 'click' event: the most recent 'view' event of the same user
     at ts' <= ts (as-of backward join within the user partition).

@@ -83,3 +83,40 @@ def test_window_ohlc_partial_merge_matches_single_batch(ray_session):
     a = one.sort_values(key, ignore_index=True)
     b = many.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+def test_running_total_segments_and_negatives(ray_session):
+    import ray.data
+
+    from planetiler_ray.stages.events import running_total
+
+    rows = [
+        # user 1: 3 events out of ts order across batches; one negative
+        {"event_id": 3, "user_id": 1, "ts": 300, "value": -2.5},
+        {"event_id": 1, "user_id": 1, "ts": 100, "value": 10.0},
+        {"event_id": 2, "user_id": 1, "ts": 200, "value": 0.25},
+        # user 65 lands in bucket 1 (65 % 64) with user 1: separate segment
+        {"event_id": 4, "user_id": 65, "ts": 50, "value": 7.0},
+        {"event_id": 5, "user_id": 65, "ts": 60, "value": 1.0},
+        # same-ts tie ordered by event_id
+        {"event_id": 7, "user_id": 2, "ts": 10, "value": 1.0},
+        {"event_id": 6, "user_id": 2, "ts": 10, "value": 2.0},
+    ]
+    import pandas as pd
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "event_id": [r["event_id"] for r in rows],
+            "user_id": [r["user_id"] for r in rows],
+            "ts": pa.array(
+                pd.to_datetime([r["ts"] for r in rows], unit="us"),
+                pa.timestamp("us"),
+            ),
+            "value": [r["value"] for r in rows],
+        }
+    )
+    out = (running_total(ray.data.from_arrow(t)).to_pandas()
+           .set_index("event_id")["running_cents"])
+    assert out[1] == 1000 and out[2] == 1025 and out[3] == 775
+    assert out[4] == 700 and out[5] == 800
+    assert out[6] == 200 and out[7] == 300
