@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
         "running_total": training.q_running_total,
+        "event_seq": training.q_event_seq,
+        "pivot_counts": training.q_pivot_counts,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
         # plain wide aggregate / relational ops
@@ -311,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
         "running_total": oracle.sql_running_total(),
+        "event_seq": oracle.sql_event_seq(),
+        "pivot_counts": oracle.sql_pivot_counts(),
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),

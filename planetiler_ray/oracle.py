@@ -1592,6 +1592,35 @@ ORDER BY event_id
 """
 
 
+def sql_event_seq() -> str:
+    """Mirror of ``events.event_seq``: ordered string_agg of event-type
+    initials per user."""
+    return """
+SELECT user_id,
+       string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def sql_pivot_counts() -> str:
+    """Mirror of ``events.pivot_counts``: conditional-count pivot."""
+    types = ("click", "error", "purchase", "signup", "view")
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def sql_ivf_exact(k_cent: int = 8, nq: int = 4, k: int = 5, n_probe: int = 2,
                   dim: int = 64, scale: int = 1 << 14) -> str:
     """Mirror of ``ann.ivf_exact_topk``: the ENTIRE inverted-file search in

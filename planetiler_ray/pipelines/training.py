@@ -794,6 +794,20 @@ def q_running_total(sf_dir: str):
     )
 
 
+def q_event_seq(sf_dir: str):
+    """Per-user ordered behaviour-sequence strings (string_agg ORDER BY
+    twin), built from buffer slices inside the user-hash bucket."""
+    return events.event_seq(
+        events_ds(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    )
+
+
+def q_pivot_counts(sf_dir: str):
+    """Per-user event-type pivot: wide one-hot count features, partial
+    pivot inside map_batches + narrow groupby-sum."""
+    return events.pivot_counts(events_ds(sf_dir, ["user_id", "event_type"]))
+
+
 def q_asof(sf_dir: str):
     return events.asof_join_views(
         events_ds(sf_dir, ["event_id", "user_id", "ts", "event_type"])

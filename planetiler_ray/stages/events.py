@@ -134,6 +134,77 @@ def running_total(ds, n_buckets: int = 64):
     )
 
 
+def event_seq(ds, n_buckets: int = 64):
+    """Per-user ordered behaviour-sequence string (the classic sequence
+    feature for recommendation/LLM training rows): initials of event_type
+    concatenated in (ts, event_id) order — ``string_agg(... ORDER BY)`` in
+    the DuckDB twin.
+
+    Vectorized inside the user-hash bucket: one ``utf8_slice_codeunits``
+    pass gives the initial bytes (the kernel's values buffer IS the byte
+    sequence in row order), one lexsort orders them, and per-user strings
+    are O(1) buffer slices on segment boundaries — no per-event Python."""
+    import pyarrow.compute as pc
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        fc = pc.utf8_slice_codeunits(g.column("event_type"), 0, 1)
+        if isinstance(fc, pa.ChunkedArray):
+            fc = fc.combine_chunks()
+        # ascii initials: the values buffer holds exactly 1 byte per row
+        codes = np.frombuffer(fc.buffers()[2], np.uint8)[: len(fc)]
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        blob = codes[order].tobytes()
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.append(starts[1:], len(u))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "seq": pa.array(
+                    [blob[s:e].decode("ascii") for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+                "n_events": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(ds, types=EVENT_TYPES):
+    """Per-user one-hot event-type count pivot (wide feature row per user).
+
+    Scale pattern: the pivot happens INSIDE map_batches (per-batch partial
+    wide counts), so the shuffle moves one narrow row per (user, batch) and
+    the final exchange is a plain groupby-sum over ``len(types)`` int
+    columns — never a tall (user, type) intermediate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["user_id", "event_type"]).to_pandas()
+        d = pd.get_dummies(t["event_type"])
+        for ty in types:
+            if ty not in d.columns:
+                d[ty] = 0
+        d = d[list(types)].astype(np.int64)
+        d["user_id"] = t["user_id"]
+        part = d.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    aggs = [Sum(ty, alias_name=f"n_{ty}") for ty in types]
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(*aggs)
+
+
 def asof_join_views(ds, n_buckets: int = 64):
     """For each 'click' event: the most recent 'view' event of the same user
     at ts' <= ts (as-of backward join within the user partition).
