@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": training.q_topk_events,
         # plain wide aggregate / relational ops
         "lineitem_agg": training.q_lineitem_agg,
+        "tpch_q3": training.q_tpch_q3,
         "distinct_langs": training.q_distinct_langs,
         "semi_join": training.q_semi_join,
         "hash_sample": training.q_hash_sample,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),
+        "tpch_q3": oracle.sql_tpch_q3(),
         "distinct_langs": oracle.sql_distinct_langs(),
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),

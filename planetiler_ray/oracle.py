@@ -1592,6 +1592,34 @@ ORDER BY event_id
 """
 
 
+def sql_tpch_q3(segment: str = "BUILDING",
+                cutoff_us: int = 883_612_800_000_000, k: int = 10) -> str:
+    """Mirror of ``q_tpch_q3``: integer revenue (price_cents x
+    (100 - disc_pct)), epoch-us dates, ties (revenue desc, orderkey asc)."""
+    return f"""
+WITH line AS (
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) > {cutoff_us}
+),
+ords AS (
+    SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us
+    FROM orders
+    WHERE epoch_us(o_orderdate) < {cutoff_us}
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = '{segment}')
+)
+SELECT l.l_orderkey, o.odate_us,
+       CAST(sum(l.rev) AS BIGINT) AS revenue
+FROM line l JOIN ords o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT {k}
+"""
+
+
 def sql_event_seq() -> str:
     """Mirror of ``events.event_seq``: ordered string_agg of event-type
     initials per user."""

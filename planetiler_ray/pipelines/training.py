@@ -851,6 +851,96 @@ def q_topk_events(sf_dir: str, k: int = 10):
     return out.select_columns(["event_id", "user_id", "cents"])
 
 
+def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
+              cutoff_us: int = 883_612_800_000_000,  # 1998-01-01 epoch us
+              k: int = 10):
+    """TPC-H Q3-shaped multi-join analytics (shipping priority): the
+    big-big equi-join demonstrator for the relational surface.
+
+    Scale plan, stage by stage:
+    * customer (tiny after the segment filter) never shuffles — its key
+      set is a driver-side filtered parquet read, broadcast into the
+      orders scan (semi-join by ``np.isin``; the reference's
+      small-side-lookup discipline);
+    * orders x lineitem is the one genuine big-big exchange — Ray Data's
+      native hash-partitioned ``Dataset.join``, both sides pre-filtered
+      and pre-projected so only (key, date) and (key, revenue-int) rows
+      move;
+    * revenue is exact integers (price_cents x (100 - disc_pct)), so the
+      post-join groupby-sum and the DuckDB twin agree bitwise;
+    * final top-k: per-batch partial top-k, then sort+limit over the tiny
+      candidate stream (never a global sort of the join output)."""
+    ckeys = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "==", segment)],
+    ).column("c_custkey").to_numpy()
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (odate < cutoff_us) & np.isin(
+            batch.column("o_custkey").to_numpy(), ckeys
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "odate_us": pa.array(odate[keep], pa.int64()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sdate = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = sdate > cutoff_us
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc_pct = np.round(
+            batch.column("l_discount").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").filter(pa.array(keep)),
+                "rev": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    joined = line.join(orders, join_type="inner", num_partitions=16,
+                       on=("l_orderkey",))
+    agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue").to_numpy()
+        okey = batch.column("l_orderkey").to_numpy()
+        n = len(rev)
+        if n > k:
+            thresh = np.partition(rev, n - k)[n - k]
+            cand = np.flatnonzero(rev >= thresh)
+            order = cand[np.lexsort((okey[cand], -rev[cand]))][:k]
+        else:
+            order = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(order))
+
+    return (
+        agg.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .select_columns(["l_orderkey", "odate_us", "revenue"])
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Plain wide groupby-aggregate (TPC-H Q1-shaped) with batch combiners."""
     import pandas as pd
