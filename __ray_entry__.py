@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": training.q_running_total,
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
+        "rank_in_type": training.q_rank_in_type,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
         # plain wide aggregate / relational ops
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "running_total": oracle.sql_running_total(),
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),
+        "rank_in_type": oracle.sql_rank_in_type(),
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),

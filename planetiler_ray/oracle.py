@@ -1620,6 +1620,19 @@ LIMIT {k}
 """
 
 
+def sql_rank_in_type() -> str:
+    """Mirror of ``events.rank_in_group``: RANK over cents within type."""
+    return """
+SELECT event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       CAST(rank() OVER (PARTITION BY event_type
+                         ORDER BY CAST(round(value * 100) AS BIGINT))
+            AS BIGINT) AS rnk
+FROM events
+ORDER BY event_id
+"""
+
+
 def sql_event_seq() -> str:
     """Mirror of ``events.event_seq``: ordered string_agg of event-type
     initials per user."""

@@ -808,6 +808,13 @@ def q_pivot_counts(sf_dir: str):
     return events.pivot_counts(events_ds(sf_dir, ["user_id", "event_type"]))
 
 
+def q_rank_in_type(sf_dir: str):
+    """Exact per-partition RANK() via broadcast CDF — no sort shuffle."""
+    return events.rank_in_group(
+        events_ds(sf_dir, ["event_id", "event_type", "value"])
+    )
+
+
 def q_asof(sf_dir: str):
     return events.asof_join_views(
         events_ds(sf_dir, ["event_id", "user_id", "ts", "event_type"])

@@ -205,6 +205,78 @@ def pivot_counts(ds, types=EVENT_TYPES):
     ).aggregate(*aggs)
 
 
+def rank_in_group(ds, group_col: str = "event_type"):
+    """Exact ``RANK() OVER (PARTITION BY group ORDER BY cents)`` for every
+    row — WITHOUT a global sort shuffle.
+
+    Two streaming passes over the same pruned read:
+    1. per-batch (group, cents) partial counts -> small groupby-sum; the
+       merged histogram is bounded by the VALUE DOMAIN (distinct price
+       points), not the corpus, so it collects to the driver and
+       broadcasts as per-group sorted values + exclusive cumulative
+       counts (rank of v = #rows below v + 1 — RANK tie semantics by
+       construction);
+    2. a map pass looks each row's rank up via ``np.searchsorted``.
+
+    The classic alternative (sort every row within its partition) is the
+    ``median_by_type`` scale-killer shape this repo eliminated; this is
+    the rank analogue of that histogram fix."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame({group_col: g, "cents": cents})
+            .groupby([group_col, "cents"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby([group_col, "cents"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # bounded: one row per distinct (group, price point)
+        .sort_values([group_col, "cents"])
+    )
+    cdf = {}
+    for gname, sub in hist.groupby(group_col):
+        vals = sub["cents"].to_numpy()
+        cnts = sub["n"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        cdf[gname] = (vals, below)
+
+    import ray as _ray
+
+    cdf_ref = _ray.put(cdf)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        table = _ray.get(cdf_ref) if isinstance(cdf_ref, _ray.ObjectRef) else cdf_ref
+        g = batch.column(group_col).to_pandas().to_numpy()
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rnk = np.empty(len(g), dtype=np.int64)
+        for gname in np.unique(g):
+            m = g == gname
+            vals, below = table[gname]
+            rnk[m] = below[np.searchsorted(vals, cents[m], side="left")] + 1
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                group_col: batch.column(group_col),
+                "cents": pa.array(cents, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
 def asof_join_views(ds, n_buckets: int = 64):
     """For each 'click' event: the most recent 'view' event of the same user
     at ts' <= ts (as-of backward join within the user partition).
