@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.q_decontaminate,
         "pack_sequences": training.q_pack_sequences,
         "vocab_topk": training.q_vocab_topk,
+        "keyword_topk": training.q_keyword_topk,
         "dup_spans": training.q_dup_spans,
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracle.sql_decontaminate(),
         "pack_sequences": oracle.sql_pack_sequences(),
         "vocab_topk": oracle.sql_vocab_topk(),
+        "keyword_topk": oracle.sql_keyword_topk(),
         "dup_spans": oracle.sql_dup_spans(),
         "quantiles_by_lang": oracle.sql_quantiles_by_lang(),
         "hll_users": oracle.sql_hll_users(),

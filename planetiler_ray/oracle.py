@@ -1143,6 +1143,24 @@ SELECT token, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, token LIMIT {k}
 """
 
 
+def sql_keyword_topk(terms=("spark", "join", "vector"), k: int = 10) -> str:
+    """Mirror of ``text.keyword_topk`` (same token grammar as
+    ``sql_vocab_topk``; ties (score DESC, doc_id ASC))."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+s AS (
+    SELECT doc_id, count(*) AS score FROM tok
+    WHERE token IN ({tl}) GROUP BY doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def sql_dup_spans(length: int = 32, stride: int = 16) -> str:
     """Mirror of ``training.q_dup_spans``: every stride-aligned
     ``length``-char window of each doc (ASCII corpus: char == byte),

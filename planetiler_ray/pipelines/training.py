@@ -454,6 +454,11 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return text.vocab_topk(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
 
 
+def q_keyword_topk(sf_dir: str, k: int = 10):
+    """Inverted-search scoring: top-k docs by summed query-term tf."""
+    return text.keyword_topk(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
+
+
 def q_pack_sequences(sf_dir: str, max_tokens: int = 2048):
     """LLM sequence packing via distributed prefix sum — integer-exact
     window-function oracle (docs laid end-to-end in doc_id order, each

@@ -285,6 +285,53 @@ class TfIdfTopK:
         )
 
 
+def keyword_topk(ds, terms=("spark", "join", "vector"), k: int = 10,
+                 col: str = "text"):
+    """Keyword search: top-k documents by summed query-term frequency —
+    the integer-exact core of an inverted-index retrieval stage (BM25
+    minus the float idf/length normalization, which would break bitwise
+    oracle parity).
+
+    Scale: the query-term set is a constant broadcast; each batch counts
+    matches with one Arrow ``is_in`` over the flat token array + one
+    ``bincount`` (no per-doc Python), keeps its own top-k partial, and
+    only n_blocks x k candidate rows reach the final sort+limit."""
+    import pyarrow.compute as pc
+
+    from .dedup import _flat_tokens
+
+    term_set = pa.array(list(terms), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(col).to_pandas()
+        flat, lens = _flat_tokens(t)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        hit = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+        score = np.bincount(doc_idx[hit], minlength=len(t)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy()
+        pos = np.flatnonzero(score > 0)
+        score, ids = score[pos], ids[pos]
+        n = len(ids)
+        if n > k:
+            thresh = np.partition(score, n - k)[n - k]
+            cand = np.flatnonzero(score >= thresh)
+            keep = cand[np.lexsort((ids[cand], -score[cand]))][:k]
+        else:
+            keep = np.lexsort((ids, -score))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 # RE2 syntax shared verbatim with the DuckDB oracle (both engines compile
 # these with RE2, so match semantics are identical by construction)
 EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
