@@ -120,3 +120,30 @@ def test_running_total_segments_and_negatives(ray_session):
     assert out[1] == 1000 and out[2] == 1025 and out[3] == 775
     assert out[4] == 700 and out[5] == 800
     assert out[6] == 200 and out[7] == 300
+
+def test_event_seq_ordering_and_pivot_missing_types(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.events import event_seq, pivot_counts
+
+    t = pa.table(
+        {
+            "event_id": [2, 1, 3, 4],
+            "user_id": [1, 1, 1, 65],
+            "ts": pa.array(pd.to_datetime([20, 10, 10, 5], unit="us"),
+                           pa.timestamp("us")),
+            "event_type": ["click", "view", "purchase", "signup"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    seq = event_seq(ds).to_pandas().set_index("user_id")
+    # user 1: ts=10 ties -> event_id order (1 view, 3 purchase), then click
+    assert seq.loc[1, "seq"] == "vpc" and seq.loc[1, "n_events"] == 3
+    assert seq.loc[65, "seq"] == "s"
+    # pivot: types absent from the batch still come out as zero columns
+    piv = pivot_counts(ds).to_pandas().set_index("user_id")
+    assert piv.loc[1, "n_click"] == 1 and piv.loc[1, "n_error"] == 0
+    assert set(piv.columns) == {"n_click", "n_error", "n_purchase",
+                                "n_signup", "n_view"}
