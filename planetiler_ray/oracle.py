@@ -1651,6 +1651,24 @@ ORDER BY event_id
 """
 
 
+def sql_left_join_audit(price_threshold: float = 250_000.0) -> str:
+    """Mirror of ``q_left_join_audit``: LEFT JOIN null-fill census."""
+    return f"""
+WITH hv AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS otp_cents
+    FROM orders WHERE o_totalprice >= {price_threshold!r}
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(hv.otp_cents) AS BIGINT) AS n_matched,
+       CAST(sum(COALESCE(hv.otp_cents, 0)) AS BIGINT) AS matched_cents
+FROM lineitem l LEFT JOIN hv ON l.l_orderkey = hv.o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def sql_event_seq() -> str:
     """Mirror of ``events.event_seq``: ordered string_agg of event-type
     initials per user."""

@@ -4,6 +4,7 @@ windows — each returns a Dataset from ``sf_dir`` (driver contract)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -950,6 +951,63 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(k)
         .select_columns(["l_orderkey", "odate_us", "revenue"])
+    )
+
+
+def q_left_join_audit(sf_dir: str, price_threshold: float = 250_000.0):
+    """LEFT OUTER join audit — the null-fill half of the relational join
+    surface: every lineitem against the high-value orders subset, then a
+    per-returnflag match/miss census (row count, matched count, matched
+    order-value cents).
+
+    Scale: both join inputs are pre-projected to (key, one int) rows; the
+    outer join is Ray Data's native hash-partitioned exchange; the audit
+    aggregate is per-batch partials -> 3-row groupby-sum, so nothing wide
+    ever materializes."""
+    from ray.data.aggregate import Sum
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy()
+        keep = tp >= price_threshold
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "otp_cents": pa.array(
+                    np.round(tp[keep] * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    joined = line.join(orders, join_type="left_outer", num_partitions=16,
+                       on=("l_orderkey",))
+
+    def audit_partial(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_pandas()
+        otp = batch.column("otp_cents").to_pandas()
+        part = pd.DataFrame(
+            {
+                "l_returnflag": rf,
+                "n_part": 1,
+                "n_matched_part": otp.notna().astype(np.int64),
+                "cents_part": otp.fillna(0).astype(np.int64),
+            }
+        ).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return (
+        joined.map_batches(audit_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_part", alias_name="n_rows"),
+            Sum("n_matched_part", alias_name="n_matched"),
+            Sum("cents_part", alias_name="matched_cents"),
+        )
     )
 
 
