@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": training.q_hll_users,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
+        "triangles": training.q_triangles,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": oracle.sql_hll_users(),
         "weighted_sample": oracle.sql_weighted_sample(),
         "pagerank": oracle.sql_pagerank(),
+        "triangles": oracle.sql_triangles(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -1669,6 +1669,28 @@ ORDER BY 1
 """
 
 
+def sql_triangles() -> str:
+    """Mirror of ``q_triangles``: min-ID-apex enumeration — the count is
+    enumeration-order independent, so it matches the engine's min-RANK
+    apex exactly."""
+    return """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * doc_id + t.a) % n.nn AS dst
+    FROM documents CROSS JOIN (VALUES (7), (13), (29)) t(a) CROSS JOIN n
+),
+e AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM e0 WHERE src <> dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
+"""
+
+
 def sql_event_seq() -> str:
     """Mirror of ``events.event_seq``: ordered string_agg of event-type
     initials per user."""

@@ -370,6 +370,27 @@ def q_pagerank(sf_dir: str, iters: int = 5):
     return ray.data.from_pandas(graph.pagerank_int(e, n_nodes=n, iters=iters))
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count over the same deterministic link graph as
+    ``pagerank`` (doc d -> (d*d + a) % N, a in (7, 13, 29)), via the
+    degree-ordered node-iterator (``graph.triangle_count``)."""
+    from ..stages import graph
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return graph.triangle_count(e, n_nodes=n)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic importance sampling: keep probability proportional to
     doc length (weight_bp = min(n_chars*20, 9999)) via the SQL-mirrorable

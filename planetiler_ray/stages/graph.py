@@ -74,3 +74,143 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
         ranks = new
     return pd.DataFrame({"node_id": np.arange(n_nodes, dtype=np.int64),
                          "rank": ranks})
+
+
+def triangle_count(edges_ds, n_nodes: int, n_buckets: int = 64,
+                   src_col: str = "src", dst_col: str = "dst") -> pd.DataFrame:
+    """Exact triangle count via the degree-ordered node-iterator (the
+    standard scalable formulation: orient every undirected edge from the
+    lower-(degree, id) endpoint, emit wedges only at each triangle's
+    unique apex, then close wedges against the edge set).
+
+    Scale shape: degree ordering bounds per-node out-degree at O(sqrt(E)),
+    so total wedges are O(E^1.5) worst-case and near-linear on power-law
+    web graphs; the degree vector is O(V) driver state broadcast once
+    (same contract as :func:`pagerank_int`); wedge emission is a
+    vectorized self-merge inside src-hash buckets; closure is Ray Data's
+    native hash join — wedges stream through it, never materializing on
+    the driver.  Count is enumeration-order independent, so the DuckDB
+    twin can enumerate at the min-ID apex instead and still agree."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy()
+        d = batch.column(dst_col).to_numpy()
+        keep = s != d
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[keep], d[keep]), pa.int64()),
+                "b": pa.array(np.maximum(s[keep], d[keep]), pa.int64()),
+            }
+        )
+
+    e = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["a", "b"])
+    )
+    n_edges = e.count()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch.column("a").to_numpy(), batch.column("b").to_numpy()]
+        )
+        cnt = np.bincount(nodes, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"node": pa.array(nz, pa.int64()),
+             "d_part": pa.array(cnt[nz], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    deg_df = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d_part", alias_name="deg"))
+        .to_pandas()  # O(V) driver state, pagerank_int contract
+    )
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[deg_df["node"].to_numpy()] = deg_df["deg"].to_numpy()
+    # rank[node] = position in (degree, id) order; each triangle's unique
+    # apex is its min-rank vertex
+    rank = np.empty(n_nodes, dtype=np.int64)
+    rank[np.lexsort((np.arange(n_nodes), deg))] = np.arange(n_nodes)
+    rank_ref = ray.put(rank)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref) if isinstance(rank_ref, ray.ObjectRef) else rank_ref
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        a_low = r[a] < r[b]
+        src = np.where(a_low, a, b)
+        dst = np.where(a_low, b, a)
+        return pa.table(
+            {
+                "wsrc": pa.array(src, pa.int64()),
+                "wdst": pa.array(dst, pa.int64()),
+                "wbucket": pa.array(src % n_buckets, pa.int64()),
+            }
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["wbucket"]).to_pandas()
+        m = df.merge(df, on="wsrc")  # vectorized per-apex neighbor pairing
+        m = m[m["wdst_x"] < m["wdst_y"]]
+        n = len(m)
+        return pa.table(
+            {
+                "a": pa.array(m["wdst_x"].to_numpy(), pa.int64()),
+                "b": pa.array(m["wdst_y"].to_numpy(), pa.int64()),
+                "w": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+                "is_e": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    w = (
+        e.map_batches(orient, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "w": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "is_e": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    # closure via union + ONE (a, b) groupby (not a binary hash join: the
+    # same exchange cost, and it degrades gracefully when many hash
+    # partitions are empty) — a wedge is a triangle iff its (a, b) group
+    # also contains the edge row; distinct apexes can close on the same
+    # pair, hence Sum(w) not a flag
+    from ray.data.aggregate import Max
+
+    closed = (
+        w.union(e.map_batches(tag_edge, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="nw"), Max("is_e", alias_name="ne"))
+    )
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        nw = batch.column("nw").to_numpy()
+        ne = batch.column("ne").to_numpy()
+        return pa.table(
+            {"tri_part": pa.array([int((nw * (ne > 0)).sum())], pa.int64())}
+        )
+
+    n_tri = int(
+        closed.map_batches(tri_partial, batch_format="pyarrow").sum("tri_part")
+        or 0
+    )
+    return pd.DataFrame(
+        {"n_triangles": np.array([n_tri], dtype=np.int64),
+         "n_edges": np.array([n_edges], dtype=np.int64)}
+    )

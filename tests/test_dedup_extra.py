@@ -254,3 +254,19 @@ def test_ivf_exact_full_probe_equals_brute(ray_session):
         expect = ids[keep][order]
         got = out[out.query_id == qid].sort_values("rank")["neighbor_id"]
         assert got.tolist() == expect.tolist()
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray.data
+
+    from planetiler_ray.stages.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles) + square 4-5-6-7 with diagonal 4-6
+    # (2 triangles) + dangling edge 7-8 (0); duplicate/reversed edges and
+    # a self-loop must be canonicalized away
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (4, 5), (5, 6), (6, 7), (7, 4), (4, 6), (6, 4), (5, 4),
+             (7, 8), (8, 8)]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    out = triangle_count(ds, n_nodes=9)
+    assert out["n_triangles"].iloc[0] == 6
+    assert out["n_edges"].iloc[0] == 12
