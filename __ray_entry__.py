@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
         "rank_in_type": training.q_rank_in_type,
+        "hourly_active": training.q_hourly_active,
+        "latest_per_user": training.q_latest_per_user,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
         # plain wide aggregate / relational ops
@@ -323,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),
         "rank_in_type": oracle.sql_rank_in_type(),
+        "hourly_active": oracle.sql_hourly_active(),
+        "latest_per_user": oracle.sql_latest_per_user(),
         "asof_join": oracle.sql_asof(),
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),

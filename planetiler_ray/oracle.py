@@ -1638,6 +1638,26 @@ LIMIT {k}
 """
 
 
+def sql_hourly_active(window_us: int = 3600 * 1_000_000) -> str:
+    """Mirror of ``events.hourly_active``."""
+    return f"""
+SELECT epoch_us(ts) // {window_us} AS window_id,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_latest_per_user() -> str:
+    """Mirror of ``events.latest_per_user`` (argmax ties on event_id)."""
+    return """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def sql_rank_in_type() -> str:
     """Mirror of ``events.rank_in_group``: RANK over cents within type."""
     return """

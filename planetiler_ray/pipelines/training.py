@@ -835,6 +835,18 @@ def q_pivot_counts(sf_dir: str):
     return events.pivot_counts(events_ds(sf_dir, ["user_id", "event_type"]))
 
 
+def q_hourly_active(sf_dir: str):
+    """Exact distinct-users-per-hour (the hll_users exact companion)."""
+    return events.hourly_active(events_ds(sf_dir, ["user_id", "ts"]))
+
+
+def q_latest_per_user(sf_dir: str):
+    """Upsert/log-compaction: latest event per user via two-level argmax."""
+    return events.latest_per_user(
+        events_ds(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    )
+
+
 def q_rank_in_type(sf_dir: str):
     """Exact per-partition RANK() via broadcast CDF — no sort shuffle."""
     return events.rank_in_group(

@@ -205,6 +205,65 @@ def pivot_counts(ds, types=EVENT_TYPES):
     ).aggregate(*aggs)
 
 
+def hourly_active(ds, window_us: int = WINDOW_US):
+    """Distinct active users per time window (the exact companion of the
+    ``hll_users`` sketch): per-batch (window, user) dedup partials, one
+    pair-level groupby to finish the distinct, then a tiny per-window
+    count — the shuffle moves at most one row per (window, user, batch),
+    never raw events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = batch.column("ts").cast(pa.int64()).to_numpy() // window_us
+        t = pa.table(
+            {"window_id": pa.array(win, pa.int64()),
+             "user_id": batch.column("user_id")}
+        )
+        return t.group_by(["window_id", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_id", "user_id"])
+        .count()
+        .groupby("window_id")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["window_id", "n_users"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def latest_per_user(ds, n_buckets: int = 64):
+    """Latest event per user (argmax by (ts, event_id)) — the upsert /
+    CDC log-compaction primitive.  Per-batch partial argmax reduces each
+    batch to <= one row per user BEFORE the exchange; the user-hash
+    bucket then repeats the same reduction over partials."""
+
+    def reduce_tbl(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts_us").to_numpy() if "ts_us" in g.column_names else (
+            g.column("ts").cast(pa.int64()).to_numpy()
+        )
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        last = np.append(u[1:] != u[:-1], True)  # segment maxima
+        keep = order[last]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "ts_us": pa.array(ts[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "event_type": g.column("event_type").take(pa.array(keep)),
+            }
+        )
+
+    partials = ds.map_batches(reduce_tbl, batch_format="pyarrow")
+    return _bucketed_by_user(partials, n_buckets).map_groups(
+        lambda g: reduce_tbl(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
 def rank_in_group(ds, group_col: str = "event_type"):
     """Exact ``RANK() OVER (PARTITION BY group ORDER BY cents)`` for every
     row — WITHOUT a global sort shuffle.
