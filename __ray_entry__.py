@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": webgeo.q_url_parse,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
+        "mutual_nn": training.q_mutual_nn,
         "domain_stats": webgeo.q_domain_stats,
         "domain_cap": webgeo.q_domain_cap,
         # dedup suite
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parse": oracle.sql_url_parse(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
+        "mutual_nn": oracle.sql_mutual_nn(),
         "domain_stats": oracle.sql_domain_stats(),
         "domain_cap": oracle.sql_domain_cap(),
         "exact_dedup": oracle.sql_exact_dedup(),

@@ -1740,6 +1740,55 @@ ORDER BY user_id
 """
 
 
+def sql_mutual_nn(k_cent: int = 8, dim: int = 64, scale: int = 1 << 14) -> str:
+    """Mirror of ``ann.mutual_nn``: same quantization/assignment as
+    :func:`sql_cluster_assign`, in-cell all-pairs integer distances,
+    per-vector NN with ties on the smaller neighbour id, then pairs seen
+    from BOTH directions."""
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k_cent}),
+vdist AS (
+    SELECT q.vec_id, c.cid,
+           CAST(SUM((q.qv[r.i] - c.cv[r.i]) * (q.qv[r.i] - c.cv[r.i])) AS BIGINT) AS dist2
+    FROM q CROSS JOIN cent c CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+vc AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM vdist
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT x.vec_id AS v, y.vec_id AS u,
+           CAST(SUM((qx.qv[r.i] - qy.qv[r.i]) * (qx.qv[r.i] - qy.qv[r.i])) AS BIGINT) AS dist2
+    FROM vc x JOIN vc y ON y.cell = x.cell AND y.vec_id <> x.vec_id
+    JOIN q qx ON qx.vec_id = x.vec_id
+    JOIN q qy ON qy.vec_id = y.vec_id
+    CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+nn AS (
+    SELECT v, u, dist2 FROM (
+        SELECT v, u, dist2,
+               row_number() OVER (PARTITION BY v ORDER BY dist2, u) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+)
+SELECT least(v, u) AS a, greatest(v, u) AS b,
+       CAST(min(dist2) AS BIGINT) AS dist2
+FROM nn GROUP BY 1, 2 HAVING count(*) = 2
+ORDER BY a, b
+"""
+
+
 def sql_ivf_exact(k_cent: int = 8, nq: int = 4, k: int = 5, n_probe: int = 2,
                   dim: int = 64, scale: int = 1 << 14) -> str:
     """Mirror of ``ann.ivf_exact_topk``: the ENTIRE inverted-file search in

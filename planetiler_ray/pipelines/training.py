@@ -1198,6 +1198,24 @@ def q_cluster_assign(sf_dir: str, k: int = 8):
     return ann.kmeans_assign(embs, cq)
 
 
+def q_mutual_nn(sf_dir: str, k_cent: int = 8):
+    """Reciprocal nearest neighbours inside integer k-means cells
+    (``ann.mutual_nn``) — exact SQL twin re-derives assignment, in-cell
+    NN (ties -> smaller id) and the both-directions check."""
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k_cent)],
+    ).sort_by("vec_id")
+    cq = ann.quantize_embedding(
+        np.stack(cent_tbl.column("embedding").to_numpy(zero_copy_only=False))
+    )
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann.mutual_nn(embs, cq)
+
+
 def q_ivf_exact(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
                 n_probe: int = 2):
     """Inverted-file ANN with a bitwise SQL twin: centroids are the

@@ -471,6 +471,95 @@ def kmeans_assign(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mutual_nn(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
+              col: str = "embedding", n_buckets: int = 32):
+    """Reciprocal nearest neighbours within integer k-means cells — the
+    matching/dedup primitive (image-dedup RNN, bitext mining): pairs
+    (a < b) where each is the other's nearest neighbour inside its
+    assigned cell.  Everything fixed-point integer, so the answer is
+    deterministic and the DuckDB twin (:func:`oracle.sql_mutual_nn`)
+    agrees bitwise.
+
+    Scale: assignment is the zero-shuffle :func:`kmeans_assign` kernel;
+    the ONE exchange groups by cell (grow ``len(centroids_q)`` with the
+    corpus — N/512-style, as ``embedding_neardup`` does — so cells stay
+    O(1)); the in-cell NN is a row-chunked integer GEMM (bounded memory at
+    any cell size); the mutual check is a tiny (a, b) groupby keeping
+    pairs seen from BOTH directions."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    cq = np.asarray(centroids_q, dtype=np.int64)
+
+    def assign_keep(batch: pa.Table) -> pa.Table:
+        m = quantize_embedding(
+            np.stack(batch.column(col).to_numpy(zero_copy_only=False))
+        )
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2 * (m @ cq.T)
+            + (cq * cq).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                col: batch.column(col),
+                "cell": pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def nn_in_cell(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        order = np.argsort(ids)  # id-ascending => argmin tie = smaller id
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "dist2": pa.array([], pa.int64())}
+            )
+        q = quantize_embedding(
+            np.stack(g.column(col).to_numpy(zero_copy_only=False))
+        )[order]
+        sq = (q * q).sum(axis=1)
+        nn_id = np.empty(n, dtype=np.int64)
+        nn_d = np.empty(n, dtype=np.int64)
+        step = max(1, 8_000_000 // n)  # row-chunked GEMM, bounded memory
+        big = np.iinfo(np.int64).max
+        for i0 in range(0, n, step):
+            i1 = min(n, i0 + step)
+            d2 = sq[i0:i1, None] - 2 * (q[i0:i1] @ q.T) + sq[None, :]
+            d2[np.arange(i1 - i0), np.arange(i0, i1)] = big  # no self
+            j = d2.argmin(axis=1)
+            nn_id[i0:i1] = ids[j]
+            nn_d[i0:i1] = d2[np.arange(i1 - i0), j]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(ids, nn_id), pa.int64()),
+                "b": pa.array(np.maximum(ids, nn_id), pa.int64()),
+                "dist2": pa.array(nn_d, pa.int64()),
+            }
+        )
+
+    nn = (
+        ds.map_batches(assign_keep, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: nn_in_cell(g.drop_columns(["cell"])),
+                    batch_format="pyarrow")
+    )
+    mutual = nn.groupby(["a", "b"]).aggregate(
+        Count(alias_name="n_dir"), Min("dist2", alias_name="dist2")
+    )
+
+    def keep_mutual(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch.column("n_dir"), 2))
+        return m.select(["a", "b", "dist2"])
+
+    return mutual.map_batches(keep_mutual, batch_format="pyarrow")
+
+
 def ivf_exact_topk(ds, centroids_q: np.ndarray, query_ids, queries_q: np.ndarray,
                    k: int = 5, n_probe: int = 2, id_col: str = "vec_id",
                    col: str = "embedding"):
