@@ -270,3 +270,39 @@ def test_triangle_count_known_graphs(ray_session):
     out = triangle_count(ds, n_nodes=9)
     assert out["n_triangles"].iloc[0] == 6
     assert out["n_edges"].iloc[0] == 12
+
+def test_mutual_nn_matches_numpy_reference(ray_session):
+    import numpy as np
+    import ray
+
+    from planetiler_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    embs = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    df = embs.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = ann.quantize_embedding(np.stack(df["embedding"].to_numpy()))
+    ids = df["vec_id"].to_numpy()
+    k_cent = 4
+    cq = mat[:k_cent]
+    out = ann.mutual_nn(embs, cq).to_pandas().sort_values(["a", "b"])
+    # numpy reference: same assignment, per-cell NN, both-directions check
+    d2c = ((mat[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+    cell = d2c.argmin(axis=1)
+    nn = {}
+    for c in range(k_cent):
+        m = np.flatnonzero(cell == c)
+        if len(m) < 2:
+            continue
+        sub = mat[m]
+        d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, np.iinfo(np.int64).max)
+        j = d2.argmin(axis=1)  # ids[m] ascending -> ties to smaller id
+        for i in range(len(m)):
+            nn[ids[m[i]]] = (ids[m[j[i]]], d2[i, j[i]])
+    expect = sorted(
+        (min(v, u), max(v, u), d) for v, (u, d) in nn.items()
+        if nn.get(u, (None,))[0] == v and v < u
+    )
+    got = list(zip(out["a"], out["b"], out["dist2"]))
+    assert got == expect and len(expect) > 0
