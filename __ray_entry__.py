@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
         "mutual_nn": training.q_mutual_nn,
+        "doc_vector_join": training.q_doc_vector_join,
         "domain_stats": webgeo.q_domain_stats,
         "domain_cap": webgeo.q_domain_cap,
         # dedup suite
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "mutual_nn": oracle.sql_mutual_nn(),
+        "doc_vector_join": oracle.sql_doc_vector_join(),
         "domain_stats": oracle.sql_domain_stats(),
         "domain_cap": oracle.sql_domain_cap(),
         "exact_dedup": oracle.sql_exact_dedup(),

@@ -1740,6 +1740,28 @@ ORDER BY user_id
 """
 
 
+def sql_doc_vector_join(dim: int = 64, scale: int = 1 << 14) -> str:
+    """Mirror of ``q_doc_vector_join``: same fixed-point quantization,
+    integer norm via per-dimension expansion."""
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id AS doc_id,
+           CAST(SUM(qv[r.i] * qv[r.i]) AS BIGINT) AS norm2
+    FROM q CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars, n.norm2
+FROM documents d JOIN n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def sql_mutual_nn(k_cent: int = 8, dim: int = 64, scale: int = 1 << 14) -> str:
     """Mirror of ``ann.mutual_nn``: same quantization/assignment as
     :func:`sql_cluster_assign`, in-cell all-pairs integer distances,

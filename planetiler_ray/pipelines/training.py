@@ -1198,6 +1198,36 @@ def q_cluster_assign(sf_dir: str, k: int = 8):
     return ann.kmeans_assign(embs, cq)
 
 
+def q_doc_vector_join(sf_dir: str):
+    """Text x vector fusion (the corpus<->embedding-store join every
+    embedding-filtered curation pipeline needs): documents metadata inner-
+    joined to per-vector fixed-point norms.
+
+    Scale: the embedding side reduces to (id, int64 norm2) INSIDE
+    map_batches (one vectorized square-sum per batch — raw vectors never
+    cross the exchange); the join is Ray Data's hash-partitioned native
+    join on pre-projected narrow rows; norm2 is exact fixed-point so the
+    SQL twin agrees bitwise."""
+
+    def norms(batch: pa.Table) -> pa.Table:
+        q = ann.quantize_embedding(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("vec_id"),
+                "norm2": pa.array((q * q).sum(axis=1), pa.int64()),
+            }
+        )
+
+    vecs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(norms, batch_format="pyarrow")
+    docs = docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
+    return docs.join(vecs, join_type="inner", num_partitions=16,
+                     on=("doc_id",))
+
+
 def q_mutual_nn(sf_dir: str, k_cent: int = 8):
     """Reciprocal nearest neighbours inside integer k-means cells
     (``ann.mutual_nn``) — exact SQL twin re-derives assignment, in-cell
