@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
         "rank_in_type": training.q_rank_in_type,
+        "pctl_by_type": training.q_pctl_by_type,
         "hourly_active": training.q_hourly_active,
         "latest_per_user": training.q_latest_per_user,
         "asof_join": training.q_asof,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),
         "rank_in_type": oracle.sql_rank_in_type(),
+        "pctl_by_type": oracle.sql_pctl_by_type(),
         "hourly_active": oracle.sql_hourly_active(),
         "latest_per_user": oracle.sql_latest_per_user(),
         "asof_join": oracle.sql_asof(),

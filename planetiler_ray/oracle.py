@@ -1638,6 +1638,22 @@ LIMIT {k}
 """
 
 
+def sql_pctl_by_type() -> str:
+    """Mirror of ``q_pctl_by_type``: floor((rank-1)*100 / group size)."""
+    return """
+SELECT event_id, event_type,
+       CAST((rnk - 1) * 100 // cnt AS BIGINT) AS pctl
+FROM (
+    SELECT event_id, event_type,
+           rank() OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value * 100) AS BIGINT)) AS rnk,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM events
+)
+ORDER BY event_id
+"""
+
+
 def sql_hourly_active(window_us: int = 3600 * 1_000_000) -> str:
     """Mirror of ``events.hourly_active``."""
     return f"""

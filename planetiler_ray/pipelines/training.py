@@ -835,6 +835,14 @@ def q_pivot_counts(sf_dir: str):
     return events.pivot_counts(events_ds(sf_dir, ["user_id", "event_type"]))
 
 
+def q_pctl_by_type(sf_dir: str):
+    """Integer percentile-bucket normalization (0..99 within event_type) —
+    the feature-scaling companion of rank_in_type, same broadcast CDF."""
+    return events.rank_in_group(
+        events_ds(sf_dir, ["event_id", "event_type", "value"]), with_pctl=True
+    ).select_columns(["event_id", "event_type", "pctl"])
+
+
 def q_hourly_active(sf_dir: str):
     """Exact distinct-users-per-hour (the hll_users exact companion)."""
     return events.hourly_active(events_ds(sf_dir, ["user_id", "ts"]))

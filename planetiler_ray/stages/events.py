@@ -264,7 +264,7 @@ def latest_per_user(ds, n_buckets: int = 64):
     )
 
 
-def rank_in_group(ds, group_col: str = "event_type"):
+def rank_in_group(ds, group_col: str = "event_type", with_pctl: bool = False):
     """Exact ``RANK() OVER (PARTITION BY group ORDER BY cents)`` for every
     row — WITHOUT a global sort shuffle.
 
@@ -307,7 +307,7 @@ def rank_in_group(ds, group_col: str = "event_type"):
         vals = sub["cents"].to_numpy()
         cnts = sub["n"].to_numpy()
         below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        cdf[gname] = (vals, below)
+        cdf[gname] = (vals, below, int(cnts.sum()))
 
     import ray as _ray
 
@@ -320,18 +320,22 @@ def rank_in_group(ds, group_col: str = "event_type"):
             batch.column("value").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         rnk = np.empty(len(g), dtype=np.int64)
+        tot = np.empty(len(g), dtype=np.int64)
         for gname in np.unique(g):
             m = g == gname
-            vals, below = table[gname]
+            vals, below, n_grp = table[gname]
             rnk[m] = below[np.searchsorted(vals, cents[m], side="left")] + 1
-        return pa.table(
-            {
-                "event_id": batch.column("event_id"),
-                group_col: batch.column(group_col),
-                "cents": pa.array(cents, pa.int64()),
-                "rnk": pa.array(rnk, pa.int64()),
-            }
-        )
+            tot[m] = n_grp
+        out = {
+            "event_id": batch.column("event_id"),
+            group_col: batch.column(group_col),
+            "cents": pa.array(cents, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+        }
+        if with_pctl:
+            # integer percentile bucket 0..99 (feature-normalization form)
+            out["pctl"] = pa.array((rnk - 1) * 100 // tot, pa.int64())
+        return pa.table(out)
 
     return ds.map_batches(lookup, batch_format="pyarrow")
 
