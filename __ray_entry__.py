@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": training.q_pack_sequences,
         "vocab_topk": training.q_vocab_topk,
         "keyword_topk": training.q_keyword_topk,
+        "bpe_pairs": training.q_bpe_pairs,
         "dup_spans": training.q_dup_spans,
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracle.sql_pack_sequences(),
         "vocab_topk": oracle.sql_vocab_topk(),
         "keyword_topk": oracle.sql_keyword_topk(),
+        "bpe_pairs": oracle.sql_bpe_pairs(),
         "dup_spans": oracle.sql_dup_spans(),
         "quantiles_by_lang": oracle.sql_quantiles_by_lang(),
         "hll_users": oracle.sql_hll_users(),

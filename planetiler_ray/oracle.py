@@ -1143,6 +1143,22 @@ SELECT token, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, token LIMIT {k}
 """
 
 
+def sql_bpe_pairs(k: int = 20) -> str:
+    """Mirror of ``text.bpe_pair_counts`` (ASCII: byte == char; 2-char
+    substring ordering == pair-code ordering).  Constant series bound +
+    ON filter, same pattern as ``sql_dup_spans``."""
+    return f"""
+WITH pos AS (
+    SELECT substr(text, CAST(p AS INTEGER), 2) AS pair
+    FROM documents
+    JOIN generate_series(1, 65536) t(p)
+      ON p <= CAST(length(text) AS INTEGER) - 1
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pos GROUP BY pair ORDER BY n DESC, pair LIMIT {k}
+"""
+
+
 def sql_keyword_topk(terms=("spark", "join", "vector"), k: int = 10) -> str:
     """Mirror of ``text.keyword_topk`` (same token grammar as
     ``sql_vocab_topk``; ties (score DESC, doc_id ASC))."""

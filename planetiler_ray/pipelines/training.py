@@ -476,6 +476,11 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     return text.vocab_topk(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
 
 
+def q_bpe_pairs(sf_dir: str, k: int = 20):
+    """BPE merge-round pair counting (bounded-domain histogram shuffle)."""
+    return text.bpe_pair_counts(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
+
+
 def q_keyword_topk(sf_dir: str, k: int = 10):
     """Inverted-search scoring: top-k docs by summed query-term tf."""
     return text.keyword_topk(docs_ds(sf_dir, ["doc_id", "text"]), k=k)
