@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": training.q_lineitem_agg,
         "tpch_q3": training.q_tpch_q3,
         "left_join_audit": training.q_left_join_audit,
+        "anti_join": training.q_anti_join,
         "distinct_langs": training.q_distinct_langs,
         "semi_join": training.q_semi_join,
         "hash_sample": training.q_hash_sample,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": oracle.sql_lineitem_agg(),
         "tpch_q3": oracle.sql_tpch_q3(),
         "left_join_audit": oracle.sql_left_join_audit(),
+        "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),
         "semi_join": oracle.sql_semi_join(),
         "hash_sample": oracle.sql_hash_sample(),

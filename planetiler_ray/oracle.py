@@ -1626,6 +1626,19 @@ ORDER BY event_id
 """
 
 
+def sql_anti_join(cutoff_us: int = 804_556_800_000_000) -> str:
+    """Mirror of ``q_anti_join``: per-nation count of customers with no
+    order before the cutoff."""
+    return f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_inactive
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE epoch_us(o_orderdate) < {cutoff_us}
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_tpch_q3(segment: str = "BUILDING",
                 cutoff_us: int = 883_612_800_000_000, k: int = 10) -> str:
     """Mirror of ``q_tpch_q3``: integer revenue (price_cents x

@@ -1057,6 +1057,67 @@ def q_left_join_audit(sf_dir: str, price_threshold: float = 250_000.0):
     )
 
 
+def q_anti_join(sf_dir: str, cutoff_us: int = 804_556_800_000_000):
+    """Distributed ANTI join (customers with no order before 1995-07-01),
+    per-nation census — completes the join family
+    (inner/left/semi/anti/range/asof).
+
+    Scale: the order side collapses to DISTINCT custkeys inside
+    map_batches partials + one groupby BEFORE the join (the exchange
+    moves keys, not orders); anti = native left_outer + null filter —
+    no driver-side key set, both sides stream."""
+    from ray.data.aggregate import Sum
+
+    def okeys_partial(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = odate < cutoff_us
+        t = pa.table({"c_custkey": batch.column("o_custkey").filter(pa.array(keep))})
+        t = t.group_by(["c_custkey"]).aggregate([])
+        return t.append_column(
+            "has_order",
+            pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+        )
+
+    okeys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(okeys_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t.column("c_custkey"),
+                    "has_order": pa.array(
+                        np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = cust.join(okeys, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",))
+
+    def census(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        miss = batch.filter(pc.is_null(batch.column("has_order")))
+        t = pa.table({"c_nationkey": miss.column("c_nationkey")})
+        g = t.group_by(["c_nationkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c_nationkey", "n_part"])
+
+    return (
+        joined.map_batches(census, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_part", alias_name="n_inactive"))
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """Plain wide groupby-aggregate (TPC-H Q1-shaped) with batch combiners."""
     import pandas as pd
