@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": training.q_pivot_counts,
         "rank_in_type": training.q_rank_in_type,
         "pctl_by_type": training.q_pctl_by_type,
+        "interval_join": training.q_interval_join,
         "hourly_active": training.q_hourly_active,
         "latest_per_user": training.q_latest_per_user,
         "asof_join": training.q_asof,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts": oracle.sql_pivot_counts(),
         "rank_in_type": oracle.sql_rank_in_type(),
         "pctl_by_type": oracle.sql_pctl_by_type(),
+        "interval_join": oracle.sql_interval_join(),
         "hourly_active": oracle.sql_hourly_active(),
         "latest_per_user": oracle.sql_latest_per_user(),
         "asof_join": oracle.sql_asof(),

@@ -1667,6 +1667,21 @@ LIMIT {k}
 """
 
 
+def sql_interval_join(window_us: int = 3600 * 1_000_000) -> str:
+    """Mirror of ``events.interval_join_views``."""
+    return f"""
+SELECT p.event_id,
+       CAST(count(v.event_id) AS BIGINT) AS n_prior_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - {window_us}
+ AND epoch_us(v.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_pctl_by_type() -> str:
     """Mirror of ``q_pctl_by_type``: floor((rank-1)*100 / group size)."""
     return """

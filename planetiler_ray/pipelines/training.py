@@ -840,6 +840,13 @@ def q_pivot_counts(sf_dir: str):
     return events.pivot_counts(events_ds(sf_dir, ["user_id", "event_type"]))
 
 
+def q_interval_join(sf_dir: str):
+    """Event-time band join: prior-hour view count per purchase."""
+    return events.interval_join_views(
+        events_ds(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
 def q_pctl_by_type(sf_dir: str):
     """Integer percentile-bucket normalization (0..99 within event_type) —
     the feature-scaling companion of rank_in_type, same broadcast CDF."""

@@ -264,6 +264,46 @@ def latest_per_user(ds, n_buckets: int = 64):
     )
 
 
+T0_US = 788_918_400_000_000  # 1995-01-01, below every event ts
+
+
+def interval_join_views(ds, window_us: int = WINDOW_US, n_buckets: int = 64):
+    """Event-time interval join (the Flink/KSQL band-join primitive): for
+    each purchase, the number of 'view' events by the same user in
+    [t - window, t).
+
+    Vectorized inside user-hash buckets with ONE composite-key
+    searchsorted pair per bucket: views sort once by key = local_uid *
+    2^48 + (ts - T0) (ts-offset < 2^48, dense local uids — no per-user
+    or per-purchase Python); count = hi - lo.  The window lower bound
+    can't underflow into the previous user's band because window_us <<
+    2^48 - max offset."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_pandas().to_numpy()
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy() - T0_US
+        eid = g.column("event_id").to_numpy()
+        local = np.unique(uid, return_inverse=True)[1].astype(np.int64)
+        key = (local << np.int64(48)) + ts
+        is_v = et == "view"
+        is_p = et == "purchase"
+        vkeys = np.sort(key[is_v])
+        pk = key[is_p]
+        lo = np.searchsorted(vkeys, pk - window_us, side="left")
+        hi = np.searchsorted(vkeys, pk, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_p], pa.int64()),
+                "n_prior_views": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
 def rank_in_group(ds, group_col: str = "event_type", with_pctl: bool = False):
     """Exact ``RANK() OVER (PARTITION BY group ORDER BY cents)`` for every
     row — WITHOUT a global sort shuffle.
