@@ -147,3 +147,39 @@ def test_event_seq_ordering_and_pivot_missing_types(ray_session):
     assert piv.loc[1, "n_click"] == 1 and piv.loc[1, "n_error"] == 0
     assert set(piv.columns) == {"n_click", "n_error", "n_purchase",
                                 "n_signup", "n_view"}
+
+def test_interval_join_window_boundaries(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.events import WINDOW_US, T0_US, interval_join_views
+
+    W = WINDOW_US
+    base = T0_US + 10 * W
+    rows = [
+        # purchase at base: views at exactly -W (in), -W-1 (out), -1 (in),
+        # 0 (out: half-open [t-W, t)), plus another user's view (out)
+        ("view", 1, base - W, 1),
+        ("view", 1, base - W - 1, 2),
+        ("view", 1, base - 1, 3),
+        ("view", 1, base, 4),
+        ("view", 2, base - 5, 5),
+        ("purchase", 1, base, 6),
+        ("purchase", 3, base, 7),  # user with no views at all
+    ]
+    t = pa.table(
+        {
+            "event_type": [r[0] for r in rows],
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[2] for r in rows], unit="us"),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    out = (interval_join_views(ray.data.from_arrow(t)).to_pandas()
+           .set_index("event_id")["n_prior_views"])
+    assert out[6] == 2  # -W and -1 count; -W-1 and 0 do not
+    assert out[7] == 0
