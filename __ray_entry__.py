@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_tiles": _q_route_tiles,
         # oracle-expressible core of the route path: render length gate
         "route_zoom_gate": _q_route_zoom_gate,
+        # REAL line_tiles slicing kernel, exact integer SAT oracle
+        "line_cover": _q_line_cover,
         # archive statistics (tilestats analogue)
         "zoom_summary": _q_zoom_summary,
     }
@@ -157,6 +159,16 @@ def _q_route_zoom_gate(sf_dir: str):
     return routes.route_zoom_gate_ds(sf_dir)
 
 
+def _q_line_cover(sf_dir: str):
+    """Per-zoom tile-coverage census of every assembled way through the
+    REAL stripe-slicing kernel (geo/clip.line_tiles) on a half-offset
+    snapped grid — the line-slice count, exactly mirrored in SQL by an
+    integer segment-vs-box SAT test (see routes.sql_line_cover)."""
+    from planetiler_ray.pipelines import routes
+
+    return routes.line_cover_ds(sf_dir)
+
+
 def _q_zoom_summary(sf_dir: str):
     """Archive stats (tilestats analogue) over the ASSEMBLED places layer —
     reduced to the oracle-expressible deterministic core (z, n_tiles,
@@ -171,6 +183,12 @@ def _q_zoom_summary(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
+
+
+def _sql_line_cover() -> str:
+    from planetiler_ray.pipelines import routes
+
+    return routes.sql_line_cover()
 
 
 def _sql_route_zoom_gate() -> str:
@@ -360,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
+        "line_cover": _sql_line_cover(),
         "minhash_planted": "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b FROM documents",
         "simhash_planted": (
             "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b,"

@@ -161,6 +161,195 @@ GROUP BY zs.z
 """
 
 
+LINE_COVER_SUB = 4096  # subpixels per tile axis for the snapped slicing grid
+
+
+def line_cover_ds(sf_dir: str, zooms=(2, 5, 8)) -> ray.data.Dataset:
+    """Per-zoom line→tile coverage census through the REAL slicing kernel.
+
+    Runs ``geo/clip.line_tiles`` (the ``TiledGeometry.sliceIntoTiles``
+    analogue, reference ``geometry/TiledGeometry.java:169-240``) over every
+    assembled way, with coordinates snapped to a HALF-OFFSET 4096-subpixel
+    grid first: ``q = (floor(w·4096·2^z) + 0.5) / (4096·2^z)``.
+
+    Why the snap makes this exactly oracle-expressible:
+
+    - every snapped coordinate is a dyadic rational with ≤22-bit numerator,
+      so all of ``line_tiles``'s min/max/floor/slab comparisons are EXACT in
+      float64 (no rounding anywhere a coverage decision is made);
+    - numerators are odd while tile/buffer bounds are even (buf = 4/256 tile
+      = 128 half-subpixels), so a vertex can never sit exactly on a slab
+      boundary — the only tie class where the kernel's column-range scan and
+      a closed segment∩box test could disagree;
+    - hence "tile emitted" reduces to the closed intersection of a segment
+      with the buffered tile box, which the DuckDB twin
+      (:func:`sql_line_cover`) replays in exact BIGINT arithmetic (bbox
+      overlap + corner cross-product SAT).
+
+    Scale shape: per-batch partial distinct (z, tile) counts → ONE shuffle on
+    (z, tile_x, tile_y) → tiny per-z aggregate.  The per-way loop is the
+    per-feature geometry walk every renderer does; the clip kernel inside is
+    vectorized.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..geo import mercator
+    from ..geo import wkb as wkbmod
+    from ..geo.clip import line_tiles
+
+    zooms = list(zooms)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        zs_o: list[int] = []
+        xs_o: list[int] = []
+        ys_o: list[int] = []
+        geoms = batch.column("geom_wkb")
+        for i in range(batch.num_rows):
+            _, coords = wkbmod.decode_wkb(geoms[i].as_py())
+            w = np.column_stack(
+                [
+                    mercator.lon_to_world_x(coords[:, 0]),
+                    mercator.lat_to_world_y(coords[:, 1]),
+                ]
+            )
+            for z in zooms:
+                scale = float(LINE_COVER_SUB << z)
+                q = (np.floor(w * scale) + 0.5) / scale
+                for tx, ty, _pieces in line_tiles(q, z):
+                    zs_o.append(z)
+                    xs_o.append(tx)
+                    ys_o.append(ty)
+        t = pa.table(
+            {
+                "z": pa.array(zs_o, pa.int64()),
+                "tile_x": pa.array(xs_o, pa.int64()),
+                "tile_y": pa.array(ys_o, pa.int64()),
+                "cnt": pa.array(np.ones(len(zs_o), dtype=np.int64)),
+            }
+        )
+        # partial: collapse (z, tile) duplicates inside the batch so the
+        # shuffle moves per-tile counters, not per-way coverage rows
+        return t.group_by(["z", "tile_x", "tile_y"]).aggregate([("cnt", "sum")])
+
+    per_tile = (
+        way_lines_ds(sf_dir)
+        .map_batches(cover, batch_format="pyarrow")
+        .groupby(["z", "tile_x", "tile_y"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+    )
+    return per_tile.groupby("z").aggregate(
+        Count(alias_name="n_tiles"),
+        Sum("cnt", alias_name="n_cover"),
+        Sum("tile_x", alias_name="x_sum"),
+        Sum("tile_y", alias_name="y_sum"),
+    )
+
+
+def sql_line_cover(zooms=(2, 5, 8)) -> str:
+    """DuckDB mirror of :func:`line_cover_ds` — exact integer arithmetic.
+
+    joined/coords/proj replicate :func:`sql_route_zoom_gate` (same node /
+    anchor synthesis as ``osm.way_lines_ds``).  Coordinates are then snapped
+    to half-offset subpixels (`2·floor(w·4096·2^z)+1`, units of 1/8192 tile)
+    and tile coverage is the closed segment∩box test in BIGINT: bbox overlap
+    on both axes AND the four buffered-tile corners not strictly on one side
+    of the segment line (separating-axis theorem; cross products ≤2^38, no
+    overflow).  Candidate tiles come from the per-segment buffered bbox via
+    constant-bound ``generate_series`` (+ ON filter — DuckDB rejects
+    correlated bounds); y candidates are clamped to [0, 2^z-1] exactly like
+    ``line_tiles``.  The only float the oracle consumes is proj itself
+    (`floor(wy·2^(z+12))` flips only if libm differs within ~1e-10 of a grid
+    line — negligible vs the 2^-20 step).
+    """
+    from .osm import (
+        NODE_LAT_MULT,
+        NODE_LON_MULT,
+        WAY_ANCHOR_LAT_MULT,
+        WAY_ANCHOR_LON_MULT,
+    )
+
+    zs = ", ".join(f"({z}, {float(LINE_COVER_SUB << z)!r})" for z in zooms)
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+coords AS (
+    SELECT way_id, seq, node_id,
+           ((way_id * {WAY_ANCHOR_LAT_MULT}) % 160000 - 80000
+             + ((lat_mdeg % 2000) + 2000) % 2000 - 1000) / 1000.0 AS lat,
+           ((way_id * {WAY_ANCHOR_LON_MULT}) % 350000 - 175000
+             + ((lon_mdeg % 2000) + 2000) % 2000 - 1000) / 1000.0 AS lon
+    FROM joined
+),
+proj AS (
+    SELECT way_id, seq, node_id,
+           (lon + 180.0) / 360.0 AS wx,
+           0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                           / (1.0 - sin(radians(lat)))) / pi() AS wy
+    FROM coords
+),
+pz AS (
+    SELECT p.way_id, p.seq, p.node_id, zs.z,
+           2 * CAST(floor(p.wx * zs.scale) AS BIGINT) + 1 AS ix,
+           2 * CAST(floor(p.wy * zs.scale) AS BIGINT) + 1 AS iy
+    FROM proj p, (VALUES {zs}) AS zs(z, scale)
+),
+segs AS (
+    SELECT way_id, z, ix AS ax, iy AS ay,
+           lag(ix) OVER w AS bx, lag(iy) OVER w AS by2
+    FROM pz WINDOW w AS (PARTITION BY way_id, z ORDER BY seq, node_id)
+    QUALIFY lag(ix) OVER w IS NOT NULL
+),
+rng AS (
+    SELECT s.*,
+           CAST(floor((least(ax, bx) - 128) / 8192.0) AS BIGINT) AS cx_lo,
+           CAST(floor((greatest(ax, bx) + 128) / 8192.0) AS BIGINT) AS cx_hi,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(floor((least(ay, by2) - 128) / 8192.0) AS BIGINT)) AS cy_lo,
+           least(CAST((1 << z) - 1 AS BIGINT),
+                 CAST(floor((greatest(ay, by2) + 128) / 8192.0) AS BIGINT)) AS cy_hi
+    FROM segs s
+),
+cand AS (
+    SELECT r.way_id, r.z, r.ax, r.ay, r.bx, r.by2,
+           r.cx_lo + gx.i AS cx, r.cy_lo + gy.i AS cy
+    FROM rng r
+    JOIN generate_series(0, 63) AS gx(i) ON gx.i <= r.cx_hi - r.cx_lo
+    JOIN generate_series(0, 63) AS gy(i) ON gy.i <= r.cy_hi - r.cy_lo
+),
+boxed AS (
+    SELECT way_id, z, cx, cy, ax, ay, bx, by2,
+           cx * 8192 - 128 AS A, (cx + 1) * 8192 + 128 AS B,
+           cy * 8192 - 128 AS C, (cy + 1) * 8192 + 128 AS D
+    FROM cand
+),
+hits AS (
+    SELECT DISTINCT way_id, z, cx, cy
+    FROM boxed
+    WHERE greatest(ax, bx) >= A AND least(ax, bx) <= B
+      AND greatest(ay, by2) >= C AND least(ay, by2) <= D
+      AND least((bx - ax) * (C - ay) - (by2 - ay) * (A - ax),
+                (bx - ax) * (C - ay) - (by2 - ay) * (B - ax),
+                (bx - ax) * (D - ay) - (by2 - ay) * (A - ax),
+                (bx - ax) * (D - ay) - (by2 - ay) * (B - ax)) <= 0
+      AND greatest((bx - ax) * (C - ay) - (by2 - ay) * (A - ax),
+                   (bx - ax) * (C - ay) - (by2 - ay) * (B - ax),
+                   (bx - ax) * (D - ay) - (by2 - ay) * (A - ax),
+                   (bx - ax) * (D - ay) - (by2 - ay) * (B - ax)) >= 0
+),
+tiles AS (
+    SELECT z, cx, cy, count(*) AS cnt FROM hits GROUP BY 1, 2, 3
+)
+SELECT z, count(*) AS n_tiles, CAST(sum(cnt) AS BIGINT) AS n_cover,
+       CAST(sum(cx) AS BIGINT) AS x_sum, CAST(sum(cy) AS BIGINT) AS y_sum
+FROM tiles GROUP BY z
+"""
+
+
 def route_tiles_ds(sf_dir: str, zooms=None, n_buckets: int = 256) -> ray.data.Dataset:
     from ..sinks.files import add_bucket
     from ..stages.assemble import make_bucket_assembler
