@@ -78,3 +78,61 @@ def test_merge_strokes_loop_at_junction_preserves_length():
     before = total_len([loop, a, b])
     merged = merge_strokes([loop, a, b])
     assert abs(total_len(merged) - before) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# line_cover: line_tiles kernel vs the closed segment-vs-box SAT reference
+# ---------------------------------------------------------------------------
+
+def _sat_cover(q_scaled: np.ndarray, z: int, buf: float = 4.0 / 256.0):
+    """Brute-force reference: tile covered iff some segment's CLOSED
+    intersection with the buffered tile box is non-empty (the integer SAT
+    test of routes.sql_line_cover, done here in exact dyadic float)."""
+    n = 1 << z
+    out = set()
+    for i in range(len(q_scaled) - 1):
+        (x0, y0), (x1, y1) = q_scaled[i], q_scaled[i + 1]
+        cx_lo = int(np.floor(min(x0, x1) - buf))
+        cx_hi = int(np.floor(max(x0, x1) + buf))
+        cy_lo = max(0, int(np.floor(min(y0, y1) - buf)))
+        cy_hi = min(n - 1, int(np.floor(max(y0, y1) + buf)))
+        for cx in range(cx_lo, cx_hi + 1):
+            a, b = cx - buf, cx + 1 + buf
+            for cy in range(cy_lo, cy_hi + 1):
+                c, d = cy - buf, cy + 1 + buf
+                if max(x0, x1) < a or min(x0, x1) > b:
+                    continue
+                if max(y0, y1) < c or min(y0, y1) > d:
+                    continue
+                cr = [(x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+                      for px in (a, b) for py in (c, d)]
+                if min(cr) <= 0.0 <= max(cr):
+                    out.add((cx % n, cy))
+    return out
+
+
+def test_line_cover_kernel_matches_sat_reference():
+    """On the half-offset snapped grid (odd numerators, even bounds — no
+    boundary ties) the real stripe-slicing kernel's coverage set equals the
+    closed segment-box intersection everywhere, including horizontal /
+    vertical / duplicate-point degeneracies.  This is the exactness claim
+    behind the line_cover oracle (routes.sql_line_cover)."""
+    from planetiler_ray.geo import clip
+
+    rng = np.random.default_rng(42)
+    sub = 4096
+    for z in (2, 4, 6):
+        scale = float(sub << z)
+        for trial in range(40):
+            m = int(rng.integers(2, 7))
+            w = rng.random((m, 2)) * np.array([1.0, 0.9]) + np.array([0.0, 0.05])
+            if trial % 5 == 1:
+                w[:, 1] = w[0, 1]  # horizontal
+            if trial % 5 == 2:
+                w[:, 0] = w[0, 0]  # vertical
+            if trial % 5 == 3 and m >= 3:
+                w[1] = w[0]  # duplicate consecutive vertex
+            q = (np.floor(w * scale) + 0.5) / scale
+            got = {(x, y) for x, y, _ in clip.line_tiles(q, z)}
+            want = _sat_cover(q * (1 << z), z)
+            assert got == want, (z, trial)
