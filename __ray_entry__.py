@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.q_decontaminate,
         "pack_sequences": training.q_pack_sequences,
         "vocab_topk": training.q_vocab_topk,
+        "unigram_surprisal": training.q_unigram_surprisal,
         "keyword_topk": training.q_keyword_topk,
         "bpe_pairs": training.q_bpe_pairs,
         "dup_spans": training.q_dup_spans,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracle.sql_decontaminate(),
         "pack_sequences": oracle.sql_pack_sequences(),
         "vocab_topk": oracle.sql_vocab_topk(),
+        "unigram_surprisal": oracle.sql_unigram_surprisal(),
         "keyword_topk": oracle.sql_keyword_topk(),
         "bpe_pairs": oracle.sql_bpe_pairs(),
         "dup_spans": oracle.sql_dup_spans(),

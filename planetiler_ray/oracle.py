@@ -1937,3 +1937,39 @@ SELECT query_id, rn AS rank, vec_id AS neighbor_id, dist2
 FROM ranked WHERE rn <= {k}
 ORDER BY query_id, rank
 """
+
+
+def sql_unigram_surprisal(vocab_k: int = 256) -> str:
+    """Mirror of ``text.unigram_surprisal`` — integer unigram LM scoring.
+
+    Same token grammar as ``sql_vocab_topk``; the deterministic top-k vocab
+    (count DESC, token ASC) and the corpus total are recomputed in SQL, and
+    the per-token cost uses ``length(bin(n))`` = exact integer bit_length
+    (verified equal to the engine's np.frexp exponent for all n >= 1).
+    Zero-token documents are kept via the LEFT JOIN from documents.
+    """
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS nt FROM tok),
+vocab AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT {vocab_k}),
+scored AS (
+    SELECT t.doc_id,
+           length(bin((SELECT nt FROM tot)))
+             - length(bin(CAST(coalesce(v.n, 1) AS BIGINT))) AS cost,
+           CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+    FROM tok t LEFT JOIN vocab v USING (token)
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov, sum(cost) AS bits
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(a.bits, 0) AS BIGINT) AS bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

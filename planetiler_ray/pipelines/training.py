@@ -1349,3 +1349,10 @@ def q_ivf_exact(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
     return ann.ivf_exact_topk(
         embs, mat[:k_cent], ids[k_cent:], mat[k_cent:], k=k, n_probe=n_probe
     )
+
+
+def q_unigram_surprisal(sf_dir: str):
+    """Integer unigram-LM quality scoring (CCNet/KenLM-filter shape):
+    broadcast top-256 vocab + corpus total, per-doc surprisal in exact
+    bits (bitlen arithmetic) — bitwise SQL twin."""
+    return text.unigram_surprisal(docs_ds(sf_dir, ["doc_id", "text"]))

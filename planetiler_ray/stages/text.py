@@ -791,3 +791,113 @@ def chunk_documents(ds, chunk_chars: int = 256, overlap: int = 64,
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text"):
+    """Unigram language-model quality scoring — the KenLM-perplexity-filter
+    shape of CCNet/RefinedWeb (reference semantics: score each document by
+    how surprising its tokens are under a corpus LM), reduced to its
+    oracle-expressible integer core.
+
+    Two passes:
+
+    1. corpus pass: token counts (per-batch Arrow group_by partials -> ONE
+       groupby-sum over the vocabulary) -> deterministic top-``vocab_k``
+       vocabulary (count DESC, token ASC) plus the corpus token total,
+       collected SMALL (vocab_k rows) and broadcast to the scorers
+       (closure capture here; ``ray.put`` handles on a real cluster);
+    2. scoring pass: per document, integer surprisal
+       ``sum(bitlen(N_total) - bitlen(count(token)))`` bits, OOV tokens
+       priced at count=1 (the pessimistic ``bitlen(N)-1`` fallback).
+
+    ``bitlen`` is the exact integer floor-log2 + 1 (np.frexp here, DuckDB
+    ``length(bin(n))`` in the twin), so scores are bitwise reproducible
+    while ranking like a real unigram LM filter: rare/garbage tokens cost
+    many bits, common words few.  Output: doc_id, n_tokens, n_oov, bits.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+    from ..functions.vhash import fnv64_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {"token": g.column("token"), "c_part": g.column("token_count")}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="n"))
+        .materialize()  # vocabulary-sized (bounded), reused by 2 aggregates
+    )
+    n_total = int(counts.sum("n") or 0)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        if len(n) > vocab_k:
+            tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+            thresh = np.partition(n, len(n) - vocab_k)[len(n) - vocab_k]
+            cand = np.flatnonzero(n >= thresh)
+            order = cand[np.lexsort((tok[cand], -n[cand]))][:vocab_k]
+            return batch.take(pa.array(order, pa.int64()))
+        return batch
+
+    top = (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+
+    def _bitlen(a: np.ndarray) -> np.ndarray:
+        # exact integer bit_length for 0 < a < 2**53 (frexp exponent)
+        return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+    hraw = (
+        fnv64_arrow(pa.array([r["token"] for r in top], pa.string()))
+        if top
+        else np.empty(0, np.uint64)
+    )
+    vorder = np.argsort(hraw)
+    vh = hraw[vorder]
+    vcost = np.zeros(len(top) + 1, np.int64)
+    bl_n = int(_bitlen(np.array([max(n_total, 1)]))[0])
+    if top:
+        cnts = np.array([r["n"] for r in top], np.int64)[vorder]
+        vcost[:-1] = bl_n - _bitlen(cnts)
+    vcost[-1] = bl_n - 1  # OOV: count=1
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        if len(flat):
+            h = fnv64_arrow(flat)
+            if len(vh):
+                idx_c = np.minimum(np.searchsorted(vh, h), len(vh) - 1)
+                found = vh[idx_c] == h
+            else:
+                idx_c = np.zeros(len(h), np.int64)
+                found = np.zeros(len(h), bool)
+            cost = np.where(found, vcost[np.where(found, idx_c, 0)], vcost[-1])
+            oov = (~found).astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cost)])
+            osum = np.concatenate([[0], np.cumsum(oov)])
+            ends = starts + lens
+            bits = csum[ends] - csum[starts]
+            n_oov = osum[ends] - osum[starts]
+        else:
+            bits = np.zeros(len(lens), np.int64)
+            n_oov = np.zeros(len(lens), np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "bits": pa.array(bits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

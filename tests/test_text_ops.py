@@ -314,3 +314,25 @@ def test_bigram_stats_boundaries_and_counts(ray_session):
     # since a leak would give 4)
     assert out.loc[("red", "fox"), "c1"] == 4  # 'red' total occurrences
     assert out.loc[("red", "fox"), "c2"] == 4  # 'fox' total occurrences
+
+
+def test_unigram_surprisal_ranks_garbage_higher(ray_session):
+    """Common-vocabulary docs cost fewer bits/token than OOV garbage; zero-
+    token docs survive with zeros (LEFT JOIN parity with the SQL twin)."""
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.text import unigram_surprisal
+
+    common = "the cat sat on the mat " * 20
+    garbage = "zqxv kjhw pqzr wvnm xkcd qwpv"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [common, garbage, "..."]})
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(ds, vocab_k=5).take_all()}
+    assert out[3]["n_tokens"] == 0 and out[3]["bits"] == 0
+    bpt1 = out[1]["bits"] / out[1]["n_tokens"]
+    bpt2 = out[2]["bits"] / out[2]["n_tokens"]
+    assert bpt2 > bpt1
+    assert out[2]["n_oov"] == out[2]["n_tokens"]  # all garbage OOV
+    assert out[1]["n_oov"] == 0  # the 5 common words fill vocab_k=5
