@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         "url_parse": webgeo.q_url_parse,
+        "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
         "mutual_nn": training.q_mutual_nn,
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
+        "polygon_fill": oracle.sql_polygon_fill(),
         "line_cover": _sql_line_cover(),
         "minhash_planted": "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b FROM documents",
         "simhash_planted": (

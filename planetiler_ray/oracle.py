@@ -1973,3 +1973,129 @@ SELECT d.doc_id,
        CAST(coalesce(a.bits, 0) AS BIGINT) AS bits
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def sql_polygon_fill(zooms=(7, 8, 10)) -> str:
+    """Mirror of ``webgeo.q_polygon_fill`` — the polygon-slicing FILL path
+    in exact integer arithmetic.
+
+    Reconstructs the diamond-with-hole polygons from nation keys, snaps to
+    half-offset subpixels (odd numerators, units of 1/8192 tile), and emits
+    a fill for every candidate tile whose row is untouched by any edge
+    (integer bbox + floor tests, identical to the kernel's touched[] scan)
+    and whose center has odd even-odd parity against the column center line
+    (exact cross-product comparison; ties imply "touched" and thus never
+    decide a fill — see q_polygon_fill's exactness argument).
+    """
+    from .pipelines.webgeo import (
+        DIAMOND_A_MULT,
+        DIAMOND_B_MULT,
+        DIAMOND_DENSIFY,
+        DIAMOND_LAT_MULT,
+        DIAMOND_LON_MULT,
+        FILL_SUB,
+    )
+
+    m = DIAMOND_DENSIFY
+    zs = ", ".join(f"({z}, {float(FILL_SUB << z)!r})" for z in zooms)
+    return f"""
+WITH polys AS (
+    SELECT n_nationkey AS k,
+           (n_nationkey * {DIAMOND_LON_MULT}) % 300000 - 150000 AS c_lon,
+           (n_nationkey * {DIAMOND_LAT_MULT}) % 130000 - 65000 AS c_lat,
+           8000 + (n_nationkey * {DIAMOND_A_MULT}) % 12000 AS a,
+           5000 + (n_nationkey * {DIAMOND_B_MULT}) % 8000 AS b
+    FROM nation
+),
+ringp AS (
+    SELECT p.k, r.ring,
+           CASE r.ring WHEN 0 THEN p.a ELSE p.a // 2 END AS aa,
+           CASE r.ring WHEN 0 THEN p.b ELSE p.b // 2 END AS bb,
+           p.c_lon, p.c_lat
+    FROM polys p, (VALUES (0), (1)) AS r(ring)
+),
+vidx AS (
+    SELECT rp.*, g.j,
+           CASE WHEN g.j >= 4 * {m} THEN 0 ELSE g.j // {m} END AS s,
+           CASE WHEN g.j >= 4 * {m} THEN 0 ELSE g.j % {m} END AS f
+    FROM ringp rp JOIN generate_series(0, {4 * m}) AS g(j) ON TRUE
+),
+verts AS (
+    SELECT k, ring, j,
+           (c_lon + CASE s
+               WHEN 0 THEN aa - (aa * f) // {m}
+               WHEN 1 THEN -((aa * f) // {m})
+               WHEN 2 THEN -aa + (aa * f) // {m}
+               ELSE (aa * f) // {m} END) / 1000.0 AS lon,
+           (c_lat + CASE s
+               WHEN 0 THEN (bb * f) // {m}
+               WHEN 1 THEN bb - (bb * f) // {m}
+               WHEN 2 THEN -((bb * f) // {m})
+               ELSE -bb + (bb * f) // {m} END) / 1000.0 AS lat
+    FROM vidx
+),
+proj AS (
+    SELECT k, ring, j,
+           (lon + 180.0) / 360.0 AS wx,
+           0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                           / (1.0 - sin(radians(lat)))) / pi() AS wy
+    FROM verts
+),
+pz AS (
+    SELECT p.k, p.ring, p.j, zs.z,
+           2 * CAST(floor(p.wx * zs.scale) AS BIGINT) + 1 AS ix,
+           2 * CAST(floor(p.wy * zs.scale) AS BIGINT) + 1 AS iy
+    FROM proj p, (VALUES {zs}) AS zs(z, scale)
+),
+edges AS (
+    SELECT k, ring, z, ix AS ax, iy AS ay,
+           lag(ix) OVER w AS bx, lag(iy) OVER w AS by2
+    FROM pz WINDOW w AS (PARTITION BY k, ring, z ORDER BY j)
+    QUALIFY lag(ix) OVER w IS NOT NULL
+),
+bbox AS (
+    SELECT k, z,
+           CAST(floor((min(ix) - 128) / 8192.0) AS BIGINT) AS cx_lo,
+           CAST(floor((max(ix) + 128) / 8192.0) AS BIGINT) AS cx_hi,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(floor((min(iy) - 128) / 8192.0) AS BIGINT)) AS cy_lo,
+           least(CAST((1 << z) - 1 AS BIGINT),
+                 CAST(floor((max(iy) + 128) / 8192.0) AS BIGINT)) AS cy_hi
+    FROM pz WHERE ring = 0 GROUP BY k, z
+),
+cand AS (
+    SELECT b.k, b.z, b.cx_lo + gx.i AS cx, b.cy_lo + gy.i AS cy
+    FROM bbox b
+    JOIN generate_series(0, 255) AS gx(i) ON gx.i <= b.cx_hi - b.cx_lo
+    JOIN generate_series(0, 255) AS gy(i) ON gy.i <= b.cy_hi - b.cy_lo
+),
+fills AS (
+    SELECT c.k, c.z, c.cx, c.cy
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.k = c.k AND e.z = c.z
+          AND least(e.ax, e.bx) <= c.cx * 8192 + 8192 + 128
+          AND greatest(e.ax, e.bx) >= c.cx * 8192 - 128
+          AND CAST(floor((least(e.ay, e.by2) - 128) / 8192.0) AS BIGINT) <= c.cy
+          AND CAST(floor((greatest(e.ay, e.by2) + 128) / 8192.0) AS BIGINT) >= c.cy
+    )
+    AND (
+        SELECT count(*) FROM edges e
+        WHERE e.k = c.k AND e.z = c.z
+          AND (e.ax <= c.cx * 8192 + 4096) <> (e.bx <= c.cx * 8192 + 4096)
+          AND (CASE WHEN e.bx > e.ax
+               THEN (c.cx * 8192 + 4096 - e.ax) * (e.by2 - e.ay)
+                    < (c.cy * 8192 + 4096 - e.ay) * (e.bx - e.ax)
+               ELSE (c.cx * 8192 + 4096 - e.ax) * (e.by2 - e.ay)
+                    > (c.cy * 8192 + 4096 - e.ay) * (e.bx - e.ax)
+               END)
+    ) % 2 = 1
+),
+tiles AS (
+    SELECT z, cx, cy, count(*) AS cnt FROM fills GROUP BY 1, 2, 3
+)
+SELECT z, count(*) AS n_tiles, CAST(sum(cnt) AS BIGINT) AS n_fill,
+       CAST(sum(cx) AS BIGINT) AS x_sum, CAST(sum(cy) AS BIGINT) AS y_sum
+FROM tiles GROUP BY z
+"""

@@ -520,3 +520,132 @@ def q_domain_cap(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         .groupby("bkt")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon fill census — exact oracle for the polygon slicing fill path
+# ---------------------------------------------------------------------------
+
+DIAMOND_LON_MULT, DIAMOND_LAT_MULT = 27644437, 115249
+DIAMOND_A_MULT, DIAMOND_B_MULT = 69621, 40692
+FILL_SUB = 4096  # subpixels per tile axis for the snapped slicing grid
+
+
+DIAMOND_DENSIFY = 6  # sub-segments per diamond side (small edge bboxes)
+
+
+def diamond_rings_mdeg(k: int) -> list[np.ndarray]:
+    """Deterministic DIAGONAL-edged test polygon: a densified rhombus with a
+    half-size rhombus hole, integer-mdeg vertices from the nation key (so
+    the DuckDB twin reconstructs the identical geometry with integer
+    arithmetic; the `(len·f)//m` interpolation uses positive operands only,
+    where floor == truncate on both engines).  Each side is split into
+    ``DIAMOND_DENSIFY`` sub-segments so edge bboxes are small — the fill
+    detector's touched-row scan is per-edge-bbox, and four full-side
+    diagonals would blanket the interior.  Diagonal edges make the even-odd
+    parity test non-trivial (unlike the axis-aligned admin rectangles)."""
+    c_lon = (k * DIAMOND_LON_MULT) % 300000 - 150000
+    c_lat = (k * DIAMOND_LAT_MULT) % 130000 - 65000
+    a = 8000 + (k * DIAMOND_A_MULT) % 12000
+    b = 5000 + (k * DIAMOND_B_MULT) % 8000
+    m = DIAMOND_DENSIFY
+
+    def ring(aa: int, bb: int) -> np.ndarray:
+        pts = []
+        for j in range(4 * m + 1):
+            s, f = divmod(j, m)
+            if s >= 4:
+                s, f = 0, 0
+            fa, fb = (aa * f) // m, (bb * f) // m
+            if s == 0:
+                x, y = aa - fa, fb
+            elif s == 1:
+                x, y = -fa, bb - fb
+            elif s == 2:
+                x, y = -aa + fa, -fb
+            else:
+                x, y = fa, -bb + fb
+            pts.append([c_lon + x, c_lat + y])
+        return np.array(pts, dtype=np.float64)
+
+    return [ring(a, b), ring(a // 2, b // 2)]
+
+
+def q_polygon_fill(sf_dir: str, zooms=(7, 8, 10)) -> ray.data.Dataset:
+    """Per-zoom FILL-tile census through the REAL polygon slicing kernel.
+
+    Runs ``geo/clip.polygon_tiles`` (the ``TiledGeometry`` fill-detection
+    analogue: untouched-row scan + center-line even-odd parity, reference
+    ``geometry/TiledGeometry.java:544-597``) over deterministic
+    diamond-with-hole polygons, coordinates snapped to the half-offset
+    4096-subpixel grid of ``routes.line_cover_ds``.
+
+    Exactness argument (mirrors ``sql_polygon_fill``):
+
+    - a segment whose x-bbox overlaps a buffered column always has actual
+      points inside it, so its buffered y-extent reaches the column's
+      clipped y-range — the kernel's clip-to-row-0 guard can never fire and
+      "row touched" reduces to exact integer bbox/floor arithmetic;
+    - a parity crossing near a row CENTER implies that edge touches the row
+      (so the row is not a fill candidate) — parity ties therefore never
+      decide an emitted fill, and the remaining comparisons are exact on
+      the dyadic snapped grid;
+    - every untouched parity-odd row sits ≥0.49 tiles inside the kernel's
+      clipped row range, so candidate enumeration from the polygon bbox is
+      equivalent.
+
+    Scale shape: per-feature slicing (vectorized kernel inside), per-batch
+    partial (z, tile) counts → ONE shuffle → tiny per-z aggregate.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..geo import mercator
+    from ..geo.clip import polygon_tiles
+
+    zooms = list(zooms)
+
+    def census(batch: pa.Table) -> pa.Table:
+        zs_o: list[int] = []
+        xs_o: list[int] = []
+        ys_o: list[int] = []
+        for k in batch.column("n_nationkey").to_pylist():
+            rings = diamond_rings_mdeg(int(k))
+            w = [
+                np.column_stack(
+                    [
+                        mercator.lon_to_world_x(r[:, 0] / 1000.0),
+                        mercator.lat_to_world_y(r[:, 1] / 1000.0),
+                    ]
+                )
+                for r in rings
+            ]
+            for z in zooms:
+                scale = float(FILL_SUB << z)
+                q = [(np.floor(r * scale) + 0.5) / scale for r in w]
+                for tx, ty, _rings, is_fill in polygon_tiles(q, z):
+                    if is_fill:
+                        zs_o.append(z)
+                        xs_o.append(tx)
+                        ys_o.append(ty)
+        t = pa.table(
+            {
+                "z": pa.array(zs_o, pa.int64()),
+                "tile_x": pa.array(xs_o, pa.int64()),
+                "tile_y": pa.array(ys_o, pa.int64()),
+                "cnt": pa.array(np.ones(len(zs_o), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["z", "tile_x", "tile_y"]).aggregate([("cnt", "sum")])
+
+    per_tile = (
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby(["z", "tile_x", "tile_y"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+    )
+    return per_tile.groupby("z").aggregate(
+        Count(alias_name="n_tiles"),
+        Sum("cnt", alias_name="n_fill"),
+        Sum("tile_x", alias_name="x_sum"),
+        Sum("tile_y", alias_name="y_sum"),
+    )

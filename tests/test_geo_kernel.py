@@ -395,3 +395,49 @@ def test_render_polygon_winding_fill_and_edge_agree():
         kind, rings = wkb.decode_wkb(r["geom_px"])
         assert kind == "polygon"
         assert _shoelace(rings[0]) > 0, (r["tile_x"], r["tile_y"], r["is_fill"])
+
+
+def test_polygon_fill_census_semantics():
+    """The densified diamond generator closes both rings, nests the hole,
+    and the fill detector agrees with a brute-force parity reference on the
+    snapped grid (fills = untouched rows with odd center parity; the hole
+    must punch fill tiles back out)."""
+    from planetiler_ray.geo import clip, mercator
+    from planetiler_ray.pipelines.webgeo import FILL_SUB, diamond_rings_mdeg
+
+    rings = diamond_rings_mdeg(7)
+    outer, hole = rings
+    assert np.array_equal(outer[0], outer[-1]) and np.array_equal(hole[0], hole[-1])
+    assert np.abs(hole).max() <= np.abs(outer).max()
+
+    z = 9
+    scale = float(FILL_SUB << z)
+    w = [np.column_stack([mercator.lon_to_world_x(r[:, 0] / 1000.0),
+                          mercator.lat_to_world_y(r[:, 1] / 1000.0)]) for r in rings]
+    q = [(np.floor(r * scale) + 0.5) / scale for r in w]
+    fills = {(x, y) for x, y, _, isf in clip.polygon_tiles(q, z) if isf}
+    assert fills  # a 8-20 degree polygon at z=9 has interior tiles
+
+    # brute reference: center parity over BOTH rings, row untouched by any
+    # edge bbox (buffered), mirrors oracle.sql_polygon_fill
+    buf = 4.0 / 256.0
+    sq = [r * (1 << z) for r in q]
+    for (cx, cy) in list(fills)[:50]:
+        xl, yc = cx + 0.5, cy + 0.5
+        crossings = 0
+        touched = False
+        for r in sq:
+            for i in range(len(r) - 1):
+                (x0, y0), (x1, y1) = r[i], r[i + 1]
+                if (min(x0, x1) <= cx + 1 + buf and max(x0, x1) >= cx - buf
+                        and np.floor(min(y0, y1) - buf) <= cy <= np.floor(max(y0, y1) + buf)):
+                    touched = True
+                if (x0 <= xl) != (x1 <= xl):
+                    t = (xl - x0) / (x1 - x0)
+                    if y0 + t * (y1 - y0) < yc:
+                        crossings += 1
+        assert not touched and crossings % 2 == 1, (cx, cy)
+
+    # hole interior is NOT filled: its center tile must be absent
+    c_mer = np.mean(q[1][:-1], axis=0) * (1 << z)
+    assert (int(c_mer[0]), int(c_mer[1])) not in fills
