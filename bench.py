@@ -99,6 +99,7 @@ def run_bench() -> dict:
     timed("dup_spans", lambda: training.q_dup_spans(SF_DIR).count())
     timed("hll_users", lambda: training.q_hll_users(SF_DIR).count())
     timed("tpch_q3", lambda: training.q_tpch_q3(SF_DIR).count())
+    timed("unigram_surprisal", lambda: training.q_unigram_surprisal(SF_DIR).count())
     timed("way_assembly", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["assemble_ways"]
     ).assemble_ways(SF_DIR).count())

@@ -823,34 +823,47 @@ def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text"):
     def partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens(batch.column(col).to_pandas())
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        # sentinel row: "" carries the batch token total through the SAME
+        # shuffle ("" can never collide with a real [a-z0-9]+ token), so the
+        # corpus total needs no separate Dataset.sum() execution; it ranks
+        # first in the (n DESC, token ASC) sort since total >= any count
         return pa.table(
-            {"token": g.column("token"), "c_part": g.column("token_count")}
+            {
+                "token": pa.concat_arrays(
+                    [g.column("token").combine_chunks(), pa.array([""], pa.string())]
+                ),
+                "c_part": pa.concat_arrays(
+                    [
+                        g.column("token_count").cast(pa.int64()).combine_chunks(),
+                        pa.array([len(flat)], pa.int64()),
+                    ]
+                ),
+            }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c_part", alias_name="n"))
-        .materialize()  # vocabulary-sized (bounded), reused by 2 aggregates
-    )
-    n_total = int(counts.sum("n") or 0)
+    keep = vocab_k + 1  # top vocab_k real tokens + the "" total sentinel
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy()
-        if len(n) > vocab_k:
+        if len(n) > keep:
             tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
-            thresh = np.partition(n, len(n) - vocab_k)[len(n) - vocab_k]
+            thresh = np.partition(n, len(n) - keep)[len(n) - keep]
             cand = np.flatnonzero(n >= thresh)
-            order = cand[np.lexsort((tok[cand], -n[cand]))][:vocab_k]
+            order = cand[np.lexsort((tok[cand], -n[cand]))][:keep]
             return batch.take(pa.array(order, pa.int64()))
         return batch
 
-    top = (
-        counts.map_batches(partial_topk, batch_format="pyarrow")
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="n"))
+        .map_batches(partial_topk, batch_format="pyarrow")
         .sort(["n", "token"], descending=[True, False])
-        .limit(vocab_k)
+        .limit(keep)
         .take_all()
     )
+    n_total = sum(int(r["n"]) for r in rows if r["token"] == "")
+    top = [r for r in rows if r["token"] != ""][:vocab_k]
 
     def _bitlen(a: np.ndarray) -> np.ndarray:
         # exact integer bit_length for 0 < a < 2**53 (frexp exponent)
