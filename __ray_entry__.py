@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
         "triangles": training.q_triangles,
+        "kcore": training.q_kcore,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": oracle.sql_weighted_sample(),
         "pagerank": oracle.sql_pagerank(),
         "triangles": oracle.sql_triangles(),
+        "kcore": oracle.sql_kcore(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -2099,3 +2099,45 @@ SELECT z, count(*) AS n_tiles, CAST(sum(cnt) AS BIGINT) AS n_fill,
        CAST(sum(cx) AS BIGINT) AS x_sum, CAST(sum(cy) AS BIGINT) AS y_sum
 FROM tiles GROUP BY z
 """
+
+
+def sql_kcore(k: int = 5, rounds: int = 3) -> str:
+    """Mirror of ``q_kcore``: the peeling loop fully unrolled — round r
+    degrees over edges whose BOTH endpoints survived round r-1 (same
+    distinct least/greatest edge set as ``sql_triangles``)."""
+    parts = ["""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * doc_id + t.a) % n.nn AS dst
+    FROM documents CROSS JOIN (VALUES (7), (13), (29)) t(a) CROSS JOIN n
+),
+edges0 AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM e0 WHERE src <> dst
+)"""]
+    prev = "edges0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY node
+),
+a{r} AS (SELECT node FROM d{r} WHERE deg >= {k})""")
+        if r < rounds:
+            parts.append(f""",
+edges{r} AS (
+    SELECT e.a, e.b FROM {prev} e
+    JOIN a{r} x ON e.a = x.node
+    JOIN a{r} y ON e.b = y.node
+)""")
+            prev = f"edges{r}"
+    parts.append(f"""
+SELECT d.doc_id AS node_id,
+       CAST(coalesce(dd.deg, 0) AS BIGINT) AS deg,
+       CAST(CASE WHEN aa.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+FROM documents d
+LEFT JOIN d{rounds} dd ON dd.node = d.doc_id
+LEFT JOIN a{rounds} aa ON aa.node = d.doc_id
+""")
+    return "".join(parts)

@@ -1356,3 +1356,25 @@ def q_unigram_surprisal(sf_dir: str):
     broadcast top-256 vocab + corpus total, per-doc surprisal in exact
     bits (bitlen arithmetic) — bitwise SQL twin."""
     return text.unigram_surprisal(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def q_kcore(sf_dir: str, k: int = 5, rounds: int = 3):
+    """Bounded-round k-core peeling (k=5, 3 rounds — a real cascade:
+    500 -> 306 -> 302 -> 300 alive at sf0.001) over the same
+    deterministic link graph as ``pagerank``/``triangles`` — iterative
+    subgraph filtering with a fully unrolled SQL twin."""
+    from ..stages import graph
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return ray.data.from_pandas(graph.kcore_peel(e, n_nodes=n, k=k, rounds=rounds))

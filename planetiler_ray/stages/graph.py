@@ -214,3 +214,81 @@ def triangle_count(edges_ds, n_nodes: int, n_buckets: int = 64,
         {"n_triangles": np.array([n_tri], dtype=np.int64),
          "n_edges": np.array([n_edges], dtype=np.int64)}
     )
+
+
+def kcore_peel(edges_ds, n_nodes: int, k: int = 3, rounds: int = 3,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Bounded-round k-core peeling over the deduped undirected graph.
+
+    Round r: ``deg_r(v)`` = number of distinct undirected edges with BOTH
+    endpoints alive; ``alive_r = alive_{r-1} AND deg_r >= k``.  Fixed round
+    count keeps the semantics exactly unrollable in SQL (same trick as
+    ``pagerank_int``); full convergence is the same loop run until the
+    alive bitmap stops changing.
+
+    Scale shape: the canonical edge set is deduped with ONE (a, b) groupby
+    and cached (loop-invariant — re-deriving it every round would repeat
+    the shuffle); each round broadcasts the alive bitmap (``ray.put``,
+    1 bit/node) and computes degrees as per-batch partials -> a small
+    groupby-sum, exactly the ``pagerank_int`` iteration pattern.  Returns
+    a pandas (node_id, deg, in_core) — V-sized driver result by design.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy()
+        t = batch.column(dst_col).to_numpy()
+        m = s != t
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[m], t[m]), pa.int64()),
+                "b": pa.array(np.maximum(s[m], t[m]), pa.int64()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # loop-invariant, reused every round (spillable)
+    )
+
+    alive = np.ones(n_nodes, dtype=bool)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        handle = ray.put(alive)
+
+        def partial(batch: pa.Table, handle=handle) -> pa.Table:
+            al = ray.get(handle)
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            m = al[a] & al[b]
+            ids = np.concatenate([a[m], b[m]])
+            u, c = np.unique(ids, return_counts=True)
+            return pa.table(
+                {
+                    "node": pa.array(u, pa.int64()),
+                    "d_part": pa.array(c, pa.int64()),
+                }
+            )
+
+        dd = (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d_part", alias_name="deg"))
+            .to_pandas()
+        )
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        if len(dd):
+            deg[dd["node"].to_numpy()] = dd["deg"].to_numpy()
+        alive &= deg >= k
+
+    return pd.DataFrame(
+        {
+            "node_id": np.arange(n_nodes, dtype=np.int64),
+            "deg": deg,
+            "in_core": alive.astype(np.int64),
+        }
+    )

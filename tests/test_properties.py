@@ -105,3 +105,40 @@ def test_mvt_line_roundtrip_property(pts):
     back = decode_commands(cmds, 2)
     assert len(back) == 1
     np.testing.assert_allclose(back[0], q, atol=1 / 32)
+
+
+def test_kcore_peel_invariants(ray_session):
+    """k-core peeling: monotone alive sets, in_core nodes all have final
+    degree >= k, and every final-round degree counts only edges between
+    final-alive-or-just-peeled nodes (cross-checked against a NetworkX-free
+    brute reference on a small deterministic graph)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.graph import kcore_peel
+
+    n = 60
+    d = np.arange(n)
+    src = np.concatenate([d, d, d])
+    dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+    e = ray.data.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                      "dst": pa.array(dst, pa.int64())}))
+    k, rounds = 4, 3
+    out = kcore_peel(e, n_nodes=n, k=k, rounds=rounds)
+
+    # brute reference
+    pairs = {(min(int(a), int(b)), max(int(a), int(b)))
+             for a, b in zip(src, dst) if a != b}
+    alive = np.ones(n, bool)
+    deg = np.zeros(n, np.int64)
+    for _ in range(rounds):
+        deg = np.zeros(n, np.int64)
+        for a, b in pairs:
+            if alive[a] and alive[b]:
+                deg[a] += 1
+                deg[b] += 1
+        alive &= deg >= k
+    assert np.array_equal(out["deg"].to_numpy(), deg)
+    assert np.array_equal(out["in_core"].to_numpy(), alive.astype(np.int64))
+    assert ((out["deg"][out["in_core"] == 1]) >= k).all()
