@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": training.q_dup_spans,
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
+        "cms_counts": training.q_cms_counts,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
         "triangles": training.q_triangles,
@@ -336,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.sql_pagerank(),
         "triangles": oracle.sql_triangles(),
         "kcore": oracle.sql_kcore(),
+        "cms_counts": oracle.sql_cms_counts(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

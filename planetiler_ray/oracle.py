@@ -2141,3 +2141,38 @@ LEFT JOIN d{rounds} dd ON dd.node = d.doc_id
 LEFT JOIN a{rounds} aa ON aa.node = d.doc_id
 """)
     return "".join(parts)
+
+
+def sql_cms_counts(w: int = 1024, probe_mod: int = 7) -> str:
+    """Mirror of ``sketch.cms_counts``: rebuilds the d=4 x w register table
+    in HUGEINT arithmetic (same hash61 chain + per-row affine post-mix) and
+    takes min over the probe key's cells."""
+    from .stages.sketch import CMS_ROWS
+
+    rows_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_ROWS))
+    return f"""
+WITH {_hash61_ctes("events", "user_id")},
+rws AS (SELECT * FROM (VALUES {rows_vals}) v(i, a, b)),
+cells AS (
+    SELECT r.i AS row_i,
+           CAST(((CAST(_h AS HUGEINT) * r.a + r.b) % {_H61}) % {w} AS BIGINT)
+             AS col,
+           count(*) AS cnt
+    FROM _hh CROSS JOIN rws r
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT user_id, _h, count(*) AS true_n
+    FROM _hh WHERE user_id % {probe_mod} = 0
+    GROUP BY user_id, _h
+)
+SELECT p.user_id,
+       CAST(min(c.cnt) AS BIGINT) AS est,
+       CAST(any_value(p.true_n) AS BIGINT) AS true_n
+FROM probes p
+JOIN rws r ON TRUE
+JOIN cells c
+  ON c.row_i = r.i
+ AND c.col = CAST(((CAST(p._h AS HUGEINT) * r.a + r.b) % {_H61}) % {w} AS BIGINT)
+GROUP BY p.user_id
+"""

@@ -1378,3 +1378,13 @@ def q_kcore(sf_dir: str, k: int = 5, rounds: int = 3):
 
     e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
     return ray.data.from_pandas(graph.kcore_peel(e, n_nodes=n, k=k, rounds=rounds))
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-Min Sketch heavy-hitter frequency estimation over event
+    user_ids (d=4, w=1024) with exact probe verification — the registers
+    AND estimates are HUGEINT-mirrorable, so the sketch itself is
+    oracle-gated (the hll_users companion for frequencies)."""
+    from ..stages import sketch
+
+    return sketch.cms_counts(events_ds(sf_dir, ["user_id"]))

@@ -135,3 +135,100 @@ def hll_estimate(registers: pd.DataFrame, group_col: str, p: int = 8) -> pd.Data
             e = m * np.log(m / zeros)
         out.append({group_col: g, "estimate": float(e)})
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+# per-row affine post-mix constants (a_i, b_i) applied to the avalanched
+# hash61 value — independence across rows comes from the multipliers, the
+# avalanche from hash61 itself (same reasoning as the HLL register split)
+CMS_ROWS = (
+    (1752450205419405103, 97531),
+    (1803867173528181589, 86420),
+    (1234567891011121314, 13579),
+    (1469598103934665603, 24680),
+)
+
+
+def cms_counts(ds, key_col: str = "user_id", w: int = 1024,
+               probe_mod: int = 7):
+    """Count-Min Sketch frequency estimation (Cormode–Muthukrishnan) with
+    probe verification — the streaming heavy-hitter counter.
+
+    Build: per batch, each key increments d=4 register cells
+    ``(i, ((hash61(key)·a_i + b_i) mod M61) mod w)``; per-batch partials are
+    a bounded ``bincount`` over the d·w cell domain -> ONE groupby-sum ->
+    a d·w register table (4096 ints, driver-sized by design, broadcast
+    back).  Estimate(key) = min_i reg[i, col_i(key)] — always >= the true
+    count (sketch guarantee, pinned in tests AND by the oracle, which
+    rebuilds the identical registers in HUGEINT arithmetic).
+
+    Probes: keys with ``key % probe_mod == 0`` get (estimate, true count)
+    side by side; true counts come from an exact distributed groupby over
+    the same pass.  Output: (user_id, est, true_n).
+    """
+    from ray.data.aggregate import Sum
+
+    d = len(CMS_ROWS)
+
+    def cols_for(h: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for a, b in CMS_ROWS:
+            c = ((_mulmod61(h, a) + np.uint64(b)) % np.uint64(M61)) % np.uint64(w)
+            out.append(c.astype(np.int64))
+        return out
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy().astype(np.int64)
+        h = hash61(v)
+        idx = np.concatenate(
+            [i * w + c for i, c in enumerate(cols_for(h))]
+        )
+        cnt = np.bincount(idx, minlength=d * w)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "c_part": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(reg_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("c_part", alias_name="cnt"))
+        .to_pandas()
+    )
+    reg = np.zeros(d * w, dtype=np.int64)
+    if len(regs):
+        reg[regs["cell"].to_numpy()] = regs["cnt"].to_numpy()
+
+    def true_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy().astype(np.int64)
+        v = v[v % probe_mod == 0]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "t_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        h = hash61(u)
+        est = np.min(
+            np.stack([reg[i * w + c] for i, c in enumerate(cols_for(h))]),
+            axis=0,
+        )
+        return batch.append_column("est", pa.array(est.astype(np.int64), pa.int64()))
+
+    return (
+        ds.map_batches(true_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("t_part", alias_name="true_n"))
+        .map_batches(estimate, batch_format="pyarrow")
+        .select_columns(["user_id", "est", "true_n"])
+    )

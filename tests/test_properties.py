@@ -142,3 +142,25 @@ def test_kcore_peel_invariants(ray_session):
     assert np.array_equal(out["deg"].to_numpy(), deg)
     assert np.array_equal(out["in_core"].to_numpy(), alive.astype(np.int64))
     assert ((out["deg"][out["in_core"] == 1]) >= k).all()
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(ray_session):
+    """Count-Min guarantee: est >= true for every probe; with far fewer
+    keys than w=1024 columns, collisions are rare so most probes are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.sketch import cms_counts
+
+    rng = np.random.default_rng(3)
+    keys = np.repeat(np.arange(70), rng.integers(1, 40, 70))
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array(keys, pa.int64())}))
+    out = cms_counts(ds, probe_mod=7).take_all()
+    assert out
+    true = {int(k): int((keys == k).sum()) for k in np.unique(keys) if k % 7 == 0}
+    for r in out:
+        assert r["true_n"] == true[r["user_id"]]
+        assert r["est"] >= r["true_n"]
+    exact = sum(r["est"] == r["true_n"] for r in out)
+    assert exact >= len(out) - 1  # <=70 keys in 4x1024 cells: ~no collisions
