@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": training.q_corpus_diff,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
+        "pareto_front": training.q_pareto_front,
         "mad_outliers": training.q_mad_outliers,
         "range_join": training.q_range_join,
         "source_median_dev": training.q_source_median_dev,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": oracle.sql_triangles(),
         "kcore": oracle.sql_kcore(),
         "cms_counts": oracle.sql_cms_counts(),
+        "pareto_front": oracle.sql_pareto_front(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

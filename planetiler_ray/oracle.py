@@ -2176,3 +2176,25 @@ JOIN cells c
  AND c.col = CAST(((CAST(p._h AS HUGEINT) * r.a + r.b) % {_H61}) % {w} AS BIGINT)
 GROUP BY p.user_id
 """
+
+
+def sql_pareto_front() -> str:
+    """Mirror of ``events.pareto_front``: per-cents max ts, then keep rows
+    whose ts strictly exceeds every higher-cents max (staircase window) —
+    equivalent to the NOT EXISTS dominance definition on distinct pairs."""
+    return """
+WITH d AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           max(epoch_us(ts)) AS tsu
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT cents, tsu,
+           max(tsu) OVER (ORDER BY cents DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM d
+)
+SELECT cents, CAST(tsu AS BIGINT) AS tsu
+FROM s WHERE prev_max IS NULL OR tsu > prev_max
+"""

@@ -1388,3 +1388,12 @@ def q_cms_counts(sf_dir: str):
     from ..stages import sketch
 
     return sketch.cms_counts(events_ds(sf_dir, ["user_id"]))
+
+
+def q_pareto_front(sf_dir: str):
+    """2-D Pareto front / skyline over events (maximize value cents and
+    recency): associative partial-staircase reduction, window-function SQL
+    twin."""
+    from ..stages import events
+
+    return events.pareto_front(events_ds(sf_dir, ["ts", "value"]))

@@ -815,3 +815,48 @@ def window_ohlc(ds, window_us: int = WINDOW_US, n_buckets: int = 64):
         .map_groups(lambda g: finalize(g.drop_columns(["bucket"])),
                     batch_format="pyarrow")
     )
+
+
+def pareto_front(ds, x_col: str = "value", y_col: str = "ts"):
+    """2-D Pareto front (skyline query): the set of DISTINCT (cents, tsu)
+    pairs not dominated by any other event (maximize both value and
+    recency) — the multi-objective filter shape (e.g. best quality-vs-
+    freshness corpus snapshots).
+
+    The front is an ASSOCIATIVE reduction: the front of a union is the
+    front of the concatenated partial fronts.  So each batch reduces to
+    its own staircase (per-x max y, then strictly-increasing-y scan on x
+    descending — fully vectorized), the tiny partial fronts gather onto
+    one block, and the same kernel runs once more.  No global sort, no
+    all-to-all: the shuffle volume is the partial-front rows only.
+    """
+
+    def staircase(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64())})
+        if "cents" in batch.column_names:
+            x = batch.column("cents").to_numpy()
+            y = batch.column("tsu").to_numpy()
+        else:
+            df = batch.select([x_col, y_col]).to_pandas()
+            x = (df[x_col] * 100).round().astype("int64").to_numpy()
+            y = df[y_col].astype("int64").to_numpy()
+        order = np.lexsort((-y, -x))  # x desc, y desc
+        xs, ys = x[order], y[order]
+        first = np.concatenate([[True], xs[1:] != xs[:-1]])  # max y per x
+        xs, ys = xs[first], ys[first]
+        run = np.maximum.accumulate(ys)
+        keep = np.concatenate([[True], ys[1:] > run[:-1]])  # strict staircase
+        return pa.table(
+            {
+                "cents": pa.array(xs[keep], pa.int64()),
+                "tsu": pa.array(ys[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(staircase, batch_format="pyarrow")
+        .repartition(1)  # partial fronts are tiny (staircase of the data)
+        .map_batches(staircase, batch_format="pyarrow")
+    )

@@ -183,3 +183,35 @@ def test_interval_join_window_boundaries(ray_session):
            .set_index("event_id")["n_prior_views"])
     assert out[6] == 2  # -W and -1 count; -W-1 and 0 do not
     assert out[7] == 0
+
+
+def test_pareto_front_matches_dominance_definition(ray_session):
+    """The staircase reduction equals the brute NOT-EXISTS dominance front
+    on distinct pairs, regardless of how rows are split into batches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.events import pareto_front
+
+    rng = np.random.default_rng(11)
+    n = 400
+    vals = rng.integers(0, 50, n) / 100.0 * 100  # coarse grid -> many ties
+    ts = pd.to_datetime(rng.integers(0, 10**6, n), unit="us")
+    ds = ray.data.from_arrow(
+        pa.table({"ts": pa.array(ts), "value": pa.array(vals, pa.float64())})
+    ).repartition(7)
+    got = {(r["cents"], r["tsu"]) for r in pareto_front(ds).take_all()}
+
+    cents = np.round(vals * 100).astype(np.int64)
+    tsu = ts.astype("int64").to_numpy()
+    pairs = set(zip(cents.tolist(), tsu.tolist()))
+    want = {
+        (x, y)
+        for (x, y) in pairs
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for (qx, qy) in pairs
+        )
+    }
+    assert got == want and got
