@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_lang": training.q_quantiles_by_lang,
         "hll_users": training.q_hll_users,
         "cms_counts": training.q_cms_counts,
+        "bloom_probe": training.q_bloom_probe,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
         "triangles": training.q_triangles,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": oracle.sql_kcore(),
         "cms_counts": oracle.sql_cms_counts(),
         "pareto_front": oracle.sql_pareto_front(),
+        "bloom_probe": oracle.sql_bloom_probe(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

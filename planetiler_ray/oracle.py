@@ -2198,3 +2198,46 @@ s AS (
 SELECT cents, CAST(tsu AS BIGINT) AS tsu
 FROM s WHERE prev_max IS NULL OR tsu > prev_max
 """
+
+
+def sql_bloom_probe(bits: int = 1 << 14) -> str:
+    """Mirror of ``training.q_bloom_probe``: rebuild the k=4 bit positions
+    per build key (same hash61 chain + CMS affine post-mixes), union into
+    the bit set, then AND the probe keys' positions against it."""
+    from .stages.sketch import CMS_ROWS
+
+    rows_vals = ", ".join(f"({a}, {b})" for a, b in CMS_ROWS)
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")},
+rws AS (SELECT * FROM (VALUES {rows_vals}) v(a, b)),
+bitset AS (
+    SELECT DISTINCT
+           CAST(((CAST(_h AS HUGEINT) * r.a + r.b) % {_H61}) % {bits} AS BIGINT)
+             AS bit
+    FROM _hh CROSS JOIN rws r
+),
+n AS (SELECT count(*) AS nn FROM documents),
+probes AS (
+    SELECT doc_id + t.off * n.nn AS key,
+           CASE WHEN t.off = 0 THEN 1 ELSE 0 END AS present
+    FROM documents CROSS JOIN (VALUES (0), (1)) t(off) CROSS JOIN n
+),
+ph0 AS (SELECT *, ((CAST(key AS HUGEINT) % {_H61})
+                   * 1752450205419405103 + 1234567891011121314) % {_H61} AS _pa
+        FROM probes),
+ph1 AS (SELECT *, xor(CAST(_pa AS BIGINT), CAST(_pa AS BIGINT) // 536870912)
+                   % {_H61} AS _pb FROM ph0),
+ph2 AS (SELECT *, (CAST(_pb AS HUGEINT) * 1803867173528181589) % {_H61} AS _pc
+        FROM ph1),
+phh AS (SELECT *, xor(CAST(_pc AS BIGINT), CAST(_pc AS BIGINT) // 2147483648)
+                   % {_H61} AS _ph FROM ph2)
+SELECT p.key, CAST(p.present AS BIGINT) AS present,
+       CAST(min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS in_bloom
+FROM phh p
+CROSS JOIN rws r
+LEFT JOIN bitset b
+  ON b.bit = CAST(((CAST(p._ph AS HUGEINT) * r.a + r.b) % {_H61}) % {bits}
+                  AS BIGINT)
+GROUP BY p.key, p.present
+"""

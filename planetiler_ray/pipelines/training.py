@@ -1397,3 +1397,31 @@ def q_pareto_front(sf_dir: str):
     from ..stages import events
 
     return events.pareto_front(events_ds(sf_dir, ["ts", "value"]))
+
+
+def q_bloom_probe(sf_dir: str):
+    """Bloom-filter membership gate: bitmap built over the corpus doc_ids,
+    probed with {doc_id, doc_id + N} (so exactly half the probes are true
+    members); bitmap rebuilt bitwise in HUGEINT SQL, so in_bloom —
+    INCLUDING any false positives — is oracle-exact."""
+    from ..stages import sketch
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def probes(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        keys = np.concatenate([d, d + n])
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "present": pa.array((keys < n).astype(np.int64), pa.int64()),
+            }
+        )
+
+    build = docs_ds(sf_dir, ["doc_id"])
+    probe = docs_ds(sf_dir, ["doc_id"]).map_batches(probes, batch_format="pyarrow")
+    return sketch.bloom_probe(build, probe).select_columns(
+        ["key", "present", "in_bloom"]
+    )

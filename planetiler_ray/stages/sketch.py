@@ -232,3 +232,63 @@ def cms_counts(ds, key_col: str = "user_id", w: int = 1024,
         .map_batches(estimate, batch_format="pyarrow")
         .select_columns(["user_id", "est", "true_n"])
     )
+
+
+# Bloom filter: k=4 bit positions from the same affine post-mixes as CMS
+BLOOM_BITS = 1 << 14  # 16384 bits
+
+
+def bloom_probe(build_ds, probe_ds, key_col: str = "doc_id",
+                probe_key_col: str = "key", bits: int = BLOOM_BITS):
+    """Bloom-filter membership (Bloom 1970) — the pre-join/dedup gate: build
+    a bit array over the BUILD side's keys, then flag every PROBE key whose
+    k=4 positions are all set.
+
+    Build: per-batch partials set bits into a bounded ``bincount`` domain ->
+    ONE groupby-max -> a ``bits``-wide bitmap (2 KiB here, driver-sized and
+    broadcast — on a cluster, ``ray.put`` once).  Probe: vectorized bit
+    lookups per batch; NO shuffle touches the probe stream (that is the
+    bloom's whole point vs a semi-join).  False positives are inherent and
+    EXACTLY reproduced by the oracle, which rebuilds the identical bitmap
+    in HUGEINT arithmetic.  Output: (key, in_bloom).
+    """
+    from ray.data.aggregate import Max
+
+    def positions(h: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for a, b in CMS_ROWS:
+            p = ((_mulmod61(h, a) + np.uint64(b)) % np.uint64(M61)) % np.uint64(bits)
+            out.append(p.astype(np.int64))
+        return out
+
+    def bit_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy().astype(np.int64)
+        idx = np.unique(np.concatenate(positions(hash61(v))))
+        return pa.table(
+            {
+                "bit": pa.array(idx, pa.int64()),
+                "one": pa.array(np.ones(len(idx), np.int64), pa.int64()),
+            }
+        )
+
+    bitsdf = (
+        build_ds.map_batches(bit_partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Max("one", alias_name="set1"))
+        .to_pandas()
+    )
+    bitmap = np.zeros(bits, dtype=bool)
+    if len(bitsdf):
+        bitmap[bitsdf["bit"].to_numpy()] = True
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = batch.column(probe_key_col).to_numpy().astype(np.int64)
+        inb = np.ones(len(v), dtype=bool)
+        for p in positions(hash61(v)):
+            inb &= bitmap[p]
+        # pass-through: keep the probe stream's other columns intact
+        return batch.append_column(
+            "in_bloom", pa.array(inb.astype(np.int64), pa.int64())
+        )
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow")

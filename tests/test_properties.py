@@ -164,3 +164,28 @@ def test_cms_never_underestimates_and_is_exact_when_sparse(ray_session):
         assert r["est"] >= r["true_n"]
     exact = sum(r["est"] == r["true_n"] for r in out)
     assert exact >= len(out) - 1  # <=70 keys in 4x1024 cells: ~no collisions
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    """Bloom guarantee: every build key probes positive; with a deliberately
+    tiny bit array the false-positive rate is non-zero but bounded (sanity
+    that the 4 hash rows actually differ)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from planetiler_ray.stages.sketch import bloom_probe
+
+    n = 300
+    build = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    )
+    probe = ray.data.from_arrow(
+        pa.table({"key": pa.array(np.arange(3 * n), pa.int64())})
+    )
+    out = {r["key"]: r["in_bloom"] for r in
+           bloom_probe(build, probe, bits=1 << 10).take_all()}
+    assert all(out[k] == 1 for k in range(n))  # no false negatives, ever
+    fps = sum(out[k] for k in range(n, 3 * n))
+    # m=1024, n=300, k=4 -> p_fp ~ (1-exp(-1200/1024))^4 ~ 0.22
+    assert 0 < fps < 2 * n * 0.5
