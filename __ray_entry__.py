@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": training.q_hll_users,
         "cms_counts": training.q_cms_counts,
         "bloom_probe": training.q_bloom_probe,
+        "expr_classify": training.q_expr_classify,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
         "triangles": training.q_triangles,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": oracle.sql_cms_counts(),
         "pareto_front": oracle.sql_pareto_front(),
         "bloom_probe": oracle.sql_bloom_probe(),
+        "expr_classify": oracle.sql_expr_classify(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -2241,3 +2241,26 @@ LEFT JOIN bitset b
                   AS BIGINT)
 GROUP BY p.key, p.present
 """
+
+
+def sql_expr_classify() -> str:
+    """Mirror of ``training.q_expr_classify``: the MultiExpression rule list
+    as an ordered CASE (first match wins), patterns as LIKE."""
+    return """
+WITH c AS (
+    SELECT doc_id, n_chars,
+           CASE
+             WHEN lang = 'zh' AND n_chars >= 300 THEN 'zh_long'
+             WHEN text LIKE '%query%' OR text LIKE '%scan%' THEN 'query_page'
+             WHEN source IN ('src1', 'src2') OR source LIKE 'src1%'
+               THEN 'west_src'
+             WHEN n_chars < 120 THEN 'short'
+             ELSE 'other'
+           END AS cls
+    FROM documents
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM c GROUP BY cls
+"""

@@ -1425,3 +1425,59 @@ def q_bloom_probe(sf_dir: str):
     return sketch.bloom_probe(build, probe).select_columns(
         ["key", "present", "in_bloom"]
     )
+
+
+def q_expr_classify(sf_dir: str):
+    """MultiExpression first-match classification (the reference's tag-
+    matching DSL, ``expression/MultiExpression.java`` semantics) over
+    documents: ordered rules with IN / LIKE-pattern / numeric-cmp / boolean
+    combinators, vectorized per batch; the ordered-CASE SQL twin proves the
+    first-match dispatch exactly."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.expression import MatchCmp, MultiExpression, match_any
+
+    rules = MultiExpression(
+        [
+            ("zh_long", match_any("lang", "zh") & MatchCmp("n_chars", ">=", 300)),
+            ("query_page", match_any("text", "%query%", "%scan%")),
+            ("west_src", match_any("source", "src1", "src2", "src1%")),
+            ("short", MatchCmp("n_chars", "<", 120)),
+        ]
+    )
+    payloads = [str(p) for p, _ in rules.entries] + ["other"]
+
+    def classify(batch: pa.Table) -> pa.Table:
+        idx = rules.first_match(batch)
+        cls = np.array(payloads, dtype=object)[
+            np.where(idx >= 0, idx, len(payloads) - 1)
+        ]
+        t = pa.table(
+            {
+                "cls": pa.array(cls, pa.string()),
+                "n_chars": batch.column("n_chars"),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+        g = t.group_by("cls").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "min")]
+        )
+        return pa.table(
+            {
+                "cls": g.column("cls"),
+                "n_part": g.column("doc_id_count"),
+                "chars_part": g.column("n_chars_sum"),
+                "min_part": g.column("doc_id_min"),
+            }
+        )
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby("cls")
+        .aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("chars_part", alias_name="sum_chars"),
+            Min("min_part", alias_name="min_doc"),
+        )
+    )
