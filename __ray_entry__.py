@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
         "way_split": _q_way_split,
+        "chaikin_smooth": _q_chaikin_smooth,
         # real .osm.pbf source: hand-rolled codec -> parallel blob decode
         "pbf_way_assembly": _q_pbf_way_assembly,
         "pbf_node_tags": _q_pbf_node_tags,
@@ -150,6 +151,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # archive statistics (tilestats analogue)
         "zoom_summary": _q_zoom_summary,
     }
+
+
+def _q_chaikin_smooth(sf_dir: str):
+    """Two REAL Chaikin smoothing rounds over every assembled way on raw
+    integer-mdeg coords — dyadic-exact, so vertex counts and 1/16-mdeg
+    checksums have a bitwise SQL twin (unrolled 3p+q lag algebra)."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.chaikin_checksum_ds(sf_dir)
 
 
 def _q_route_tiles(sf_dir: str):
@@ -190,6 +200,12 @@ def _q_zoom_summary(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
+
+
+def _sql_chaikin_checksum() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_chaikin_checksum()
 
 
 def _sql_line_cover() -> str:
@@ -344,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front": oracle.sql_pareto_front(),
         "bloom_probe": oracle.sql_bloom_probe(),
         "expr_classify": oracle.sql_expr_classify(),
+        "chaikin_smooth": _sql_chaikin_checksum(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -922,3 +922,116 @@ m AS (
 SELECT ck AS rel_id, member_idx, member_id, CAST(1 AS BIGINT) AS member_type, role
 FROM m
 """
+
+
+def chaikin_checksum_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Two rounds of REAL Chaikin corner cutting (``geo/simplify.
+    smooth_chaikin`` — the ``DualMidpointSmoother.java`` analogue) over
+    every assembled way, on RAW integer-millidegree coordinates.
+
+    Exactness: with integer inputs, ``p0 + (p1-p0)*0.25`` and ``*0.75`` are
+    dyadic-exact in float64 (quarters after round 1, sixteenths after round
+    2), so the per-way vertex count and the x/y checksums in 1/16-mdeg
+    fixed point are bitwise reproducible — the DuckDB twin
+    (:func:`sql_chaikin_checksum`) unrolls both rounds as integer
+    ``3·p_i + p_{i+1}`` lag algebra.  Same bucket shape as
+    :func:`way_lines_ds` (one shuffle, thousands of ways per group call).
+    """
+    from ..geo.simplify import smooth_chaikin
+
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq", "node_id"])
+        wid = g["way_id"].to_numpy()
+        base_lat = (wid * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+        base_lon = (wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+        lat = (base_lat + (g["lat_mdeg"].to_numpy() % 2000) - 1000).astype(np.float64)
+        lon = (base_lon + (g["lon_mdeg"].to_numpy() % 2000) - 1000).astype(np.float64)
+        bounds = np.flatnonzero(np.diff(wid)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(wid)]])
+        out_w, out_n, out_x, out_y = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue  # degenerate 1-node ways dropped (way_lines parity)
+            c = np.column_stack([lon[s:e], lat[s:e]])
+            sm = smooth_chaikin(smooth_chaikin(c))
+            m16 = sm * 16.0  # exact integers (1/16-mdeg fixed point)
+            out_w.append(int(wid[s]))
+            out_n.append(len(sm))
+            out_x.append(int(m16[:, 0].sum()))
+            out_y.append(int(m16[:, 1].sum()))
+        return pd.DataFrame(
+            {"way_id": out_w, "n_pts": out_n, "sx16": out_x, "sy16": out_y}
+        )
+
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
+                    batch_format="pandas")
+    )
+
+
+def sql_chaikin_checksum() -> str:
+    """DuckDB mirror of :func:`chaikin_checksum_ds` — both Chaikin rounds
+    unrolled in integer fixed point (×4 after round 1, ×16 after round 2):
+    q_i = 3·p_i + p_{i+1}, r_i = p_i + 3·p_{i+1}, endpoints kept."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+v0 AS (
+    SELECT way_id,
+           row_number() OVER (PARTITION BY way_id ORDER BY seq, node_id) AS rn,
+           count(*) OVER (PARTITION BY way_id) AS n,
+           CAST((way_id * {WAY_ANCHOR_LON_MULT}) % 350000 - 175000
+             + ((lon_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS x,
+           CAST((way_id * {WAY_ANCHOR_LAT_MULT}) % 160000 - 80000
+             + ((lat_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS y
+    FROM joined
+),
+v AS (SELECT * FROM v0 WHERE n >= 2),
+s1 AS (
+    SELECT way_id, rn, n, x AS x0, y AS y0,
+           lead(x) OVER w AS x1, lead(y) OVER w AS y1
+    FROM v WINDOW w AS (PARTITION BY way_id ORDER BY rn)
+    QUALIFY lead(x) OVER w IS NOT NULL
+),
+r1 AS (
+    SELECT way_id, 0 AS j, 4 * x AS x, 4 * y AS y, 2 * n AS m
+    FROM v WHERE rn = 1
+    UNION ALL
+    SELECT way_id, 2 * rn - 1, 3 * x0 + x1, 3 * y0 + y1, 2 * n FROM s1
+    UNION ALL
+    SELECT way_id, 2 * rn, x0 + 3 * x1, y0 + 3 * y1, 2 * n FROM s1
+    UNION ALL
+    SELECT way_id, 2 * n - 1, 4 * x, 4 * y, 2 * n FROM v WHERE rn = n
+),
+s2 AS (
+    SELECT way_id, j, m, x AS x0, y AS y0,
+           lead(x) OVER w AS x1, lead(y) OVER w AS y1
+    FROM r1 WINDOW w AS (PARTITION BY way_id ORDER BY j)
+    QUALIFY lead(x) OVER w IS NOT NULL
+),
+r2 AS (
+    SELECT way_id, 4 * x AS x, 4 * y AS y FROM r1 WHERE j = 0
+    UNION ALL
+    SELECT way_id, 3 * x0 + x1, 3 * y0 + y1 FROM s2
+    UNION ALL
+    SELECT way_id, x0 + 3 * x1, y0 + 3 * y1 FROM s2
+    UNION ALL
+    SELECT way_id, 4 * x, 4 * y FROM r1 WHERE j = m - 1
+)
+SELECT way_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(x) AS BIGINT) AS sx16, CAST(sum(y) AS BIGINT) AS sy16
+FROM r2 GROUP BY way_id
+"""
