@@ -399,3 +399,34 @@ def test_hash61_register_distribution():
     for k in (1, 2, 3, 4):
         frac = (tz >= k).mean()
         assert abs(frac - 2.0**-k) < 0.2 * 2.0**-k, (k, frac)
+
+
+def test_multiexpression_first_match_precedence():
+    """Earlier rules shadow later ones; %patterns% and numeric cmp compose;
+    unmatched rows return -1 (the expr_classify dispatch contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from planetiler_ray.functions.expression import (
+        MatchCmp,
+        MultiExpression,
+        match_any,
+    )
+
+    rules = MultiExpression(
+        [
+            ("a", match_any("lang", "en") & MatchCmp("n", ">=", 10)),
+            ("b", match_any("txt", "%foo%")),
+            ("c", MatchCmp("n", "<", 5)),
+        ]
+    )
+    batch = pa.table(
+        {
+            "lang": ["en", "en", "de", "de"],
+            "txt": ["foo", "bar", "xfooy", "bar"],
+            "n": [12, 3, 7, 99],
+        }
+    )
+    got = rules.first_match(batch)
+    # row0: rule a wins although b also matches; row1: only c; row2: b; row3: none
+    assert np.array_equal(got, np.array([0, 2, 1, -1]))

@@ -441,3 +441,20 @@ def test_polygon_fill_census_semantics():
     # hole interior is NOT filled: its center tile must be absent
     c_mer = np.mean(q[1][:-1], axis=0) * (1 << z)
     assert (int(c_mer[0]), int(c_mer[1])) not in fills
+
+
+def test_chaikin_dyadic_exact_on_integer_coords():
+    """Two Chaikin rounds on integer inputs produce exact sixteenths —
+    (x*16) hits integers bit-for-bit (the claim behind the chaikin_smooth
+    oracle), and the corner-cutting keeps endpoints for open lines."""
+    from planetiler_ray.geo.simplify import smooth_chaikin
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(2, 9))
+        c = rng.integers(-180000, 180000, (n, 2)).astype(np.float64)
+        sm = smooth_chaikin(smooth_chaikin(c))
+        m16 = sm * 16.0
+        assert np.array_equal(m16, np.rint(m16))  # exact integers
+        assert np.array_equal(sm[0], c[0]) and np.array_equal(sm[-1], c[-1])
+        assert len(sm) == 4 * n
