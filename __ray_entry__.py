@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plain wide aggregate / relational ops
         "lineitem_agg": training.q_lineitem_agg,
         "tpch_q3": training.q_tpch_q3,
+        "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
         "distinct_langs": training.q_distinct_langs,
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": oracle.sql_bloom_probe(),
         "expr_classify": oracle.sql_expr_classify(),
         "chaikin_smooth": _sql_chaikin_checksum(),
+        "tpch_q6": oracle.sql_tpch_q6(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -2264,3 +2264,19 @@ SELECT cls, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS min_doc
 FROM c GROUP BY cls
 """
+
+
+def sql_tpch_q6() -> str:
+    """Mirror of ``training.q_tpch_q6`` — integer cents x basis points."""
+    return """
+SELECT 0 AS grp,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cbp,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+GROUP BY 1
+"""

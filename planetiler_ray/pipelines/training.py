@@ -1481,3 +1481,44 @@ def q_expr_classify(sf_dir: str):
             Min("min_part", alias_name="min_doc"),
         )
     )
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change) in exact integer cents:
+    predicate-pruned scan + per-batch partial sums -> one tiny aggregate —
+    the canonical filter-and-sum shape.  revenue_cbp = sum of
+    round(price*100) * round(discount*100) (cents x basis points, integer
+    exact on both engines)."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        dbp = np.round(disc * 100).astype(np.int64)  # basis points / 100
+        m = (ship >= lo) & (ship < hi) & (dbp >= 5) & (dbp <= 7) & (qty < 24)
+        rev = np.round(price[m] * 100).astype(np.int64) * dbp[m]
+        return pa.table(
+            {
+                "grp": pa.array([0], pa.int64()),
+                "rev_part": pa.array([int(rev.sum())], pa.int64()),
+                "n_part": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(
+            Sum("rev_part", alias_name="revenue_cbp"),
+            Sum("n_part", alias_name="n_rows"),
+        )
+    )
