@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": training.q_jaccard_pairs,
         "jaccard_rare": training.q_jaccard_rare,
         "ngram_jaccard": training.q_ngram_jaccard,
+        "edit_distance": training.q_edit_distance,
         "corpus_clean": training.q_corpus_clean,
         "minhash_lsh": training.q_minhash_lsh,
         "simhash": training.q_simhash,
@@ -363,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "expr_classify": oracle.sql_expr_classify(),
         "chaikin_smooth": _sql_chaikin_checksum(),
         "tpch_q6": oracle.sql_tpch_q6(),
+        "edit_distance": oracle.sql_edit_distance(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

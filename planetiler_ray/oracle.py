@@ -2280,3 +2280,13 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_quantity < 24
 GROUP BY 1
 """
+
+
+def sql_edit_distance() -> str:
+    """Mirror of ``training.q_edit_distance``."""
+    return """
+SELECT d1.doc_id // 2 AS pair_id, d1.doc_id AS a, d2.doc_id AS b,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS lev
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 2 = 0
+"""

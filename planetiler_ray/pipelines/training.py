@@ -1522,3 +1522,9 @@ def q_tpch_q6(sf_dir: str):
             Sum("n_part", alias_name="n_rows"),
         )
     )
+
+
+def q_edit_distance(sf_dir: str):
+    """Exact Levenshtein over id-adjacent candidate pairs — the verify
+    kernel of fuzzy dedup, with DuckDB's levenshtein() as the twin."""
+    return text.edit_distance_pairs(docs_ds(sf_dir, ["doc_id", "text"]))

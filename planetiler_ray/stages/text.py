@@ -914,3 +914,73 @@ def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _levenshtein_np(s: bytes, t: bytes) -> int:
+    """Exact unit-cost edit distance; the inner row update is fully
+    vectorized (insertion closure via the prefix-min + arange trick)."""
+    if not s:
+        return len(t)
+    if not t:
+        return len(s)
+    sa = np.frombuffer(s, dtype=np.uint8)
+    tb = np.frombuffer(t, dtype=np.uint8)
+    n = len(tb)
+    steps = np.arange(n + 1, dtype=np.int64)
+    prev = steps.copy()
+    for i, ch in enumerate(sa, 1):
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + (tb != ch))
+        seed = np.concatenate([[np.int64(i)], cand])
+        cur = np.minimum.accumulate(seed - steps) + steps
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact Levenshtein distance over candidate pairs (consecutive doc ids
+    — the verify step every fuzzy-dedup candidate generator feeds into).
+
+    Pairing is ONE native hash join on pair_id = doc_id // 2 (dense int
+    schema on both sides, the `tpch_q3` join path); the DP itself runs
+    per pair with a vectorized O(|t|) row update, so cost is
+    O(pairs · |s| · |t| / simd), never corpus-quadratic — candidates are
+    whatever the upstream LSH/blocking stage emitted (here: id-adjacent).
+    Output: (pair_id, a, b, lev) with a DuckDB ``levenshtein`` twin.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "pair_id": pa.array(ids // 2, pa.int64()),
+                "side": pa.array((ids % 2).astype(np.int64), pa.int64()),
+                "id": pa.array(ids, pa.int64()),
+                "txt": batch.column(text_col),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    left = tagged.filter(expr="side == 0").drop_columns(["side"])
+    right = tagged.filter(expr="side == 1").drop_columns(["side"])
+    joined = left.join(
+        right, join_type="inner", num_partitions=16,
+        on=("pair_id",), right_suffix="_r",
+    )
+
+    def dist(batch: pa.Table) -> pa.Table:
+        a = batch.column("txt").to_pylist()
+        b = batch.column("txt_r").to_pylist()
+        lev = [
+            _levenshtein_np(x.encode("utf-8"), y.encode("utf-8"))
+            for x, y in zip(a, b)
+        ]
+        return pa.table(
+            {
+                "pair_id": batch.column("pair_id"),
+                "a": batch.column("id"),
+                "b": batch.column("id_r"),
+                "lev": pa.array(lev, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(dist, batch_format="pyarrow")
