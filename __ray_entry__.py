@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_user": training.q_latest_per_user,
         "asof_join": training.q_asof,
         "topk_events": training.q_topk_events,
+        "topk_per_group": training.q_topk_per_group,
         # plain wide aggregate / relational ops
         "lineitem_agg": training.q_lineitem_agg,
         "tpch_q3": training.q_tpch_q3,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "chaikin_smooth": _sql_chaikin_checksum(),
         "tpch_q6": oracle.sql_tpch_q6(),
         "edit_distance": oracle.sql_edit_distance(),
+        "topk_per_group": oracle.sql_topk_per_group(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

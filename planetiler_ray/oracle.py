@@ -2290,3 +2290,17 @@ SELECT d1.doc_id // 2 AS pair_id, d1.doc_id AS a, d2.doc_id AS b,
 FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
 WHERE d1.doc_id % 2 = 0
 """
+
+
+def sql_topk_per_group(k: int = 3) -> str:
+    """Mirror of ``training.q_topk_per_group``."""
+    return f"""
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+) WHERE rk <= {k}
+"""

@@ -1528,3 +1528,36 @@ def q_edit_distance(sf_dir: str):
     """Exact Levenshtein over id-adjacent candidate pairs — the verify
     kernel of fuzzy dedup, with DuckDB's levenshtein() as the twin."""
     return text.edit_distance_pairs(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Per-group top-k (top-3 longest docs per lang, ties doc_id-asc) —
+    the grouped-ranking shape done WITHOUT a sort shuffle: per-batch
+    partial top-k per group, tiny single-block merge, rank emitted in the
+    final pass.  row_number() window twin."""
+
+    def partial(batch: pa.Table, emit_rank: bool = False) -> pa.Table:
+        lang = np.asarray(batch.column("lang").to_pandas(), dtype=object)
+        chars = batch.column("n_chars").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        order = np.lexsort((doc, -chars, lang))
+        lang, chars, doc = lang[order], chars[order], doc[order]
+        bound = np.concatenate([[True], lang[1:] != lang[:-1]])
+        grp = np.cumsum(bound) - 1
+        pos = np.arange(len(lang)) - np.concatenate([[0], np.flatnonzero(bound)[1:]])[grp]
+        keep = pos < k
+        cols = {
+            "lang": pa.array(lang[keep].tolist(), pa.string()),
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "n_chars": pa.array(chars[keep], pa.int64()),
+        }
+        if emit_rank:
+            cols["rk"] = pa.array((pos[keep] + 1).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # partial top-ks: <= groups x k rows per block
+        .map_batches(lambda b: partial(b, emit_rank=True), batch_format="pyarrow")
+    )
