@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": training.q_pack_sequences,
         "vocab_topk": training.q_vocab_topk,
         "unigram_surprisal": training.q_unigram_surprisal,
+        "bigram_surprisal": training.q_bigram_surprisal,
         "keyword_topk": training.q_keyword_topk,
         "bpe_pairs": training.q_bpe_pairs,
         "dup_spans": training.q_dup_spans,
@@ -367,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": oracle.sql_tpch_q6(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),
+        "bigram_surprisal": oracle.sql_bigram_surprisal(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

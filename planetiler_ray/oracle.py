@@ -2304,3 +2304,41 @@ FROM (
     FROM documents
 ) WHERE rk <= {k}
 """
+
+
+def sql_bigram_surprisal(bigram_k: int = 512, unigram_k: int = 256) -> str:
+    """Mirror of ``text.bigram_surprisal`` (token grammar of
+    sql_vocab_topk; adjacency via list index + constant-bound series;
+    bitlen via bin())."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok JOIN generate_series(1, 65536) s(i) ON i <= len(ts) - 1
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+vb AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, w1, w2 LIMIT {bigram_k}),
+u AS (
+  SELECT w AS token, count(*) AS c
+  FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w
+),
+vu AS (SELECT token, c FROM u ORDER BY c DESC, token LIMIT {unigram_k}),
+costs AS (
+  SELECT b.doc_id,
+         greatest(0,
+           length(bin(CAST(coalesce(vu.c, 1) AS BIGINT)))
+           - length(bin(CAST(coalesce(vb.c12, 1) AS BIGINT)))) AS cost
+  FROM bi b
+  LEFT JOIN vu ON vu.token = b.w1
+  LEFT JOIN vb ON vb.w1 = b.w1 AND vb.w2 = b.w2
+),
+agg AS (SELECT doc_id, count(*) AS n_pairs, sum(cost) AS bits
+        FROM costs GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(a.bits, 0) AS BIGINT) AS bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -1561,3 +1561,11 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
         .repartition(1)  # partial top-ks: <= groups x k rows per block
         .map_batches(lambda b: partial(b, emit_rank=True), batch_format="pyarrow")
     )
+
+
+def q_bigram_surprisal(sf_dir: str):
+    """Conditional bigram-LM quality scoring: per adjacent pair,
+    max(0, bitlen(c(w1)) - bitlen(c(w1,w2))) bits with broadcast top-512
+    bigram / top-256 unigram vocabularies — the order-2 companion of
+    unigram_surprisal, bitwise SQL twin."""
+    return text.bigram_surprisal(docs_ds(sf_dir, ["doc_id", "text"]))

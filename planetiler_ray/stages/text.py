@@ -984,3 +984,141 @@ def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return joined.map_batches(dist, batch_format="pyarrow")
+
+
+def bigram_surprisal(ds, bigram_k: int = 512, unigram_k: int = 256,
+                     col: str = "text"):
+    """Conditional bigram-LM scoring — the order-2 companion of
+    :func:`unigram_surprisal`: per adjacent token pair, integer bits
+    ``max(0, bitlen(c(w1)) - bitlen(c(w1,w2)))`` (how surprising w2 is
+    GIVEN w1), with counts outside the broadcast top-k vocabularies
+    falling back to 1.  All counting reuses the Arrow-native bigram /
+    unigram partial machinery; scoring is one vectorized pass with two
+    sorted-hash lookups (collision odds ~V·distinct·2^-64, the accepted
+    fnv64 risk class).  Output: doc_id, n_pairs, bits.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+    from ..functions.vhash import fnv64_arrow
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_part": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        valid = np.ones(n - 1, dtype=bool)
+        ends = starts[1:-1]
+        valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
+        sel = pa.array(valid)
+        t = pa.table({"w1": flat.slice(0, n - 1).filter(sel),
+                      "w2": flat.slice(1, n - 1).filter(sel)})
+        g = t.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "c_part": g.column("w1_count")})
+
+    def bi_topk(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        if len(c) > bigram_k:
+            w1 = np.asarray(batch.column("w1").to_pandas(), dtype=object)
+            w2 = np.asarray(batch.column("w2").to_pandas(), dtype=object)
+            thresh = np.partition(c, len(c) - bigram_k)[len(c) - bigram_k]
+            cand = np.flatnonzero(c >= thresh)
+            order = cand[np.lexsort((w2[cand], w1[cand], -c[cand]))][:bigram_k]
+            return batch.take(pa.array(order, pa.int64()))
+        return batch
+
+    top_bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_part", alias_name="c"))
+        .map_batches(bi_topk, batch_format="pyarrow")
+        .sort(["c", "w1", "w2"], descending=[True, False, False])
+        .limit(bigram_k)
+        .take_all()
+    )
+
+    def u_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g.column("token"), "c_part": g.column("token_count")})
+
+    def u_topk(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        if len(c) > unigram_k:
+            tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+            thresh = np.partition(c, len(c) - unigram_k)[len(c) - unigram_k]
+            cand = np.flatnonzero(c >= thresh)
+            order = cand[np.lexsort((tok[cand], -c[cand]))][:unigram_k]
+            return batch.take(pa.array(order, pa.int64()))
+        return batch
+
+    top_u = (
+        ds.map_batches(u_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .map_batches(u_topk, batch_format="pyarrow")
+        .sort(["c", "token"], descending=[True, False])
+        .limit(unigram_k)
+        .take_all()
+    )
+
+    def _bitlen(a: np.ndarray) -> np.ndarray:
+        return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+    if top_bi:
+        h1 = fnv64_arrow(pa.array([r["w1"] for r in top_bi], pa.string()))
+        h2 = fnv64_arrow(pa.array([r["w2"] for r in top_bi], pa.string()))
+        hp = h1 * GOLD + h2
+        border = np.argsort(hp)
+        bh, bcnt = hp[border], np.array([r["c"] for r in top_bi], np.int64)[border]
+    else:
+        bh, bcnt = np.empty(0, np.uint64), np.empty(0, np.int64)
+    if top_u:
+        hu = fnv64_arrow(pa.array([r["token"] for r in top_u], pa.string()))
+        uorder = np.argsort(hu)
+        uh, ucnt = hu[uorder], np.array([r["c"] for r in top_u], np.int64)[uorder]
+    else:
+        uh, ucnt = np.empty(0, np.uint64), np.empty(0, np.int64)
+
+    def _lookup(sorted_h, vals, h, default):
+        if not len(sorted_h):
+            return np.full(len(h), default, np.int64)
+        i = np.minimum(np.searchsorted(sorted_h, h), len(sorted_h) - 1)
+        found = sorted_h[i] == h
+        return np.where(found, vals[np.where(found, i, 0)], default)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        n = len(flat)
+        n_pairs_doc = np.maximum(lens - 1, 0)
+        if n >= 2:
+            h = fnv64_arrow(flat)
+            hp = h[:-1] * GOLD + h[1:]
+            c12 = _lookup(bh, bcnt, hp, 1)
+            c1 = _lookup(uh, ucnt, h[:-1], 1)
+            cost = np.maximum(0, _bitlen(c1) - _bitlen(c12))
+            starts = np.concatenate([[0], np.cumsum(lens)])
+            valid = np.ones(n - 1, dtype=bool)
+            ends = starts[1:-1]
+            valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
+            csum = np.concatenate([[0], np.cumsum(cost * valid)])
+            pe = np.minimum(starts[1:] - 1, n - 1)
+            ps = starts[:-1]
+            bits = np.where(n_pairs_doc > 0, csum[pe] - csum[ps], 0)
+        else:
+            bits = np.zeros(len(lens), np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pairs": pa.array(n_pairs_doc.astype(np.int64), pa.int64()),
+                "bits": pa.array(bits.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
