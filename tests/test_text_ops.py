@@ -336,3 +336,27 @@ def test_unigram_surprisal_ranks_garbage_higher(ray_session):
     assert bpt2 > bpt1
     assert out[2]["n_oov"] == out[2]["n_tokens"]  # all garbage OOV
     assert out[1]["n_oov"] == 0  # the 5 common words fill vocab_k=5
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    """The vectorized prefix-min DP equals DuckDB's levenshtein() on random
+    strings including empty edges — the exactness claim behind the
+    edit_distance oracle."""
+    import duckdb
+    import numpy as np
+
+    from planetiler_ray.stages.text import _levenshtein_np
+
+    rng = np.random.default_rng(0)
+    con = duckdb.connect()
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting")]
+    for _ in range(150):
+        n1, n2 = rng.integers(0, 25, 2)
+        cases.append((
+            "".join(rng.choice(list("abcd")) for _ in range(n1)),
+            "".join(rng.choice(list("abcd")) for _ in range(n2)),
+        ))
+    for s, t in cases:
+        got = _levenshtein_np(s.encode(), t.encode())
+        want = con.sql("SELECT levenshtein(?, ?)", params=[s, t]).fetchall()[0][0]
+        assert got == want, (s, t, got, want)
