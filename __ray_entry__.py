@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": training.q_pagerank,
         "triangles": training.q_triangles,
         "kcore": training.q_kcore,
+        "bfs_reach": training.q_bfs_reach,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -369,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),
+        "bfs_reach": oracle.sql_bfs_reach(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -2342,3 +2342,34 @@ SELECT d.doc_id,
        CAST(coalesce(a.bits, 0) AS BIGINT) AS bits
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def sql_bfs_reach(seed_mod: int = 101, hops: int = 3) -> str:
+    """Mirror of ``q_bfs_reach``: hop sets unrolled (r_k = r_{k-1} UNION
+    its neighbours; hop h = r_h EXCEPT r_{h-1})."""
+    parts = [f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * doc_id + t.a) % n.nn AS dst
+    FROM documents CROSS JOIN (VALUES (7), (13), (29)) t(a) CROSS JOIN n
+),
+e AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM e0 WHERE src <> dst
+),
+r0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % {seed_mod} = 0)"""]
+    for h in range(1, hops + 1):
+        parts.append(f""",
+r{h} AS (
+    SELECT node FROM r{h-1}
+    UNION
+    SELECT e.b FROM e JOIN r{h-1} r ON e.a = r.node
+    UNION
+    SELECT e.a FROM e JOIN r{h-1} r ON e.b = r.node
+)""")
+    sel = ["SELECT node AS node_id, CAST(0 AS BIGINT) AS hop FROM r0"]
+    for h in range(1, hops + 1):
+        sel.append(f"SELECT node, CAST({h} AS BIGINT) FROM"
+                   f" (SELECT node FROM r{h} EXCEPT SELECT node FROM r{h-1})")
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)

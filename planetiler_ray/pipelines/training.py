@@ -1569,3 +1569,24 @@ def q_bigram_surprisal(sf_dir: str):
     bigram / top-256 unigram vocabularies — the order-2 companion of
     unigram_surprisal, bitwise SQL twin."""
     return text.bigram_surprisal(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
+def q_bfs_reach(sf_dir: str, hops: int = 3):
+    """Bounded-hop BFS reachability (3 hops from doc_id%101==0 seeds) over
+    the pagerank link graph — frontier-broadcast iteration, fully unrolled
+    SQL twin."""
+    from ..stages import graph
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return ray.data.from_pandas(graph.bfs_hops(e, n_nodes=n, hops=hops))

@@ -292,3 +292,63 @@ def kcore_peel(edges_ds, n_nodes: int, k: int = 3, rounds: int = 3,
             "in_core": alive.astype(np.int64),
         }
     )
+
+
+def bfs_hops(edges_ds, n_nodes: int, seed_mod: int = 101, hops: int = 3,
+             src_col: str = "src", dst_col: str = "dst"):
+    """Bounded-hop BFS reachability from a seed set over the deduped
+    undirected graph — the frontier-expansion primitive (k-hop ego nets,
+    contamination spread, link-graph crawl depth).
+
+    Same iteration shape as :func:`kcore_peel`: the loop-invariant edge
+    set is deduped once and cached; each hop broadcasts the reached bitmap
+    (``ray.put``) and discovers the new frontier with per-batch partial
+    distincts -> one small groupby.  Fixed hop count keeps the SQL twin
+    fully unrollable.  Returns pandas (node_id, hop) for reached nodes,
+    hop = BFS distance (0 = seed), min over ties by construction.
+    """
+    import ray
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy()
+        t = batch.column(dst_col).to_numpy()
+        m = s != t
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[m], t[m]), pa.int64()),
+                "b": pa.array(np.maximum(s[m], t[m]), pa.int64()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # loop-invariant, reused every hop (spillable)
+    )
+
+    hop = np.full(n_nodes, -1, dtype=np.int64)
+    hop[np.arange(n_nodes) % seed_mod == 0] = 0
+    for h in range(1, hops + 1):
+        handle = ray.put(hop >= 0)
+
+        def frontier(batch: pa.Table, handle=handle) -> pa.Table:
+            r = ray.get(handle)
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            new = np.concatenate([b[r[a] & ~r[b]], a[r[b] & ~r[a]]])
+            return pa.table({"node": pa.array(np.unique(new), pa.int64())})
+
+        nf = (
+            edges.map_batches(frontier, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .to_pandas()
+        )
+        if not len(nf):
+            break
+        hop[nf["node"].to_numpy()] = h
+
+    reached = np.flatnonzero(hop >= 0)
+    return pd.DataFrame({"node_id": reached, "hop": hop[reached]})
