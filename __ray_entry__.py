@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_buffered": webgeo.q_tile_counts_buffered,
         "labelgrid_counts": webgeo.q_labelgrid_counts,
         "cell_counts": webgeo.q_cell_counts,
+        "raster_regions": webgeo.q_raster_regions,
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_buffered": oracle.sql_tile_counts_buffered(),
         "labelgrid_counts": oracle.sql_labelgrid_counts(),
         "cell_counts": oracle.sql_cell_counts(),
+        "raster_regions": oracle.sql_raster_regions(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),

@@ -573,6 +573,41 @@ def _sql_hilbert_ctes(src: str, order: int, keep: str):
     return ",\n".join(ctes), prev
 
 
+def sql_raster_regions(z: int = 6, threshold: int = 2) -> str:
+    """Twin of ``stages.tiling.raster_regions``: rebuild the occupied-cell
+    raster from the mention points, then label 4-connected regions via a
+    recursive transitive-closure CTE (min reachable cell id == the engine's
+    min-label propagation fixpoint)."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+cells AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2 HAVING count(*) >= {threshold}),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells),
+adj AS (
+    SELECT a.cell AS u, b.cell AS v FROM c a JOIN c b ON b.cell = a.cell + 1 AND a.x < {n} - 1
+    UNION ALL
+    SELECT a.cell AS u, b.cell AS v FROM c a JOIN c b ON b.cell = a.cell + {n}
+),
+bi AS (SELECT u, v FROM adj UNION ALL SELECT v AS u, u AS v FROM adj),
+reach(cell, lab) AS (
+    SELECT cell, cell AS lab FROM c
+    UNION
+    SELECT e.v AS cell, r.lab FROM reach r JOIN bi e ON e.u = r.cell
+),
+comp AS (SELECT cell, min(lab) AS region_id FROM reach GROUP BY cell)
+SELECT comp.region_id,
+       count(*) AS n_cells,
+       CAST(sum(c.n) AS BIGINT) AS n_points,
+       min(c.x) AS min_x, min(c.y) AS min_y,
+       max(c.x) AS max_x, max(c.y) AS max_y
+FROM comp JOIN c USING (cell)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_cell_counts(s2_level: int = 6, hex_src_res: int = 9, hex_res: int = 4) -> str:
     """Mirror of ``webgeo.q_cell_counts``: S2 level-6 cell (trig chain +
     unrolled Hilbert, int64 wrap reproduced via HUGEINT) x hex res-4 parent

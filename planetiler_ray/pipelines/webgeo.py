@@ -148,6 +148,20 @@ def q_tile_counts_buffered(sf_dir: str, zooms=(2, 6, 10)) -> ray.data.Dataset:
     return partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
 
 
+def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Dataset:
+    """Raster->vector round trip: rasterize all geoparsed mentions onto the
+    zoom-6 web-mercator grid, threshold to an occupied-cell binary raster,
+    label 4-connected regions with the distributed min-label propagation
+    (``stages.tiling.raster_regions``), and emit one vector feature per
+    region (cell count, point mass, integer bbox).  Exact oracle: the SQL
+    twin rebuilds the raster with ``sql_tile_expr`` and closes the regions
+    with a recursive transitive-closure CTE — min-label-per-cell agrees with
+    the engine's propagation by definition of connectedness."""
+    from ..stages.tiling import raster_regions
+
+    return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
+
+
 def q_labelgrid_counts(sf_dir: str, zooms=(2, 4), grid: float = 64.0,
                        limit: int = 8) -> ray.data.Dataset:
     """Features kept per (z, tile) after EXACT label-grid top-k (per 64px

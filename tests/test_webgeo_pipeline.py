@@ -198,3 +198,41 @@ def test_domain_cap_trims_multi_page_domains(ray_session, tmp_path):
     assert kept["example7.com"] == [7, 1004]
     assert kept["example42.com"] == [42]
     assert len(df) == 5
+
+
+@pytest.mark.parametrize("small_cells", [1 << 22, 0],
+                         ids=["driver-unionfind", "distributed"])
+def test_raster_regions_stage(ray_session, small_cells):
+    """L-shaped 3-cell region + singleton + below-threshold cell, z=3.
+    Runs both labeling paths: the bounded-raster driver union-find and the
+    distributed min-label propagation (forced via small_cells=0)."""
+    import math
+
+    import ray.data
+
+    from planetiler_ray.stages.tiling import raster_regions
+
+    def cell_latlon(x, y, z=3):
+        n = 1 << z
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        wy = (y + 0.5) / n
+        lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * wy))))
+        return lat, lon
+
+    rows = []
+    for cx, cy, npts in [(1, 1, 2), (2, 1, 2), (2, 2, 2), (5, 5, 2), (6, 6, 1)]:
+        lat, lon = cell_latlon(cx, cy)
+        rows += [{"lat": lat, "lon": lon}] * npts
+    out = (
+        raster_regions(ray.data.from_items(rows), z=3, threshold=2,
+                       small_cells=small_cells)
+        .to_pandas()
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    big = out.iloc[0]
+    assert big.region_id == 1 * 8 + 1 and big.n_cells == 3 and big.n_points == 6
+    assert (big.min_x, big.min_y, big.max_x, big.max_y) == (1, 1, 2, 2)
+    single = out.iloc[1]
+    assert single.region_id == 5 * 8 + 5 and single.n_cells == 1 and single.n_points == 2
