@@ -597,14 +597,24 @@ reach(cell, lab) AS (
     UNION
     SELECT e.v AS cell, r.lab FROM reach r JOIN bi e ON e.u = r.cell
 ),
-comp AS (SELECT cell, min(lab) AS region_id FROM reach GROUP BY cell)
-SELECT comp.region_id,
-       count(*) AS n_cells,
-       CAST(sum(c.n) AS BIGINT) AS n_points,
-       min(c.x) AS min_x, min(c.y) AS min_y,
-       max(c.x) AS max_x, max(c.y) AS max_y
-FROM comp JOIN c USING (cell)
-GROUP BY 1 ORDER BY 1
+comp AS (SELECT cell, min(lab) AS region_id FROM reach GROUP BY cell),
+agg AS (
+    SELECT comp.region_id,
+           count(*) AS n_cells,
+           CAST(sum(c.n) AS BIGINT) AS n_points,
+           min(c.x) AS min_x, min(c.y) AS min_y,
+           max(c.x) AS max_x, max(c.y) AS max_y
+    FROM comp JOIN c USING (cell)
+    GROUP BY 1),
+epr AS (
+    SELECT comp.region_id, count(*) AS e
+    FROM adj JOIN comp ON comp.cell = adj.u
+    GROUP BY 1)
+SELECT agg.region_id, agg.n_cells, agg.n_points,
+       CAST(4 * agg.n_cells - 2 * coalesce(epr.e, 0) AS BIGINT) AS perimeter,
+       agg.min_x, agg.min_y, agg.max_x, agg.max_y
+FROM agg LEFT JOIN epr USING (region_id)
+ORDER BY 1
 """
 
 

@@ -164,15 +164,10 @@ def slice_points(batch: pa.Table, zooms=None, buffer_px: float = 4.0,
 
 # ----------------------------------------------------- raster <-> vector --
 
-def _label_grid_components(cells: np.ndarray, n_side: int) -> np.ndarray:
-    """Vectorized union-find over a sorted occupied-cell array: returns the
-    component-min cell id per cell.  4-connectivity edges come from sorted
-    membership probes (searchsorted east/south); labels converge by
-    min-propagation + pointer jumping in O(log diameter) numpy passes."""
+def _grid_edges(cells: np.ndarray, n_side: int):
+    """4-connectivity edges (index pairs) of a SORTED occupied-cell array
+    via sorted membership probes (searchsorted east/south)."""
     m = len(cells)
-    lab = np.arange(m, dtype=np.int64)
-    if m == 0:
-        return cells
     x = cells % n_side
     eis, ejs = [], []
     for delta, mask in ((1, x < n_side - 1), (n_side, np.ones(m, bool))):
@@ -182,8 +177,20 @@ def _label_grid_components(cells: np.ndarray, n_side: int) -> np.ndarray:
         ok[ok] = cells[pos[ok]] == tgt[ok]
         eis.append(np.flatnonzero(ok))
         ejs.append(pos[ok])
-    ei = np.concatenate(eis)
-    ej = np.concatenate(ejs)
+    return np.concatenate(eis), np.concatenate(ejs)
+
+
+def _label_grid_components(cells: np.ndarray, n_side: int,
+                           edges=None) -> np.ndarray:
+    """Vectorized union-find over a sorted occupied-cell array: returns the
+    component-min cell id per cell.  4-connectivity edges come from sorted
+    membership probes (searchsorted east/south); labels converge by
+    min-propagation + pointer jumping in O(log diameter) numpy passes."""
+    m = len(cells)
+    lab = np.arange(m, dtype=np.int64)
+    if m == 0:
+        return cells
+    ei, ej = _grid_edges(cells, n_side) if edges is None else edges
     while True:
         before = lab.copy()
         low = np.minimum(lab[ei], lab[ej])
@@ -277,7 +284,8 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
         order = np.argsort(df["cell"].to_numpy())
         cells = df["cell"].to_numpy()[order]
         nvals = df["n"].to_numpy()[order]
-        region = _label_grid_components(cells, n_side)
+        ei, ej = _grid_edges(cells, n_side)
+        region = _label_grid_components(cells, n_side, edges=(ei, ej))
         x = cells % n_side
         y = cells // n_side
         uniq, inv, counts = np.unique(region, return_inverse=True,
@@ -285,6 +293,10 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
         k = len(uniq)
         npts = np.zeros(k, np.int64)
         np.add.at(npts, inv, nvals)
+        # perimeter in cell-edge units: 4 per cell minus 2 per internal edge
+        edge_cnt = np.zeros(k, np.int64)
+        np.add.at(edge_cnt, inv[ei], 1)
+        perim = 4 * counts.astype(np.int64) - 2 * edge_cnt
         minx = np.full(k, n_side, np.int64)
         miny = np.full(k, n_side, np.int64)
         maxx = np.full(k, -1, np.int64)
@@ -297,6 +309,7 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
             "region_id": pa.array(uniq, pa.int64()),
             "n_cells": pa.array(counts.astype(np.int64), pa.int64()),
             "n_points": pa.array(npts, pa.int64()),
+            "perimeter": pa.array(perim, pa.int64()),
             "min_x": pa.array(minx, pa.int64()),
             "min_y": pa.array(miny, pa.int64()),
             "max_x": pa.array(maxx, pa.int64()),
@@ -352,35 +365,52 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
 
     def add_xy(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy()
+        deg = batch.column("deg").to_numpy()
         return (
             batch.append_column("x", pa.array(cell % n_side, pa.int64()))
             .append_column("y", pa.array(cell // n_side, pa.int64()))
+            .append_column("perim_part", pa.array(4 - deg, pa.int64()))
         )
 
-    # merge labels x counts WITHOUT a binary join: each side holds exactly
-    # one row per occupied cell, so union + groupby-sum with 0-fill on the
-    # missing column reconstructs the joined row (robust to empty shuffle
-    # partitions, one exchange)
-    def zero_fill(n_col: bool):
+    # merge labels x counts x degrees WITHOUT a binary join: the first two
+    # sides hold exactly one row per occupied cell, so union + groupby-sum
+    # with 0-fill on the missing columns reconstructs the joined row
+    # (robust to empty shuffle partitions, one exchange); the degree side
+    # adds 1 per internal-edge endpoint for the perimeter measure.
+    def fill_cols(keep: str):
         def f(batch: pa.Table) -> pa.Table:
-            zeros = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
-            if n_col:
-                return pa.table(
-                    {"cell": batch.column("cell"), "n": batch.column("n"),
-                     "region_id": zeros}
-                )
-            return pa.table(
-                {"cell": batch.column("cell"), "n": zeros,
-                 "region_id": batch.column("region_id")}
-            )
+            def zeros():
+                return pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+
+            return pa.table({
+                "cell": batch.column("cell"),
+                "n": batch.column("n") if keep == "n" else zeros(),
+                "region_id": (batch.column("region_id")
+                              if keep == "region_id" else zeros()),
+                "deg": (batch.column("deg") if keep == "deg" else zeros()),
+            })
 
         return f
 
+    def edge_degrees(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table({
+            "cell": pa.array(np.concatenate([a, b]), pa.int64()),
+            "deg": pa.array(np.ones(2 * len(a), np.int64), pa.int64()),
+        })
+
     merged = (
-        occ.map_batches(zero_fill(True), batch_format="pyarrow")
-        .union(labels.map_batches(zero_fill(False), batch_format="pyarrow"))
+        occ.map_batches(fill_cols("n"), batch_format="pyarrow")
+        .union(labels.map_batches(fill_cols("region_id"), batch_format="pyarrow"))
+        .union(adj.map_batches(edge_degrees, batch_format="pyarrow")
+               .map_batches(fill_cols("deg"), batch_format="pyarrow"))
         .groupby("cell")
-        .aggregate(Sum("n", alias_name="n"), Sum("region_id", alias_name="region_id"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("region_id", alias_name="region_id"),
+            Sum("deg", alias_name="deg"),
+        )
     )
     return (
         merged.map_batches(add_xy, batch_format="pyarrow")
@@ -388,6 +418,7 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
         .aggregate(
             Count(alias_name="n_cells"),
             Sum("n", alias_name="n_points"),
+            Sum("perim_part", alias_name="perimeter"),
             Min("x", alias_name="min_x"),
             Min("y", alias_name="min_y"),
             Max("x", alias_name="max_x"),

@@ -234,5 +234,7 @@ def test_raster_regions_stage(ray_session, small_cells):
     big = out.iloc[0]
     assert big.region_id == 1 * 8 + 1 and big.n_cells == 3 and big.n_points == 6
     assert (big.min_x, big.min_y, big.max_x, big.max_y) == (1, 1, 2, 2)
+    assert big.perimeter == 8  # L-tromino: 4*3 cells - 2*2 internal edges
     single = out.iloc[1]
     assert single.region_id == 5 * 8 + 5 and single.n_cells == 1 and single.n_points == 2
+    assert single.perimeter == 4
