@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelgrid_counts": webgeo.q_labelgrid_counts,
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
+        "zonal_stats": webgeo.q_zonal_stats,
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "labelgrid_counts": oracle.sql_labelgrid_counts(),
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
+        "zonal_stats": oracle.sql_zonal_stats(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),

@@ -618,6 +618,39 @@ ORDER BY 1
 """
 
 
+def sql_zonal_stats(z: int = 8) -> str:
+    """Twin of ``stages.tiling.zonal_stats`` over the nation admin grid:
+    rebuild the zoom-z density raster from the mention points, box-join
+    occupied cells to each nation's tile-space range (same half-open
+    edge rule, same forward-mercator chain), reduce per zone."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF} + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W})"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF} + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H})"
+    lon_e = f"({lon_w} + {W.ADMIN_LON_W})"
+    lat_n = f"({lat_s} + {W.ADMIN_LAT_H})"
+    xw, _ = sql_tile_expr("0.0", lon_w, str(z))
+    xe, _ = sql_tile_expr("0.0", lon_e, str(z))
+    _, yn = sql_tile_expr(lat_n, "0.0", str(z))
+    _, ys = sql_tile_expr(lat_s, "0.0", str(z))
+    return f"""
+WITH {POINTS_CTE},
+cells AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+zones AS (
+    SELECT n.n_nationkey AS zone_id,
+           {xw} AS x_w, {xe} AS x_e, {yn} AS y_n, {ys} AS y_s
+    FROM nation n)
+SELECT z.zone_id,
+       count(*) AS n_cells,
+       CAST(sum(c.n) AS BIGINT) AS n_points,
+       CAST(max(c.n) AS BIGINT) AS max_cell_n
+FROM cells c JOIN zones z
+  ON c.x >= z.x_w AND c.x < z.x_e AND c.y >= z.y_n AND c.y < z.y_s
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_cell_counts(s2_level: int = 6, hex_src_res: int = 9, hex_res: int = 4) -> str:
     """Mirror of ``webgeo.q_cell_counts``: S2 level-6 cell (trig chain +
     unrolled Hilbert, int64 wrap reproduced via HUGEINT) x hex res-4 parent

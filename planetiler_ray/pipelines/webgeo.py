@@ -162,6 +162,25 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_zonal_stats(sf_dir: str, z: int = 8) -> ray.data.Dataset:
+    """Raster zonal statistics: mention-density raster at zoom ``z`` reduced
+    per admin zone (count of occupied cells, total point mass, hottest
+    cell).  Exact oracle: the SQL twin rebuilds the raster with
+    ``sql_tile_expr`` and box-joins cells to the nation grid in tile space
+    with the same half-open edge rule."""
+    from ..sources.world import admin_rect
+    from ..stages.tiling import zonal_stats
+
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    rects = []
+    for k in keys.column("n_nationkey").to_numpy():
+        lon0, lat0, lon1, lat1 = admin_rect(int(k))
+        rects.append((int(k), lon0, lat0, lon1, lat1))
+    return zonal_stats(mentions_ds(sf_dir), rects, z=z)
+
+
 def q_labelgrid_counts(sf_dir: str, zooms=(2, 4), grid: float = 64.0,
                        limit: int = 8) -> ray.data.Dataset:
     """Features kept per (z, tile) after EXACT label-grid top-k (per 64px

@@ -164,6 +164,80 @@ def slice_points(batch: pa.Table, zooms=None, buffer_px: float = 4.0,
 
 # ----------------------------------------------------- raster <-> vector --
 
+def zonal_stats(points_ds, rect_rows, z: int = 8,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    """Raster zonal statistics: rasterize points onto the zoom-``z``
+    web-mercator grid (per-batch partial counts -> ONE bounded groupby-sum,
+    state <= 4**z cells), then assign each occupied cell to the axis-aligned
+    zone whose tile-space range covers it and reduce per zone.
+
+    ``rect_rows`` is the tiny zone table [(zone_id, lon_w, lat_s, lon_e,
+    lat_n)] — broadcast by value into the cell->zone map stage (closure over
+    a few hundred floats, NOT a shuffle join).  Zone ranges are half-open in
+    tile space: a cell cx belongs to the zone iff ``tile(lon_w) <= cx <
+    tile(lon_e)`` (same for y with the north edge first, since world-y grows
+    southward) — both computed with the identical forward-mercator chain the
+    tile oracles mirror, so the assignment is float-parity-exact against
+    SQL.  Fringe cells outside every zone are dropped on both sides.
+
+    Output per zone: (zone_id, n_cells, n_points, max_cell_n) — the classic
+    zonal max/sum/count over a density raster.  Scale: the raster is
+    bounded by 4**z regardless of input rows; the zone map is O(log zones)
+    per cell via two searchsorted probes when zones form a grid, O(zones)
+    otherwise (here: linear scan over <=25 rects, vectorized per column).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    n_side = 1 << z
+    zone_id = np.array([r[0] for r in rect_rows], np.int64)
+    x_w = mercator.world_to_tile(
+        mercator.lon_to_world_x(np.array([r[1] for r in rect_rows])), z)
+    x_e = mercator.world_to_tile(
+        mercator.lon_to_world_x(np.array([r[3] for r in rect_rows])), z)
+    y_n = mercator.world_to_tile(
+        mercator.lat_to_world_y(np.array([r[4] for r in rect_rows])), z)
+    y_s = mercator.world_to_tile(
+        mercator.lat_to_world_y(np.array([r[2] for r in rect_rows])), z)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def assign_zone(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        n = batch.column("n").to_numpy()
+        cx = cell % n_side
+        cy = cell // n_side
+        zid = np.full(len(cell), -1, np.int64)
+        for i in range(len(zone_id)):
+            m = (cx >= x_w[i]) & (cx < x_e[i]) & (cy >= y_n[i]) & (cy < y_s[i])
+            zid[m] = zone_id[i]
+        keep = zid >= 0
+        return pa.table({
+            "zone_id": pa.array(zid[keep], pa.int64()),
+            "n": pa.array(n[keep], pa.int64()),
+        })
+
+    return (
+        points_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(assign_zone, batch_format="pyarrow")
+        .groupby("zone_id")
+        .aggregate(
+            Count(alias_name="n_cells"),
+            Sum("n", alias_name="n_points"),
+            Max("n", alias_name="max_cell_n"),
+        )
+    )
+
+
 def _grid_edges(cells: np.ndarray, n_side: int):
     """4-connectivity edges (index pairs) of a SORTED occupied-cell array
     via sorted membership probes (searchsorted east/south)."""

@@ -238,3 +238,30 @@ def test_raster_regions_stage(ray_session, small_cells):
     single = out.iloc[1]
     assert single.region_id == 5 * 8 + 5 and single.n_cells == 1 and single.n_points == 2
     assert single.perimeter == 4
+
+
+def test_zonal_stats_stage(ray_session):
+    """Two zones; cells assigned by half-open tile ranges; max/sum/count."""
+    import ray.data
+
+    from planetiler_ray.stages.tiling import zonal_stats
+
+    # zone 0: lon [-180, -90), lat [-85, 0); zone 1: lon [0, 90), lat [0, 85)
+    rects = [(0, -180.0, -85.0, -90.0, 0.0), (1, 0.0, 0.0, 90.0, 85.0)]
+    rows = (
+        [{"lat": -40.0, "lon": -120.0}] * 3   # one hot cell in zone 0
+        + [{"lat": -41.0, "lon": -100.0}]     # second zone-0 cell
+        + [{"lat": 40.0, "lon": 45.0}] * 2    # zone 1
+        + [{"lat": 40.0, "lon": 120.0}]       # outside every zone: dropped
+    )
+    out = (
+        zonal_stats(ray.data.from_items(rows), rects, z=6)
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    assert out["zone_id"].tolist() == [0, 1]
+    z0 = out.iloc[0]
+    assert (z0.n_cells, z0.n_points, z0.max_cell_n) == (2, 4, 3)
+    z1 = out.iloc[1]
+    assert (z1.n_cells, z1.n_points, z1.max_cell_n) == (1, 2, 2)
