@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
+        "raster_distance": webgeo.q_raster_distance,
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),
+        "raster_distance": oracle.sql_raster_distance(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),

@@ -651,6 +651,44 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sql_raster_distance(z: int = 6, threshold: int = 2, max_dist: int = 2) -> str:
+    """Twin of ``stages.tiling.raster_distance``: rebuild the occupied
+    raster, then unroll ``max_dist`` BFS expansions (4-neighbor arithmetic
+    with bound guards, EXCEPT against everything already labeled) and count
+    cells per hop distance."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+
+    def nbrs(src: str) -> str:
+        return (
+            f"SELECT cell + 1 AS cell FROM {src} WHERE cell % {n} < {n} - 1"
+            f" UNION SELECT cell - 1 FROM {src} WHERE cell % {n} > 0"
+            f" UNION SELECT cell + {n} FROM {src} WHERE cell // {n} < {n} - 1"
+            f" UNION SELECT cell - {n} FROM {src} WHERE cell // {n} > 0"
+        )
+
+    ctes = [
+        f"cellcnt AS (SELECT {tx} AS x, {ty} AS y, count(*) AS n"
+        f" FROM points p GROUP BY 1, 2)",
+        f"d0 AS (SELECT y * {n} + x AS cell FROM cellcnt WHERE n >= {threshold})",
+    ]
+    seen = "SELECT cell FROM d0"
+    for d in range(1, max_dist + 1):
+        ctes.append(f"n{d} AS ({nbrs(f'd{d-1}')})")
+        ctes.append(f"d{d} AS (SELECT cell FROM n{d} EXCEPT ({seen}))")
+        seen += f" UNION SELECT cell FROM d{d}"
+    levels = " UNION ALL ".join(
+        f"SELECT cell, {d} AS dist FROM d{d}" for d in range(max_dist + 1)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {POINTS_CTE},
+{body},
+lab AS ({levels})
+SELECT dist, count(*) AS n_cells FROM lab GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_cell_counts(s2_level: int = 6, hex_src_res: int = 9, hex_res: int = 4) -> str:
     """Mirror of ``webgeo.q_cell_counts``: S2 level-6 cell (trig chain +
     unrolled Hilbert, int64 wrap reproduced via HUGEINT) x hex res-4 parent

@@ -181,6 +181,24 @@ def q_zonal_stats(sf_dir: str, z: int = 8) -> ray.data.Dataset:
     return zonal_stats(mentions_ds(sf_dir), rects, z=z)
 
 
+def q_raster_distance(sf_dir: str, z: int = 6, threshold: int = 2,
+                      max_dist: int = 2) -> ray.data.Dataset:
+    """Proximity-raster census: hop-distance histogram of the grid distance
+    transform (``stages.tiling.raster_distance``) — how many cells sit at
+    0/1/2 hops from the nearest occupied cell.  Exact oracle: unrolled BFS
+    expansion in SQL over the same rebuilt raster."""
+    from ray.data.aggregate import Count
+
+    from ..stages.tiling import raster_distance
+
+    return (
+        raster_distance(mentions_ds(sf_dir), z=z, threshold=threshold,
+                        max_dist=max_dist)
+        .groupby("dist")
+        .aggregate(Count(alias_name="n_cells"))
+    )
+
+
 def q_labelgrid_counts(sf_dir: str, zooms=(2, 4), grid: float = 64.0,
                        limit: int = 8) -> ray.data.Dataset:
     """Features kept per (z, tile) after EXACT label-grid top-k (per 64px

@@ -238,6 +238,78 @@ def zonal_stats(points_ds, rect_rows, z: int = 8,
     )
 
 
+def raster_distance(points_ds, z: int = 6, threshold: int = 2,
+                    max_dist: int = 2,
+                    lat_col: str = "lat", lon_col: str = "lon"):
+    """Grid distance transform (proximity raster): hop distance from every
+    cell to the nearest occupied cell, capped at ``max_dist`` — the raster
+    op behind "distance to nearest road/coast" layers.
+
+    Multi-source BFS as Dataset rounds: the occupied raster (ONE combining
+    shuffle, state <= 4**z cells) seeds dist=0; each round expands the
+    frontier by the 4 arithmetic neighbors (no edge table — neighbors are
+    cell±1 / cell±n_side with bound guards) and a groupby-min keeps the
+    first (= shortest) label per cell.  Exactly ``max_dist`` rounds, each a
+    small shuffle over <= 5x the labeled set; per-round state is bounded by
+    the raster size, never by input rows.
+
+    Returns (cell, dist) with dist in [0, max_dist].
+    """
+    from ray.data.aggregate import Min, Sum
+
+    n_side = 1 << z
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        cell = batch.column("cell").to_numpy()[n >= threshold]
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "dist": pa.array(np.zeros(len(cell), np.int64), pa.int64()),
+        })
+
+    state = (
+        points_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        dist = batch.column("dist").to_numpy()
+        x = cell % n_side
+        y = cell // n_side
+        outs_c, outs_d = [cell], [dist]
+        for delta, mask in ((1, x < n_side - 1), (-1, x > 0),
+                            (n_side, y < n_side - 1), (-n_side, y > 0)):
+            outs_c.append(cell[mask] + delta)
+            outs_d.append(dist[mask] + 1)
+        return pa.table({
+            "cell": pa.array(np.concatenate(outs_c), pa.int64()),
+            "dist": pa.array(np.concatenate(outs_d), pa.int64()),
+        })
+
+    for _ in range(max_dist):
+        state = (
+            state.map_batches(expand, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+    return state
+
+
 def _grid_edges(cells: np.ndarray, n_side: int):
     """4-connectivity edges (index pairs) of a SORTED occupied-cell array
     via sorted membership probes (searchsorted east/south)."""

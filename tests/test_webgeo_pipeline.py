@@ -265,3 +265,24 @@ def test_zonal_stats_stage(ray_session):
     assert (z0.n_cells, z0.n_points, z0.max_cell_n) == (2, 4, 3)
     z1 = out.iloc[1]
     assert (z1.n_cells, z1.n_points, z1.max_cell_n) == (1, 2, 2)
+
+
+def test_raster_distance_stage(ray_session):
+    """Single occupied cell at (4,4), z=3: dist ring sizes 1/4/8 (capped 2)."""
+    import math
+
+    import ray.data
+
+    from planetiler_ray.stages.tiling import raster_distance
+
+    n = 8
+    lon = (4 + 0.5) / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * (4 + 0.5) / n))))
+    out = (
+        raster_distance(ray.data.from_items([{"lat": lat, "lon": lon}] * 2),
+                        z=3, threshold=2, max_dist=2)
+        .to_pandas()
+    )
+    by_d = out.groupby("dist")["cell"].count().to_dict()
+    assert by_d == {0: 1, 1: 4, 2: 8}
+    assert set(out[out.dist == 0]["cell"]) == {4 * 8 + 4}
