@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
         "raster_distance": webgeo.q_raster_distance,
+        "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "raster_distance": oracle.sql_raster_distance(),
+        "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),

@@ -827,6 +827,53 @@ SELECT s2_l6, hex_r4, count(*) AS n FROM cells GROUP BY 1, 2
 """
 
 
+def sql_hex_smooth(res: int = 7) -> str:
+    """Twin of ``webgeo.q_hex_smooth``: the hex axial-rounding chain
+    (operand-for-operand vs ``geo/hexgrid.py``), then a 7-direction VALUES
+    expansion and sum per destination cell."""
+    size = f"(0.5 / {1 << res})"
+    return f"""
+WITH {POINTS_CTE},
+w AS (
+    SELECT (p.lon + 180.0) / 360.0 AS wx,
+           least(greatest(
+               0.5 - 0.25 * ln((1.0 + sin(radians(least(greatest(p.lat, {-MAX_LAT}), {MAX_LAT}))))
+                             / (1.0 - sin(radians(least(greatest(p.lat, {-MAX_LAT}), {MAX_LAT})))))
+                   / pi(), 0.0), 1.0) AS wy
+    FROM points p
+),
+ax AS (
+    SELECT (sqrt(3.0) / 3.0 * wx - 1.0 / 3.0 * wy) / {size} AS qf,
+           (2.0 / 3.0 * wy) / {size} AS rf
+    FROM w
+),
+rnd AS (
+    SELECT *, round_even(qf, 0) AS rx, round_even(-qf - rf, 0) AS ry,
+              round_even(rf, 0) AS rz
+    FROM ax
+),
+fx AS (
+    SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+    FROM rnd
+),
+hexq AS (
+    SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+           CAST(CASE WHEN (NOT (dx > dy AND dx > dz)) AND dz > dy
+                     THEN -(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END) - ry
+                     ELSE rz END AS BIGINT) AS r
+    FROM fx
+),
+cellcnt AS (SELECT q, r, count(*) AS n FROM hexq GROUP BY 1, 2),
+dirs AS (SELECT * FROM (VALUES (0, 0), (1, 0), (1, -1), (0, -1),
+                               (-1, 0), (-1, 1), (0, 1)) AS d(dq, dr))
+SELECT (CAST({res} AS BIGINT) << 60)
+         | ((c.q + d.dq + 536870912) << 30) | (c.r + d.dr + 536870912) AS hex_id,
+       CAST(sum(c.n) AS BIGINT) AS n_smooth
+FROM cellcnt c CROSS JOIN dirs d
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_neardup_planted() -> str:
     """Mirror of ``training.q_neardup_planted``: with planted siblings the
     exact near-dup answer is the sibling pairs themselves."""

@@ -375,6 +375,52 @@ def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_hex_smooth(sf_dir: str, res: int = 7) -> ray.data.Dataset:
+    """Hex k-ring smoothing (H3 kRing surface): per-hex mention counts at
+    resolution ``res`` convolved over ring-1 (each cell's smoothed value =
+    sum of its own + 6 neighbors' counts) — the hotspot-smoothing /
+    choropleth-prep primitive.  Scale pattern: per-batch partial counts ->
+    ONE groupby-sum over occupied hexes -> arithmetic 7-way ring expansion
+    (no neighbor table, no join) -> second bounded groupby-sum.  ORACLE:
+    the SQL twin mirrors the axial rounding chain and expands the same 7
+    direction vectors."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import hexgrid, mercator
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        wx = mercator.lon_to_world_x(lon)
+        wy = mercator.lat_to_world_y(lat)
+        cid = hexgrid.hex_cell(wx, wy, res)
+        u, c = np.unique(cid, return_counts=True)
+        return pa.table(
+            {"hex_id": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def expand_ring(batch: pa.Table) -> pa.Table:
+        cid = batch.column("hex_id").to_numpy()
+        n = batch.column("n").to_numpy()
+        ring = hexgrid.hex_ring1(cid)  # (N, 6)
+        ids = np.concatenate([cid, ring.ravel()])
+        vals = np.concatenate([n, np.repeat(n, 6)])
+        return pa.table(
+            {"hex_id": pa.array(ids, pa.int64()),
+             "n_sm": pa.array(vals, pa.int64())}
+        )
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hex_id")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(expand_ring, batch_format="pyarrow")
+        .groupby("hex_id")
+        .aggregate(Sum("n_sm", alias_name="n_smooth"))
+    )
+
+
 # ------------------------------------------------- real pages-table inputs --
 
 def write_pages_parquet(sf_dir: str, out_dir: str, repl: int = 1):

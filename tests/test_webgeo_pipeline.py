@@ -286,3 +286,15 @@ def test_raster_distance_stage(ray_session):
     by_d = out.groupby("dist")["cell"].count().to_dict()
     assert by_d == {0: 1, 1: 4, 2: 8}
     assert set(out[out.dist == 0]["cell"]) == {4 * 8 + 4}
+
+
+def test_hex_ring1_neighbors_symmetric_no_ray():
+    """Ring-1 is symmetric: b in ring(a) <=> a in ring(b); 6 distinct ids."""
+    from planetiler_ray.geo import hexgrid
+
+    cid = hexgrid.hex_cell(np.array([0.37]), np.array([0.61]), 7)
+    ring = hexgrid.hex_ring1(cid)[0]
+    assert len(set(ring.tolist())) == 6 and cid[0] not in ring
+    for nbr in ring:
+        back = hexgrid.hex_ring1(np.array([nbr]))[0]
+        assert cid[0] in back
