@@ -147,6 +147,22 @@ ORDER BY p.doc_id, p.mention_idx
 """
 
 
+def sql_radius_join(radius: float = 25.0) -> str:
+    """Twin of ``webgeo.q_radius_join``: LEFT join on the squared-euclidean
+    degree-space distance test (pure IEEE arithmetic, no libm)."""
+    poi_lon = f"((s.s_suppkey * {W.POI_LON_MULT}) % 360000 - 180000) / 1000.0"
+    poi_lat = f"((s.s_suppkey * {W.POI_LAT_MULT}) % 170000 - 85000) / 1000.0"
+    r2 = radius * radius
+    return f"""
+WITH {POINTS_CTE}
+SELECT p.doc_id, p.mention_idx, count(s.s_suppkey) AS poi_within
+FROM points p LEFT JOIN supplier s
+  ON (p.lon - {poi_lon}) * (p.lon - {poi_lon})
+   + (p.lat - {poi_lat}) * (p.lat - {poi_lat}) <= {r2!r}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_knn() -> str:
     poi_lon = f"((s.s_suppkey * {W.POI_LON_MULT}) % 360000 - 180000) / 1000.0"
     poi_lat = f"((s.s_suppkey * {W.POI_LAT_MULT}) % 170000 - 85000) / 1000.0"

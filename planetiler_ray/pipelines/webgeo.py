@@ -310,6 +310,29 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_radius_join(sf_dir: str, radius: float = 25.0) -> ray.data.Dataset:
+    """Radius search (PointIndex ``count_within`` surface): POIs within
+    ``radius`` degrees of each mention, counted — the proximity-enrichment
+    companion of the kNN join.  POI table broadcast once per actor
+    (ray.put), per-batch vectorized distance scan; zero-count mentions are
+    kept (LEFT-join semantics).  Exact oracle: the distance test is pure
+    IEEE arithmetic (subtract/multiply/compare — no libm), identical on
+    both sides."""
+    handle = ray.put(load_pois(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            KNNJoiner,
+            fn_constructor_args=(handle,),
+            fn_constructor_kwargs={"within_radius": radius},
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .select_columns(["doc_id", "mention_idx", "poi_within"])
+    )
+
+
 def enriched_points_ds(sf_dir: str, repl: int = 1) -> ray.data.Dataset:
     """Mentions + admin + poi + s2/hex cells: the full feature table that
     feeds the tile shuffle.  ONE fused actor-pool stage (indexes built once
