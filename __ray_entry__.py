@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         "radius_join": webgeo.q_radius_join,
+        "co_mentions": webgeo.q_co_mentions,
         "url_parse": webgeo.q_url_parse,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
         "radius_join": oracle.sql_radius_join(),
+        "co_mentions": oracle.sql_co_mentions(),
         "url_parse": oracle.sql_url_parse(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),

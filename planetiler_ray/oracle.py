@@ -147,6 +147,24 @@ ORDER BY p.doc_id, p.mention_idx
 """
 
 
+def sql_co_mentions() -> str:
+    """Twin of ``webgeo.q_co_mentions``: distinct (doc, admin) via the box
+    join, self-joined on doc with admin_a < admin_b, counted."""
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W}"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H}"
+    return f"""
+WITH {POINTS_CTE},
+adm AS (
+    SELECT DISTINCT p.doc_id, n.n_nationkey AS admin_id
+    FROM points p JOIN nation n
+      ON p.lon >= {lon_w} AND p.lon < {lon_w} + {W.ADMIN_LON_W}
+     AND p.lat >= {lat_s} AND p.lat < {lat_s} + {W.ADMIN_LAT_H})
+SELECT a.admin_id AS admin_a, b.admin_id AS admin_b, count(*) AS n_docs
+FROM adm a JOIN adm b ON a.doc_id = b.doc_id AND a.admin_id < b.admin_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_radius_join(radius: float = 25.0) -> str:
     """Twin of ``webgeo.q_radius_join``: LEFT join on the squared-euclidean
     degree-space distance test (pure IEEE arithmetic, no libm)."""

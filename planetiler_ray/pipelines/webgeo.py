@@ -310,6 +310,87 @@ def q_knn(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_co_mentions(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Co-occurrence graph construction: for every document, the unordered
+    pairs of admin regions it mentions together, counted across the corpus
+    — the entity-graph edge-weight primitive (mirrors how a web-scale
+    pipeline builds location co-occurrence graphs from geoparsed text).
+
+    Scale shape: PIP enrich (broadcast polygons, actor pool) -> doc-hash
+    BUCKET regroup (thousands of docs per group call, never
+    groupby(doc_id)'s tiny groups) -> vectorized in-bucket pair emission
+    (lexsort + offset-diagonal scan; per-doc fan-out bounded by the
+    mention cap) -> partial pair counts -> ONE small groupby-sum.
+    """
+    from ray.data.aggregate import Sum
+
+    handle = ray.put(load_admin_polygons(sf_dir))
+    enriched = (
+        mentions_ds(sf_dir)
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .filter(expr="admin_id >= 0")
+        .map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "admin_id": b.column("admin_id"),
+                "bkt": pa.array(
+                    b.column("doc_id").to_numpy() % n_buckets, pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy()
+        adm = g.column("admin_id").to_numpy()
+        order = np.lexsort((adm, doc))
+        doc, adm = doc[order], adm[order]
+        # distinct (doc, admin) rows
+        keep = np.ones(len(doc), bool)
+        keep[1:] = (doc[1:] != doc[:-1]) | (adm[1:] != adm[:-1])
+        doc, adm = doc[keep], adm[keep]
+        pairs_a, pairs_b = [], []
+        d = 1
+        while True:
+            if d >= len(doc):
+                break
+            same = doc[d:] == doc[:-d]
+            if not same.any():
+                break
+            pairs_a.append(adm[:-d][same])
+            pairs_b.append(adm[d:][same])
+            d += 1
+        if not pairs_a:
+            return pa.table({
+                "admin_a": pa.array([], pa.int64()),
+                "admin_b": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+            })
+        a = np.concatenate(pairs_a)
+        b = np.concatenate(pairs_b)
+        key = a * 1024 + b
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "admin_a": pa.array(u // 1024, pa.int64()),
+            "admin_b": pa.array(u % 1024, pa.int64()),
+            "n_part": pa.array(c, pa.int64()),
+        })
+
+    return (
+        enriched.groupby("bkt")
+        .map_groups(lambda g: emit_pairs(g.drop_columns(["bkt"])),
+                    batch_format="pyarrow")
+        .groupby(["admin_a", "admin_b"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
 def q_radius_join(sf_dir: str, radius: float = 25.0) -> ray.data.Dataset:
     """Radius search (PointIndex ``count_within`` surface): POIs within
     ``radius`` degrees of each mention, counted — the proximity-enrichment
