@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
+        "inter_event_gaps": training.q_inter_event_gaps,
         "running_total": training.q_running_total,
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
+        "inter_event_gaps": oracle.sql_inter_event_gaps(),
         "running_total": oracle.sql_running_total(),
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),

@@ -453,6 +453,20 @@ FROM s GROUP BY 1, 2
 """
 
 
+def sql_inter_event_gaps(cap_min: int = 120) -> str:
+    """Twin of ``events.inter_event_gaps``: lag() per user, minute-bucketed
+    and capped, counted."""
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+g AS (
+    SELECT tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+           AS gap
+    FROM e)
+SELECT least(gap // 60000000, {cap_min}) AS gap_min, count(*) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_asof() -> str:
     return """
 SELECT event_id, user_id, COALESCE(last_view, -1) AS view_event_id

@@ -818,6 +818,13 @@ def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def q_inter_event_gaps(sf_dir: str):
+    """Per-user inter-arrival gap histogram (minutes, capped at 120) — the
+    lag()-window shape via the user-hash bucket; exact lag() SQL twin."""
+    return events.inter_event_gaps(
+        events_ds(sf_dir, ["user_id", "event_id", "ts"]))
+
+
 def q_running_total(sf_dir: str):
     """Ordered cumulative window (SUM OVER ... ROWS UNBOUNDED PRECEDING)
     via the user-hash bucket + segment-cumsum kernel."""

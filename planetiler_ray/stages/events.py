@@ -134,6 +134,42 @@ def running_total(ds, n_buckets: int = 64):
     )
 
 
+def inter_event_gaps(ds, cap_min: int = 120, n_buckets: int = 64):
+    """Inter-arrival-time histogram: the gap between each user's
+    consecutive events, bucketed to minutes and capped at ``cap_min`` —
+    the ``lag()`` window shape (engagement/burstiness analysis), done
+    without an ordered-window operator: one lexsort per user-hash bucket,
+    a same-user diff, then per-bucket partial histograms -> ONE tiny
+    groupby-sum over <= cap_min+1 rows.
+
+    Output: (gap_min, n_gaps) with gap_min = min(gap // 60s, cap_min).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        bucket = np.minimum(gaps // 60_000_000, cap_min)
+        ub, c = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {"gap_min": pa.array(ub, pa.int64()),
+             "n_part": pa.array(c, pa.int64())}
+        )
+
+    return (
+        _bucketed_by_user(ds, n_buckets)
+        .map_groups(lambda g: per_bucket(g.drop_columns(["ubucket"])),
+                    batch_format="pyarrow")
+        .groupby("gap_min")
+        .aggregate(Sum("n_part", alias_name="n_gaps"))
+    )
+
+
 def event_seq(ds, n_buckets: int = 64):
     """Per-user ordered behaviour-sequence string (the classic sequence
     feature for recommendation/LLM training rows): initials of event_type
