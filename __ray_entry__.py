@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": webgeo.q_knn,
         "radius_join": webgeo.q_radius_join,
         "co_mentions": webgeo.q_co_mentions,
+        "prefix_filter": webgeo.q_prefix_filter,
         "url_parse": webgeo.q_url_parse,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": oracle.sql_knn(),
         "radius_join": oracle.sql_radius_join(),
         "co_mentions": oracle.sql_co_mentions(),
+        "prefix_filter": oracle.sql_prefix_filter(),
         "url_parse": oracle.sql_url_parse(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),

@@ -147,6 +147,27 @@ ORDER BY p.doc_id, p.mention_idx
 """
 
 
+def sql_prefix_filter() -> str:
+    """Twin of ``webgeo.q_prefix_filter``: rebuild urls and the
+    deterministic blocklist, keep pages matching any prefix."""
+    return """
+WITH pages AS (
+    SELECT doc_id,
+           'https://example' || CAST(doc_id % 997 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents),
+pref AS (
+    SELECT 'https://example' || CAST(g.generate_series AS VARCHAR)
+             || '.com/' AS p
+    FROM generate_series(0, 996, 13) g
+    UNION ALL SELECT 'https://example7.com/p/1')
+SELECT pg.doc_id, pg.url
+FROM pages pg
+WHERE EXISTS (SELECT 1 FROM pref WHERE starts_with(pg.url, pref.p))
+ORDER BY pg.doc_id
+"""
+
+
 def sql_co_mentions() -> str:
     """Twin of ``webgeo.q_co_mentions``: distinct (doc, admin) via the box
     join, self-joined on doc with admin_a < admin_b, counted."""

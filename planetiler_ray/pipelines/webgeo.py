@@ -617,6 +617,41 @@ def q_url_parse(sf_dir: str) -> ray.data.Dataset:
     return pages_ds(sf_dir).map_batches(parse, batch_format="pyarrow")
 
 
+def q_prefix_filter(sf_dir: str) -> ray.data.Dataset:
+    """URL blocklist filtering (the UT1/CC-pipeline shape): pages whose url
+    starts with any blocklist prefix.  The blocklist here is deterministic
+    (every 13th host, plus one path-level prefix) so the oracle re-derives
+    it in SQL with ``starts_with``.
+
+    Scale shape: the sorted PREFIX-FREE blocklist is tiny and broadcast by
+    value; each batch does ONE ``searchsorted`` predecessor probe per url
+    + a vectorized startswith — for a prefix-free sorted list the
+    lexicographic predecessor is the only candidate prefix, so the probe
+    is exact (no per-row loop, no N x blocklist scan)."""
+    import pyarrow.compute as pc
+
+    prefixes = sorted(
+        [f"https://example{k}.com/" for k in range(0, 997, 13)]
+        + ["https://example7.com/p/1"]
+    )
+    parr = np.array(prefixes)
+
+    def blocked(batch: pa.Table) -> pa.Table:
+        url = batch.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        u = url.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(parr, u, side="right") - 1
+        cand = parr[np.maximum(idx, 0)]
+        hit = (idx >= 0) & np.char.startswith(u.astype(str), cand)
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(hit)),
+            "url": url.filter(pa.array(hit)),
+        })
+
+    return pages_ds(sf_dir).map_batches(blocked, batch_format="pyarrow")
+
+
 def q_domain_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-domain corpus analytics: page count, total page bytes, doc-id
     range.  Scale pattern: per-batch partial aggregates grouped in-memory,
