@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
         "inter_event_gaps": training.q_inter_event_gaps,
+        "kanon_audit": training.q_kanon_audit,
         "running_total": training.q_running_total,
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
         "inter_event_gaps": oracle.sql_inter_event_gaps(),
+        "kanon_audit": oracle.sql_kanon_audit(),
         "running_total": oracle.sql_running_total(),
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),

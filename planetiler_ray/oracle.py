@@ -474,6 +474,17 @@ FROM s GROUP BY 1, 2
 """
 
 
+def sql_kanon_audit(k: int = 5, bucket: int = 64) -> str:
+    """Twin of ``training.q_kanon_audit``: GROUP BY quasi-identifier,
+    HAVING count < k."""
+    return f"""
+SELECT lang, length(text) // {bucket} AS len_bucket, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2 HAVING count(*) < {k}
+ORDER BY 1, 2
+"""
+
+
 def sql_inter_event_gaps(cap_min: int = 120) -> str:
     """Twin of ``events.inter_event_gaps``: lag() per user, minute-bucketed
     and capped, counted."""

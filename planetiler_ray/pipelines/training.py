@@ -818,6 +818,39 @@ def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def q_kanon_audit(sf_dir: str, k: int = 5, bucket: int = 64):
+    """k-anonymity audit over the (lang, length-bucket) quasi-identifier:
+    groups with fewer than ``k`` documents — the re-identification-risk
+    census run before releasing corpus statistics.  Per-batch partial
+    counts -> ONE bounded groupby-sum (state <= #langs x #buckets) ->
+    filter n < k.  Exact HAVING-count twin."""
+    import pyarrow as pa
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lb = (pc.utf8_length(batch.column("text")).to_numpy() // bucket)
+        t = pa.table({"lang": lang, "len_bucket": pa.array(lb, pa.int64())})
+        df = t.to_pandas().groupby(["lang", "len_bucket"], as_index=False).size()
+        df = df.rename(columns={"size": "n_part"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        docs_ds(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "len_bucket"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda b: b.filter(pa.array(b.column("n_docs").to_numpy() < k)),
+        batch_format="pyarrow",
+    )
+
+
 def q_inter_event_gaps(sf_dir: str):
     """Per-user inter-arrival gap histogram (minutes, capped at 120) — the
     lag()-window shape via the user-hash bucket; exact lag() SQL twin."""
