@@ -1611,6 +1611,31 @@ WHERE c12 >= {min_count}
 """
 
 
+def sql_next_token(min_count: int = 5) -> str:
+    """Twin of ``text.next_token``: bigram counts >= min_count, then
+    row_number() per w1 ordered (c12 DESC, w2 ASC), rank 1 only."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+bi AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok JOIN generate_series(1, 65536) s(i) ON i <= len(ts) - 1
+),
+bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+),
+r AS (
+  SELECT w1, w2, c12,
+         row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS rk
+  FROM bc
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12 FROM r WHERE rk = 1 ORDER BY w1
+"""
+
+
 def sql_rare_bigrams(min_count: int = 5) -> str:
     """Mirror of ``training.q_rare_bigrams``: bigrams below min_count are
     rare; per-doc totals over the adjacent-pair stream."""

@@ -1603,6 +1603,12 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
     )
 
 
+def q_next_token(sf_dir: str):
+    """Greedy bigram-LM next-token table (per-w1 argmax, ties lexicographic)
+    — per-key argmax WITHOUT a sort shuffle; row_number() twin."""
+    return text.next_token(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_bigram_surprisal(sf_dir: str):
     """Conditional bigram-LM quality scoring: per adjacent pair,
     max(0, bitlen(c(w1)) - bitlen(c(w1,w2))) bits with broadcast top-512

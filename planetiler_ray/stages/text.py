@@ -572,29 +572,7 @@ def bigram_stats(ds, min_count: int = 5, col: str = "text"):
 
     from .dedup import _flat_tokens
 
-    def bi_partial(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
-        n = len(flat)
-        if n < 2:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "c_part": pa.array([], pa.int64())})
-        starts = np.concatenate([[0], np.cumsum(lens)])
-        valid = np.ones(n - 1, dtype=bool)
-        # pairs spanning a document boundary are not bigrams
-        ends = starts[1:-1]
-        valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
-        sel = pa.array(valid)
-        # Arrow-native shifted pairing + group_by: no Python string objects
-        t = pa.table(
-            {"w1": flat.slice(0, n - 1).filter(sel),
-             "w2": flat.slice(1, n - 1).filter(sel)}
-        )
-        g = t.group_by(["w1", "w2"]).aggregate([("w1", "count")])
-        return pa.table(
-            {"w1": g.column("w1"), "w2": g.column("w2"),
-             "c_part": g.column("w1_count")}
-        )
+    bi_partial = _bigram_partial(col)
 
     def uni_partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens(batch.column(col).to_pandas())
@@ -625,6 +603,77 @@ def bigram_stats(ds, min_count: int = 5, col: str = "text"):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def _bigram_partial(col: str):
+    """Per-batch adjacent-bigram partial counts (Arrow-native shifted
+    pairing + group_by; pairs spanning a document boundary excluded)."""
+    from .dedup import _flat_tokens
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_part": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        valid = np.ones(n - 1, dtype=bool)
+        ends = starts[1:-1]
+        valid[ends[(ends > 0) & (ends <= len(valid))] - 1] = False
+        sel = pa.array(valid)
+        t = pa.table(
+            {"w1": flat.slice(0, n - 1).filter(sel),
+             "w2": flat.slice(1, n - 1).filter(sel)}
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table(
+            {"w1": g.column("w1"), "w2": g.column("w2"),
+             "c_part": g.column("w1_count")}
+        )
+
+    return bi_partial
+
+
+def next_token(ds, min_count: int = 5, col: str = "text"):
+    """Greedy bigram-LM decode table: for every token w1 (with at least one
+    bigram at corpus count >= min_count), the most frequent next token —
+    ties break lexicographically on w2.  The per-key-argmax shape, done
+    WITHOUT a sort shuffle: global bigram counts (distinct-gram volume,
+    ONE groupby-sum) -> per-block partial argmax per w1 -> tiny
+    single-block merge (<= vocab rows).  row_number() window twin.
+
+    Output: (w1, w2, c12).
+    """
+    from ray.data.aggregate import Sum
+
+    bi = (
+        ds.map_batches(_bigram_partial(col), batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c_part", alias_name="c12"))
+    )
+
+    def best(batch: pa.Table, prefilter: bool = False) -> pa.Table:
+        w1 = np.asarray(batch.column("w1").to_pandas(), dtype=object)
+        w2 = np.asarray(batch.column("w2").to_pandas(), dtype=object)
+        c = batch.column("c12").to_numpy()
+        if prefilter:
+            keep = c >= min_count
+            w1, w2, c = w1[keep], w2[keep], c[keep]
+        order = np.lexsort((w2, -c, w1))
+        w1, w2, c = w1[order], w2[order], c[order]
+        first = np.concatenate([[True], w1[1:] != w1[:-1]])
+        return pa.table({
+            "w1": pa.array(w1[first].tolist(), pa.string()),
+            "w2": pa.array(w2[first].tolist(), pa.string()),
+            "c12": pa.array(c[first], pa.int64()),
+        })
+
+    return (
+        bi.map_batches(lambda b: best(b, prefilter=True), batch_format="pyarrow")
+        .repartition(1)  # <= one candidate row per w1 per block
+        .map_batches(best, batch_format="pyarrow")
+    )
 
 
 def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
