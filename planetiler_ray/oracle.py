@@ -1611,6 +1611,27 @@ WHERE c12 >= {min_count}
 """
 
 
+def sql_vocab_coverage(ks=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> str:
+    """Twin of ``text.vocab_coverage``: rank the vocabulary (n DESC, token
+    ASC), cumulative-sum at each k, plus the corpus token total."""
+    klist = ", ".join(str(k) for k in ks)
+    return f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+ks AS (SELECT unnest([{klist}]) AS k)
+SELECT ks.k,
+       CAST(coalesce((SELECT sum(r.n) FROM r WHERE r.rk <= ks.k), 0) AS BIGINT)
+         AS covered,
+       (SELECT total FROM tot) AS total
+FROM ks ORDER BY ks.k
+"""
+
+
 def sql_next_token(min_count: int = 5) -> str:
     """Twin of ``text.next_token``: bigram counts >= min_count, then
     row_number() per w1 ordered (c12 DESC, w2 ASC), rank 1 only."""

@@ -1603,6 +1603,12 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
     )
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer coverage curve: corpus-token coverage of the top-k vocab at
+    k = 1..1024 (powers of two) — integers only; window-sum SQL twin."""
+    return text.vocab_coverage(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_next_token(sf_dir: str):
     """Greedy bigram-LM next-token table (per-w1 argmax, ties lexicographic)
     — per-key argmax WITHOUT a sort shuffle; row_number() twin."""

@@ -554,6 +554,79 @@ def vocab_topk(ds, k: int = 50, col: str = "text"):
     )
 
 
+def vocab_coverage(ds, ks=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024),
+                   col: str = "text"):
+    """Tokenizer-design coverage curve: what fraction of all corpus tokens
+    the top-k vocabulary covers, at k in ``ks`` — integers only (covered,
+    total), the ratio is a consumer one-liner.
+
+    Scale shape: per-batch token counts + a SENTINEL row ('' -> batch token
+    total, impossible as a real token under the [a-z0-9]+ grammar) so the
+    corpus total rides the SAME vocabulary groupby-sum (one execution, no
+    second pass); per-block partial top-max(ks) keeps the sentinel; tiny
+    single-block finish does the cumulative curve.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+
+    kmax = max(ks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table({
+            "token": pa.array(g.column("token").to_pylist() + [""], pa.string()),
+            "c_part": pa.array(
+                np.concatenate([g.column("token_count").to_numpy(),
+                                [len(flat)]]).astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c_part", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+        n = batch.column("n").to_numpy()
+        sent = tok == ""
+        real = np.flatnonzero(~sent)
+        if len(real) > kmax:
+            nr = n[real]
+            thresh = np.partition(nr, len(nr) - kmax)[len(nr) - kmax]
+            cand = real[nr >= thresh]
+            order = cand[np.lexsort((tok[cand], -n[cand]))][:kmax]
+            keep = np.concatenate([np.flatnonzero(sent), order])
+            return batch.take(pa.array(keep, pa.int64()))
+        return batch
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+        n = batch.column("n").to_numpy()
+        sent = tok == ""
+        total = int(n[sent].sum())
+        nr, tr = n[~sent], tok[~sent]
+        order = np.lexsort((tr, -nr))
+        cum = np.cumsum(nr[order])
+        out_k, out_cov = [], []
+        for k in ks:
+            out_k.append(k)
+            out_cov.append(int(cum[min(k, len(cum)) - 1]) if len(cum) else 0)
+        return pa.table({
+            "k": pa.array(out_k, pa.int64()),
+            "covered": pa.array(out_cov, pa.int64()),
+            "total": pa.array([total] * len(out_k), pa.int64()),
+        })
+
+    return (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def bigram_stats(ds, min_count: int = 5, col: str = "text"):
     """Collocation counting (the counting core of PMI phrase mining):
     adjacent-token bigrams with corpus counts c12 >= min_count, each
