@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kanon_audit": training.q_kanon_audit,
         "next_token": training.q_next_token,
         "vocab_coverage": training.q_vocab_coverage,
+        "corpus_checksum": training.q_corpus_checksum,
         "running_total": training.q_running_total,
         "event_seq": training.q_event_seq,
         "pivot_counts": training.q_pivot_counts,
@@ -410,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_audit": oracle.sql_kanon_audit(),
         "next_token": oracle.sql_next_token(),
         "vocab_coverage": oracle.sql_vocab_coverage(),
+        "corpus_checksum": oracle.sql_corpus_checksum(),
         "running_total": oracle.sql_running_total(),
         "event_seq": oracle.sql_event_seq(),
         "pivot_counts": oracle.sql_pivot_counts(),

@@ -1611,6 +1611,22 @@ WHERE c12 >= {min_count}
 """
 
 
+def sql_corpus_checksum() -> str:
+    """Twin of ``training.q_corpus_checksum``: per-doc md5-hi as HUGEINT
+    (two 32-bit hex halves), summed mod 2**64, wrapped to signed int64."""
+    two63, two64 = 1 << 63, 1 << 64
+    # hex-literal parse only lands in BIGINT; widen to HUGEINT after
+    v = ("CAST(CAST(concat('0x', substr(md5(lower(text)), 1, 8)) AS BIGINT)"
+         " AS HUGEINT) * 4294967296"
+         " + CAST(concat('0x', substr(md5(lower(text)), 9, 8)) AS BIGINT)")
+    return f"""
+SELECT count(*) AS n_docs,
+       CAST(((sum({v}) % {two64}) + {two63}) % {two64} - {two63} AS BIGINT)
+         AS checksum
+FROM documents
+"""
+
+
 def sql_vocab_coverage(ks=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> str:
     """Twin of ``text.vocab_coverage``: rank the vocabulary (n DESC, token
     ASC), cumulative-sum at each k, plus the corpus token total."""

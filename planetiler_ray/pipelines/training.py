@@ -1603,6 +1603,54 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
     )
 
 
+def q_corpus_checksum(sf_dir: str):
+    """Order-independent corpus integrity fingerprint: the wrapping-uint64
+    sum of each doc's md5(lower(text)) high half, plus the row count — the
+    cheap consistency check run after every snapshot copy/migration
+    (commutative, so block order and partitioning cannot change it).
+    Per-batch C-speed md5 + one wrapping partial sum; tiny single-block
+    finish.  Exact HUGEINT-mod twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+
+    from ..functions.vmd5 import digest128_u64_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        import hashlib
+        hi, _ = digest128_u64_arrow(low, algo=hashlib.md5)
+        s = np.uint64(0)
+        for v in (hi.astype(np.uint64),):
+            with np.errstate(over="ignore"):
+                s = np.uint64(v.sum(dtype=np.uint64))
+        return pa.table({
+            "part": pa.array([np.int64(int(s) - (1 << 64) * (int(s) >> 63))],
+                             pa.int64()),
+            "n_part": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            total = np.uint64(parts.sum(dtype=np.uint64))
+        n = int(batch.column("n_part").to_numpy().sum())
+        t = int(total)
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "checksum": pa.array([t - (1 << 64) * (t >> 63)], pa.int64()),
+        })
+
+    return (
+        docs_ds(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_vocab_coverage(sf_dir: str):
     """Tokenizer coverage curve: corpus-token coverage of the top-k vocab at
     k = 1..1024 (powers of two) — integers only; window-sum SQL twin."""
