@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_distance": webgeo.q_raster_distance,
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
+        "pip_complex": webgeo.q_pip_complex,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         "radius_join": webgeo.q_radius_join,
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_distance": oracle.sql_raster_distance(),
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),
+        "pip_complex": oracle.sql_pip_complex(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
         "radius_join": oracle.sql_radius_join(),

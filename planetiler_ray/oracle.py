@@ -186,6 +186,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def sql_pip_complex() -> str:
+    """Twin of ``webgeo.q_pip_complex``: rebuild the star polygons on the
+    integer µdeg lattice, run the even-odd crossing census with the exact
+    inequality of ``geo.pip.points_in_ring`` (px < x0 + (py-y0)/(y1-y0)*
+    (x1-x0); lower-inclusive y rule via (y0 > py) != (y1 > py))."""
+    dirs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy) in enumerate([
+        (1000, 0), (866, 500), (500, 866), (0, 1000), (-500, 866),
+        (-866, 500), (-1000, 0), (-866, -500), (-500, -866),
+        (0, -1000), (500, -866), (866, -500)]))
+    return f"""
+WITH {POINTS_CTE},
+dirs(i, dx, dy) AS (VALUES {dirs}),
+nat AS (
+    SELECT n_nationkey AS star_id,
+           (-144000 + (n_nationkey % 5) * 72000) * 1000 AS clon_u,
+           (-68000 + (n_nationkey // 5) * 34000) * 1000 AS clat_u,
+           14000 + n_nationkey * 97 AS r_out,
+           5000 + n_nationkey * 53 AS r_in
+    FROM nation),
+verts AS (
+    SELECT star_id, i,
+           clon_u + dx * (CASE WHEN i % 2 = 0 THEN r_out ELSE r_in END) AS vx_u,
+           clat_u + dy * (CASE WHEN i % 2 = 0 THEN r_out ELSE r_in END) AS vy_u
+    FROM nat CROSS JOIN dirs),
+edges AS (
+    SELECT a.star_id,
+           a.vx_u / 1000000.0 AS x0, a.vy_u / 1000000.0 AS y0,
+           b.vx_u / 1000000.0 AS x1, b.vy_u / 1000000.0 AS y1
+    FROM verts a JOIN verts b
+      ON b.star_id = a.star_id AND b.i = (a.i + 1) % 12),
+crossings AS (
+    SELECT p.doc_id, p.mention_idx, e.star_id, count(*) AS c
+    FROM points p JOIN edges e
+      ON e.y1 != e.y0
+     AND ((e.y0 > p.lat) != (e.y1 > p.lat))
+     AND p.lon < e.x0 + (p.lat - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+    GROUP BY 1, 2, 3)
+SELECT star_id, count(*) AS n_points
+FROM crossings WHERE c % 2 = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_radius_join(radius: float = 25.0) -> str:
     """Twin of ``webgeo.q_radius_join``: LEFT join on the squared-euclidean
     degree-space distance test (pure IEEE arithmetic, no libm)."""

@@ -391,6 +391,66 @@ def q_co_mentions(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     )
 
 
+# 12 integer direction vectors (~unit circle x1000) — trig-free, so the
+# star-polygon vertices live on an exact micro-degree lattice that SQL
+# rebuilds integer-for-integer.
+_STAR_DIRS = [(1000, 0), (866, 500), (500, 866), (0, 1000), (-500, 866),
+              (-866, 500), (-1000, 0), (-866, -500), (-500, -866),
+              (0, -1000), (500, -866), (866, -500)]
+
+
+def load_star_polygons(sf_dir: str):
+    """[(star_id, [ring])] — one concave 12-vertex star per nation,
+    centered in its admin box, alternating radii (all integer µdeg; ring
+    closed).  Disjoint by construction (r_out < box half-height)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    out = []
+    for k in t.column("n_nationkey").to_numpy():
+        k = int(k)
+        clon_u = (-144000 + (k % 5) * 72000) * 1000
+        clat_u = (-68000 + (k // 5) * 34000) * 1000
+        r_out, r_in = 14000 + k * 97, 5000 + k * 53
+        pts = []
+        for i, (dx, dy) in enumerate(_STAR_DIRS):
+            r = r_out if i % 2 == 0 else r_in
+            pts.append((clon_u + dx * r, clat_u + dy * r))
+        pts.append(pts[0])
+        ring = np.asarray(pts, dtype=np.float64) / 1e6
+        out.append((k, [ring]))
+    return out
+
+
+def q_pip_complex(sf_dir: str) -> ray.data.Dataset:
+    """Point-in-COMPLEX-polygon join: mentions against concave 12-vertex
+    star polygons (non-rectangular — exercises the even-odd crossing test
+    itself, not just bbox logic), counted per star.  Exact oracle: the SQL
+    twin rebuilds the stars on the same integer µdeg lattice and mirrors
+    ``geo.pip.points_in_ring``'s crossing inequality operand-for-operand
+    (pure IEEE subtract/divide/multiply/compare — no libm)."""
+    from ray.data.aggregate import Count
+
+    handle = ray.put(load_star_polygons(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .filter(expr="admin_id >= 0")
+        .map_batches(
+            lambda b: pa.table({"star_id": b.column("admin_id")}),
+            batch_format="pyarrow",
+        )
+        .groupby("star_id")
+        .aggregate(Count(alias_name="n_points"))
+    )
+
+
 def q_radius_join(sf_dir: str, radius: float = 25.0) -> ray.data.Dataset:
     """Radius search (PointIndex ``count_within`` surface): POIs within
     ``radius`` degrees of each mention, counted — the proximity-enrichment
