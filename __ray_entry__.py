@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plain wide aggregate / relational ops
         "lineitem_agg": training.q_lineitem_agg,
         "tpch_q3": training.q_tpch_q3,
+        "tpch_q5": training.q_tpch_q5,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_events": oracle.sql_topk_events(),
         "lineitem_agg": oracle.sql_lineitem_agg(),
         "tpch_q3": oracle.sql_tpch_q3(),
+        "tpch_q5": oracle.sql_tpch_q5(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

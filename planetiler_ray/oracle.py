@@ -1670,6 +1670,29 @@ FROM documents
 """
 
 
+def sql_tpch_q5(region: str = "ASIA",
+                lo_us: int = 820_454_400_000_000,
+                hi_us: int = 852_076_800_000_000) -> str:
+    """Twin of ``training.q_tpch_q5`` in exact integer cents x pct."""
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'
+  AND c.c_nationkey = s.s_nationkey
+  AND epoch_us(o.o_orderdate) >= {lo_us}
+  AND epoch_us(o.o_orderdate) < {hi_us}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_vocab_coverage(ks=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> str:
     """Twin of ``text.vocab_coverage``: rank the vocabulary (n DESC, token
     ASC), cumulative-sum at each k, plus the corpus token total."""

@@ -1047,6 +1047,97 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
     )
 
 
+def q_tpch_q5(sf_dir: str, region: str = "ASIA",
+              lo_us: int = 820_454_400_000_000,   # 1996-01-01 epoch us
+              hi_us: int = 852_076_800_000_000):  # 1997-01-01
+    """TPC-H Q5 (local supplier volume): the 6-way join — region⋈nation⋈
+    customer⋈orders⋈lineitem⋈supplier with the c_nation = s_nation twist.
+
+    Scale plan: region/nation/customer/supplier are the SMALL side —
+    collapsed driver-side into two compact int->int broadcast maps
+    (custkey->nationkey restricted to the region, suppkey->nationkey);
+    orders and lineitem are pre-projected scans that attach the nation via
+    vectorized broadcast lookup; the ONE big-big exchange is the native
+    hash join on orderkey; the c_nation = s_nation filter and the 25-row
+    groupby-sum run post-join.  Revenue in exact integer
+    cents x (100 - disc_pct), so the DuckDB twin matches bitwise."""
+    from ray.data.aggregate import Sum
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rkey = {n: k for k, n in zip(reg["r_regionkey"], reg["r_name"])}[region]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    in_region = {int(k): str(n) for k, n, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(r) == rkey}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy()
+    keep_c = np.isin(cn, np.array(sorted(in_region), np.int64))
+    cmap_keys = np.sort(ck[keep_c])
+    cmap_vals = cn[keep_c][np.argsort(ck[keep_c], kind="stable")]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(supp.column("s_suppkey").to_numpy())
+    sv = supp.column("s_nationkey").to_numpy()[
+        np.argsort(supp.column("s_suppkey").to_numpy(), kind="stable")]
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        okey = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(cmap_keys, okey)
+        posc = np.minimum(pos, max(len(cmap_keys) - 1, 0))
+        hit = (len(cmap_keys) > 0) & (pos < len(cmap_keys))
+        hit = hit & (cmap_keys[posc] == okey) if len(cmap_keys) else \
+            np.zeros(len(okey), bool)
+        keep = (odate >= lo_us) & (odate < hi_us) & hit
+        return pa.table({
+            "l_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "c_nation": pa.array(cmap_vals[pos[keep]], pa.int64()),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round(
+            batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        skey = batch.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(sk, skey)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "s_nation": pa.array(sv[np.minimum(pos, len(sk) - 1)], pa.int64()),
+            "rev": pa.array(price_c * (100 - disc_pct), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+    joined = line.join(orders, join_type="inner", num_partitions=16,
+                       on=("l_orderkey",))
+    agg = (
+        joined
+        .filter(expr="c_nation == s_nation")
+        .groupby("s_nation")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def name_back(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nation").to_numpy()
+        return pa.table({
+            "n_name": pa.array([in_region[int(k)] for k in nk], pa.string()),
+            "revenue": batch.column("revenue"),
+        })
+
+    return agg.map_batches(name_back, batch_format="pyarrow")
+
+
 def q_left_join_audit(sf_dir: str, price_threshold: float = 250_000.0):
     """LEFT OUTER join audit — the null-fill half of the relational join
     surface: every lineitem against the high-value orders subset, then a
