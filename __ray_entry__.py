@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": training.q_lineitem_agg,
         "tpch_q3": training.q_tpch_q3,
         "tpch_q5": training.q_tpch_q5,
+        "quantize_embed": training.q_quantize_embed,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": oracle.sql_lineitem_agg(),
         "tpch_q3": oracle.sql_tpch_q3(),
         "tpch_q5": oracle.sql_tpch_q5(),
+        "quantize_embed": oracle.sql_quantize_embed(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

@@ -1670,6 +1670,22 @@ FROM documents
 """
 
 
+def sql_quantize_embed() -> str:
+    """Twin of ``training.q_quantize_embed`` via DuckDB list lambdas —
+    same scale / round_even(x/scale*127) chain in DOUBLE."""
+    scale = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    q = (f"list_transform(embedding, x -> CASE WHEN {scale} > 0 THEN "
+         f"round_even(CAST(x AS DOUBLE) / {scale} * 127.0, 0) ELSE 0.0 END)")
+    return f"""
+SELECT vec_id,
+       CAST(round_even({scale} * 1000000000.0, 0) AS BIGINT) AS scale_ppb,
+       CAST(list_sum({q}) AS BIGINT) AS q_sum,
+       CAST(list_min({q}) AS BIGINT) AS q_min,
+       CAST(list_max({q}) AS BIGINT) AS q_max
+FROM embeddings ORDER BY vec_id
+"""
+
+
 def sql_tpch_q5(region: str = "ASIA",
                 lo_us: int = 820_454_400_000_000,
                 hi_us: int = 852_076_800_000_000) -> str:

@@ -1047,6 +1047,38 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
     )
 
 
+def q_quantize_embed(sf_dir: str):
+    """Int8 embedding quantization (the vector-store compression step):
+    per-vector symmetric scale = max|x|, q_i = round_even(x/scale*127) —
+    census columns (scale_ppb, q_sum, q_min, q_max) all integers, so the
+    list-lambda SQL twin matches bitwise (float32 -> float64 promotion and
+    the divide/multiply chain are identical IEEE ops on both sides).
+    Embarrassingly parallel map_batches; no shuffle."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(batch.num_rows, -1)
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.rint(m / safe[:, None] * 127.0)
+        q[scale == 0] = 0.0
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "scale_ppb": pa.array(np.rint(scale * 1e9).astype(np.int64),
+                                  pa.int64()),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64), pa.int64()),
+            "q_min": pa.array(q.min(axis=1).astype(np.int64), pa.int64()),
+            "q_max": pa.array(q.max(axis=1).astype(np.int64), pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quant, batch_format="pyarrow")
+
+
 def q_tpch_q5(sf_dir: str, region: str = "ASIA",
               lo_us: int = 820_454_400_000_000,   # 1996-01-01 epoch us
               hi_us: int = 852_076_800_000_000):  # 1997-01-01
