@@ -1670,6 +1670,37 @@ FROM documents
 """
 
 
+def sql_proportional_sample(total: int = 100) -> str:
+    """Twin of ``sampling.proportional_sample``: largest-remainder
+    apportionment per lang, then M61-hash rank <= alloc."""
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")},
+cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM cnt),
+base AS (
+    SELECT lang, cnt.n,
+           CAST((cnt.n * {total}) // tot.total_n AS BIGINT) AS fl,
+           CAST((cnt.n * {total}) % tot.total_n AS BIGINT) AS rem
+    FROM cnt, tot),
+rr AS (SELECT lang, fl, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       FROM base),
+alloc AS (
+    SELECT lang,
+           fl + CASE WHEN rk <= {total} - (SELECT CAST(sum(fl) AS BIGINT)
+                                           FROM base)
+                     THEN 1 ELSE 0 END AS k
+    FROM rr),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY _h, doc_id) AS rnk
+    FROM _hh)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN alloc a USING (lang)
+WHERE r.rnk <= a.k
+ORDER BY 1, 2
+"""
+
+
 def sql_quantize_embed() -> str:
     """Twin of ``training.q_quantize_embed`` via DuckDB list lambdas —
     same scale / round_even(x/scale*127) chain in DOUBLE."""

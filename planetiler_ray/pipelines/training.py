@@ -407,6 +407,15 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_proportional_sample(sf_dir: str, total: int = 100):
+    """Largest-remainder proportional stratified sample (100 docs across
+    langs, zero allocation drift); M61-hash rank twin."""
+    from ..stages.sampling import proportional_sample
+
+    return proportional_sample(docs_ds(sf_dir, ["doc_id", "lang"]),
+                               "lang", "doc_id", total=total)
+
+
 def q_source_median_dev(sf_dir: str):
     """Per-source median broadcast join-back: each doc's deviation from its
     source's exact median length.  The aggregate side is the histogram-

@@ -119,3 +119,72 @@ def dataset_split(ds, key_col: str, val_bp: int = 100, test_bp: int = 100,
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def proportional_sample(ds, group_col: str, id_col: str, total: int = 100):
+    """Exact proportional stratified sampling by largest-remainder
+    apportionment: stratum g gets floor(total*n_g/N) slots plus one of the
+    ``total - sum(floor)`` leftovers in (remainder DESC, group ASC) order —
+    the allocation every "sample 1M docs preserving the language mix" job
+    needs, with zero drift (allocations sum to ``total`` exactly).
+
+    Scale shape: pass 1 is the bounded per-group count (combiner ->
+    groupby-sum -> driver apportionment over #groups rows); pass 2 ranks
+    rows inside each stratum by the SQL-mirrorable M61 hash (ties id ASC)
+    with per-batch partial top-k(g) and a per-group exact finish — the
+    row stream never sorts globally.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sketch import hash61
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"g": batch.column(group_col)})
+             .group_by("g").aggregate([("g", "count")]))
+        return pa.table({group_col: g.column("g"),
+                         "n_part": g.column("g_count")})
+
+    cdf = (
+        ds.map_batches(cpart, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # bounded by #strata
+    )
+    n = cdf["n"].to_numpy().astype(np.int64)
+    names = cdf[group_col].to_numpy()
+    N = int(n.sum())
+    fl = n * total // N
+    rem = (n * total) % N
+    order = np.lexsort((names, -rem))
+    extra = total - int(fl.sum())
+    bump = np.zeros(len(n), np.int64)
+    bump[order[:extra]] = 1
+    alloc = {str(g): int(k) for g, k in zip(names, fl + bump)}
+
+    def keep_rank(batch: pa.Table, exact: bool) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        hv = hash61(ids)
+        gvals = batch.column(group_col)
+        if isinstance(gvals, pa.ChunkedArray):
+            gvals = gvals.combine_chunks()
+        gnp = np.asarray(gvals.to_pandas(), dtype=object)
+        kk = np.array([alloc.get(str(g), 0) for g in gnp], np.int64)
+        codes = gvals.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, hv, codes))
+        gk = codes[order]
+        new = np.ones(len(gk), dtype=bool)
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(gk)))
+        rank = np.arange(len(gk)) - np.repeat(starts, lens)
+        keep = order[rank < kk[order]]
+        out = batch.take(pa.array(np.sort(keep)))
+        return pa.table({group_col: out.column(group_col),
+                         id_col: out.column(id_col)})
+
+    return (
+        ds.map_batches(lambda b: keep_rank(b, False), batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(lambda g: keep_rank(g, True), batch_format="pyarrow")
+    )
