@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
         "inter_event_gaps": training.q_inter_event_gaps,
+        "max_streak": training.q_max_streak,
         "kanon_audit": training.q_kanon_audit,
         "next_token": training.q_next_token,
         "vocab_coverage": training.q_vocab_coverage,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),
         "inter_event_gaps": oracle.sql_inter_event_gaps(),
+        "max_streak": oracle.sql_max_streak(),
         "kanon_audit": oracle.sql_kanon_audit(),
         "next_token": oracle.sql_next_token(),
         "vocab_coverage": oracle.sql_vocab_coverage(),

@@ -528,6 +528,23 @@ ORDER BY 1, 2
 """
 
 
+def sql_max_streak() -> str:
+    """Twin of ``events.max_streak``: the classic day - row_number() island
+    key over distinct (user, day)."""
+    return """
+WITH d AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+isl AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM d),
+lens AS (
+    SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+FROM lens GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_inter_event_gaps(cap_min: int = 120) -> str:
     """Twin of ``events.inter_event_gaps``: lag() per user, minute-bucketed
     and capped, counted."""

@@ -860,6 +860,12 @@ def q_kanon_audit(sf_dir: str, k: int = 5, bucket: int = 64):
     )
 
 
+def q_max_streak(sf_dir: str):
+    """Longest consecutive-day streak per user (gaps-and-islands without a
+    window operator); day - row_number() island twin."""
+    return events.max_streak(events_ds(sf_dir, ["user_id", "ts"]))
+
+
 def q_inter_event_gaps(sf_dir: str):
     """Per-user inter-arrival gap histogram (minutes, capped at 120) — the
     lag()-window shape via the user-hash bucket; exact lag() SQL twin."""

@@ -170,6 +170,46 @@ def inter_event_gaps(ds, cap_min: int = 120, n_buckets: int = 64):
     )
 
 
+def max_streak(ds, n_buckets: int = 64):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands shape (day - dense rank is constant within an island)
+    done without a window operator: per user-hash bucket, one lexsort over
+    (user, day), distinct days, island boundaries where the day step != 1,
+    then a segment-max of island lengths.
+
+    Output: (user_id, max_streak) in whole days.
+    """
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        day = g.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        # distinct (user, day)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        # island starts: new user OR day gap != 1
+        new_island = first.copy()
+        new_island[1:] |= (d[1:] - d[:-1]) != 1
+        isl_start = np.flatnonzero(new_island)
+        isl_len = np.diff(np.append(isl_start, len(u)))
+        isl_user = u[isl_start]
+        # max island length per user (islands of one user are consecutive)
+        ufirst = np.concatenate([[True], isl_user[1:] != isl_user[:-1]])
+        ustart = np.flatnonzero(ufirst)
+        best = np.maximum.reduceat(isl_len, ustart)
+        return pa.table({
+            "user_id": pa.array(isl_user[ustart], pa.int64()),
+            "max_streak": pa.array(best.astype(np.int64), pa.int64()),
+        })
+
+    return _bucketed_by_user(ds, n_buckets).map_groups(
+        lambda g: per_bucket(g.drop_columns(["ubucket"])), batch_format="pyarrow"
+    )
+
+
 def event_seq(ds, n_buckets: int = 64):
     """Per-user ordered behaviour-sequence string (the classic sequence
     feature for recommendation/LLM training rows): initials of event_type
