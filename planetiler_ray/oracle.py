@@ -758,6 +758,24 @@ ORDER BY 1
 """
 
 
+def sql_quadkey_counts(z: int = 6) -> str:
+    """Twin of ``webgeo.q_quadkey_counts``: same tile exprs, unrolled
+    base-4 digit concat (level z-1 .. 0)."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    digits = " || ".join(
+        f"CAST(((c.y // {1 << k}) % 2) * 2 + ((c.x // {1 << k}) % 2) AS VARCHAR)"
+        for k in range(z - 1, -1, -1)
+    )
+    return f"""
+WITH {POINTS_CTE},
+c AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2)
+SELECT {digits} AS quadkey, CAST(c.n AS BIGINT) AS n
+FROM c ORDER BY 1
+"""
+
+
 def sql_zonal_stats(z: int = 8) -> str:
     """Twin of ``stages.tiling.zonal_stats`` over the nation admin grid:
     rebuild the zoom-z density raster from the mention points, box-join

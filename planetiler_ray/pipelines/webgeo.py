@@ -162,6 +162,54 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_quadkey_counts(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """Mention counts per Bing-style QUADKEY (base-4 digit string of the
+    Morton-interleaved tile address) — the third tile-address family next
+    to (z,x,y) and hex/S2 cells; quadkeys sort hierarchically, so prefix
+    scans give pyramid rollups for free.  Per-batch partial counts -> ONE
+    bounded groupby-sum (<= 4**z cells) -> tiny stringify pass.  Exact
+    oracle: unrolled digit concat over the same tile exprs."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import mercator
+
+    n_side = 1 << z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        x = cell % n_side
+        y = cell // n_side
+        # decimal-digit trick: digit_k in {0..3} becomes one base-10 digit,
+        # zero-padded to z chars — vectorized, no per-row loop
+        val = np.zeros(len(cell), np.int64)
+        for k in range(z - 1, -1, -1):
+            d = ((y >> k) & 1) * 2 + ((x >> k) & 1)
+            val = val * 10 + d
+        qk = np.char.zfill(val.astype(str), z)
+        return pa.table({
+            "quadkey": pa.array(qk.tolist(), pa.string()),
+            "n": batch.column("n"),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(stringify, batch_format="pyarrow")
+    )
+
+
 def q_zonal_stats(sf_dir: str, z: int = 8) -> ray.data.Dataset:
     """Raster zonal statistics: mention-density raster at zoom ``z`` reduced
     per admin zone (count of occupied cells, total point mass, hottest
