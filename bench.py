@@ -106,6 +106,9 @@ def run_bench() -> dict:
     timed("pbf_way_assembly", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["q_pbf_way_assembly"]
     ).q_pbf_way_assembly(SF_DIR).count())
+    timed("tpch_q5", lambda: training.q_tpch_q5(SF_DIR).count())
+    timed("raster_regions", lambda: webgeo.q_raster_regions(SF_DIR).count())
+    timed("hex_smooth", lambda: webgeo.q_hex_smooth(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",
