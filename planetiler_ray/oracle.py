@@ -1705,6 +1705,22 @@ FROM documents
 """
 
 
+def sql_fastss_pairs() -> str:
+    """Twin of ``training.q_fastss_pairs``: distinct hosts cross-joined
+    with levenshtein == 1 (the oracle may go quadratic; the engine must
+    not)."""
+    return """
+WITH hosts AS (
+    SELECT DISTINCT 'example' || CAST(doc_id % 997 AS VARCHAR) || '.com'
+           AS host
+    FROM documents)
+SELECT a.host AS host_a, b.host AS host_b
+FROM hosts a JOIN hosts b ON a.host < b.host
+WHERE levenshtein(a.host, b.host) = 1
+ORDER BY 1, 2
+"""
+
+
 def sql_proportional_sample(total: int = 100) -> str:
     """Twin of ``sampling.proportional_sample``: largest-remainder
     apportionment per lang, then M61-hash rank <= alloc."""

@@ -407,6 +407,24 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_fastss_pairs(sf_dir: str):
+    """Typo-squat detection: host pairs at edit distance exactly 1 via
+    FastSS deletion-neighborhood blocking + exact DP verify; DuckDB
+    levenshtein twin over the distinct host set."""
+    from ..stages.dedup import fastss_pairs
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("doc_id").to_numpy() % 997)
+        return pa.table({
+            "host": pa.array([f"example{int(v)}.com" for v in k], pa.string())
+        })
+
+    return fastss_pairs(
+        docs_ds(sf_dir, ["doc_id"]).map_batches(hosts, batch_format="pyarrow"),
+        col="host",
+    )
+
+
 def q_proportional_sample(sf_dir: str, total: int = 100):
     """Largest-remainder proportional stratified sample (100 docs across
     langs, zero allocation drift); M61-hash rank twin."""

@@ -611,6 +611,79 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
 # --------------------------------------------- component clustering --
 
 
+def fastss_pairs(ds, col: str = "host", max_group: int = 64):
+    """Edit-distance-1 string pairs via DELETION-NEIGHBORHOOD blocking
+    (FastSS): every distinct string emits itself plus each 1-deletion
+    variant; strings sharing a variant are candidates (complete for
+    lev<=1: a substitution shares the both-sides deletion, an indel shares
+    the undeleted original); the exact Levenshtein DP verifies.
+
+    Scale shape: the variant fan-out runs over the DISTINCT key table
+    (bounded by vocabulary x avg length, not corpus rows), candidates
+    bucket by variant hash (groups are tiny — ``max_group`` caps the
+    pathological bucket with the same star fallback as the LSH path),
+    pair dedup is ONE groupby, verification is per-pair vectorized DP.
+    Output: (host_a, host_b) with lev == 1, a < b lexicographically.
+    """
+    from ray.data.aggregate import Count
+
+    from .text import _levenshtein_np
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({col: v.unique()})
+
+    keys = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        vs, hs = [], []
+        for h in batch.column(col).to_pylist():
+            vs.append(h)
+            hs.append(h)
+            for i in range(len(h)):
+                vs.append(h[:i] + h[i + 1:])
+                hs.append(h)
+        return pa.table({"variant": pa.array(vs, pa.string()),
+                         col: pa.array(hs, pa.string())})
+
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        hs = sorted(set(g.column(col).to_pylist()))[:max_group]
+        a, b = [], []
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                a.append(hs[i])
+                b.append(hs[j])
+        return pa.table({"host_a": pa.array(a, pa.string()),
+                         "host_b": pa.array(b, pa.string())})
+
+    cand = (
+        keys.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(lambda g: pairs_in_group(g.drop_columns(["variant"])),
+                    batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("host_a").to_pylist()
+        b = batch.column("host_b").to_pylist()
+        ok = [
+            _levenshtein_np(x.encode(), y.encode()) == 1 for x, y in zip(a, b)
+        ]
+        return batch.filter(pa.array(ok))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
                          n_buckets: int = 64, max_rounds: int = 32):
     """Connected components over a near-dup pair Dataset -> (node, comp)
