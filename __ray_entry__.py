@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embed": training.q_quantize_embed,
         "proportional_sample": training.q_proportional_sample,
         "fastss_pairs": training.q_fastss_pairs,
+        "mixture_sample": training.q_mixture_sample,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embed": oracle.sql_quantize_embed(),
         "proportional_sample": oracle.sql_proportional_sample(),
         "fastss_pairs": oracle.sql_fastss_pairs(),
+        "mixture_sample": oracle.sql_mixture_sample(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

@@ -1705,6 +1705,43 @@ FROM documents
 """
 
 
+def sql_mixture_sample(total: int = 100) -> str:
+    """Twin of ``training.q_mixture_sample``: target-weight apportionment
+    (weights 1000+2000*i over sources sorted asc), capped at stratum size,
+    M61 rank within source."""
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")},
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+wt AS (
+    SELECT source, cnt.n,
+           1000 + 2000 * (row_number() OVER (ORDER BY source) - 1) AS w
+    FROM cnt),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM wt),
+base AS (
+    SELECT source, wt.n,
+           CAST((wt.w * {total}) // tot.total_w AS BIGINT) AS fl,
+           CAST((wt.w * {total}) % tot.total_w AS BIGINT) AS rem
+    FROM wt, tot),
+rr AS (SELECT source, n, fl,
+              row_number() OVER (ORDER BY rem DESC, source) AS rk
+       FROM base),
+alloc AS (
+    SELECT source,
+           least(fl + CASE WHEN rk <= {total} -
+                                (SELECT CAST(sum(fl) AS BIGINT) FROM base)
+                           THEN 1 ELSE 0 END, n) AS k
+    FROM rr),
+ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) AS rnk
+    FROM _hh)
+SELECT r.source, r.doc_id
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.rnk <= a.k
+ORDER BY 1, 2
+"""
+
+
 def sql_fastss_pairs() -> str:
     """Twin of ``training.q_fastss_pairs``: distinct hosts cross-joined
     with levenshtein == 1 (the oracle may go quadratic; the engine must

@@ -407,6 +407,23 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str, total: int = 100):
+    """Data mixing (Pile/DoReMi reshaping): sample so the output follows
+    TARGET source weights (1000 + 2000*i bp over sources sorted asc), not
+    the observed mix — largest-remainder apportionment over the weights,
+    capped at each stratum's size, M61-hash rank within stratum."""
+    from ..stages.sampling import proportional_sample
+
+    srcs = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+        .column("source").to_pylist()
+    ))
+    target = {s: 1000 + 2000 * i for i, s in enumerate(srcs)}
+    return proportional_sample(docs_ds(sf_dir, ["doc_id", "source"]),
+                               "source", "doc_id", total=total,
+                               target_bp=target)
+
+
 def q_fastss_pairs(sf_dir: str):
     """Typo-squat detection: host pairs at edit distance exactly 1 via
     FastSS deletion-neighborhood blocking + exact DP verify; DuckDB

@@ -121,7 +121,8 @@ def dataset_split(ds, key_col: str, val_bp: int = 100, test_bp: int = 100,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def proportional_sample(ds, group_col: str, id_col: str, total: int = 100):
+def proportional_sample(ds, group_col: str, id_col: str, total: int = 100,
+                        target_bp: dict | None = None):
     """Exact proportional stratified sampling by largest-remainder
     apportionment: stratum g gets floor(total*n_g/N) slots plus one of the
     ``total - sum(floor)`` leftovers in (remainder DESC, group ASC) order —
@@ -152,14 +153,23 @@ def proportional_sample(ds, group_col: str, id_col: str, total: int = 100):
     )
     n = cdf["n"].to_numpy().astype(np.int64)
     names = cdf[group_col].to_numpy()
-    N = int(n.sum())
-    fl = n * total // N
-    rem = (n * total) % N
+    if target_bp is None:
+        N = int(n.sum())
+        fl = n * total // N
+        rem = (n * total) % N
+    else:
+        # data-mixing mode: apportion by TARGET weights (basis points),
+        # not observed proportions — then cap at the stratum's actual size
+        # (no redistribution; documented under-fill for tiny strata)
+        w = np.array([int(target_bp.get(str(g), 0)) for g in names], np.int64)
+        W = int(w.sum())
+        fl = w * total // W
+        rem = (w * total) % W
     order = np.lexsort((names, -rem))
     extra = total - int(fl.sum())
     bump = np.zeros(len(n), np.int64)
     bump[order[:extra]] = 1
-    alloc = {str(g): int(k) for g, k in zip(names, fl + bump)}
+    alloc = {str(g): int(min(k, c)) for g, k, c in zip(names, fl + bump, n)}
 
     def keep_rank(batch: pa.Table, exact: bool) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
