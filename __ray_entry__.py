@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
         "pip_complex": webgeo.q_pip_complex,
+        "rasterize_polygons": webgeo.q_rasterize_polygons,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
         "radius_join": webgeo.q_radius_join,
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),
         "pip_complex": oracle.sql_pip_complex(),
+        "rasterize_polygons": oracle.sql_rasterize_polygons(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),
         "radius_join": oracle.sql_radius_join(),

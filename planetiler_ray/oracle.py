@@ -186,6 +186,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _sql_star_ctes() -> str:
+    """Shared CTE chain rebuilding the star polygons (dirs/nat/verts/edges)
+    on the integer microdegree lattice — used by sql_pip_complex and
+    sql_rasterize_polygons."""
+    dirs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy) in enumerate([
+        (1000, 0), (866, 500), (500, 866), (0, 1000), (-500, 866),
+        (-866, 500), (-1000, 0), (-866, -500), (-500, -866),
+        (0, -1000), (500, -866), (866, -500)]))
+    return f"""dirs(i, dx, dy) AS (VALUES {dirs}),
+nat AS (
+    SELECT n_nationkey AS star_id,
+           (-144000 + (n_nationkey % 5) * 72000) * 1000 AS clon_u,
+           (-68000 + (n_nationkey // 5) * 34000) * 1000 AS clat_u,
+           14000 + n_nationkey * 97 AS r_out,
+           5000 + n_nationkey * 53 AS r_in
+    FROM nation),
+verts AS (
+    SELECT star_id, i,
+           clon_u + dx * (CASE WHEN i % 2 = 0 THEN r_out ELSE r_in END) AS vx_u,
+           clat_u + dy * (CASE WHEN i % 2 = 0 THEN r_out ELSE r_in END) AS vy_u
+    FROM nat CROSS JOIN dirs),
+edges AS (
+    SELECT a.star_id,
+           a.vx_u / 1000000.0 AS x0, a.vy_u / 1000000.0 AS y0,
+           b.vx_u / 1000000.0 AS x1, b.vy_u / 1000000.0 AS y1
+    FROM verts a JOIN verts b
+      ON b.star_id = a.star_id AND b.i = (a.i + 1) % 12)"""
+
+
+def sql_rasterize_polygons() -> str:
+    """Twin of ``webgeo.q_rasterize_polygons``: 1-degree grid centers x the
+    star edges through the same crossing inequality, odd-crossing cells
+    counted per star."""
+    return f"""
+WITH {{stars}},
+grid AS (
+    SELECT lo.generate_series - 180 + 0.5 AS lon,
+           la.generate_series - 85 + 0.5 AS lat
+    FROM generate_series(0, 359) lo, generate_series(0, 169) la),
+crossings AS (
+    SELECT g.lon, g.lat, e.star_id, count(*) AS c
+    FROM grid g JOIN edges e
+      ON e.y1 != e.y0
+     AND ((e.y0 > g.lat) != (e.y1 > g.lat))
+     AND g.lon < e.x0 + (g.lat - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+    GROUP BY 1, 2, 3)
+SELECT star_id, count(*) AS n_cells
+FROM crossings WHERE c % 2 = 1
+GROUP BY 1 ORDER BY 1
+""".replace("{stars}", _sql_star_ctes())
+
+
 def sql_pip_complex() -> str:
     """Twin of ``webgeo.q_pip_complex``: rebuild the star polygons on the
     integer µdeg lattice, run the even-odd crossing census with the exact

@@ -499,6 +499,48 @@ def q_pip_complex(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_rasterize_polygons(sf_dir: str) -> ray.data.Dataset:
+    """Vector->raster burn (the inverse of ``raster_regions``): rasterize
+    the star polygons onto the 1-degree lat/lon grid by cell-CENTER
+    containment (centers at integer+0.5 degrees — pure IEEE crossing test,
+    no libm), emitting per-polygon burned-cell counts.  The grid is
+    generated as a Dataset (``ray.data.range`` -> arithmetic coords), the
+    polygons are a broadcast PolygonIndex actor pool, the reduce is one
+    bounded groupby.  Exact oracle: generate_series grid x the same
+    crossing inequality."""
+    from ray.data.aggregate import Count
+
+    handle = ray.put(load_star_polygons(sf_dir))
+    n_lon, n_lat = 360, 170  # lon -180..179, lat -85..84
+
+    def to_centers(batch) -> pa.Table:
+        i = batch["id"]
+        lon = (i % n_lon).astype(np.float64) - 180.0 + 0.5
+        lat = (i // n_lon).astype(np.float64) - 85.0 + 0.5
+        return pa.table({"lon": pa.array(lon, pa.float64()),
+                         "lat": pa.array(lat, pa.float64())})
+
+    grid = ray.data.range(n_lon * n_lat, override_num_blocks=32).map_batches(
+        to_centers, batch_format="numpy"
+    )
+    return (
+        grid.map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .filter(expr="admin_id >= 0")
+        .map_batches(
+            lambda b: pa.table({"star_id": b.column("admin_id")}),
+            batch_format="pyarrow",
+        )
+        .groupby("star_id")
+        .aggregate(Count(alias_name="n_cells"))
+    )
+
+
 def q_radius_join(sf_dir: str, radius: float = 25.0) -> ray.data.Dataset:
     """Radius search (PointIndex ``count_within`` surface): POIs within
     ``radius`` degrees of each mention, counted — the proximity-enrichment
