@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proportional_sample": training.q_proportional_sample,
         "fastss_pairs": training.q_fastss_pairs,
         "mixture_sample": training.q_mixture_sample,
+        "langid_confusion": training.q_langid_confusion,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "proportional_sample": oracle.sql_proportional_sample(),
         "fastss_pairs": oracle.sql_fastss_pairs(),
         "mixture_sample": oracle.sql_mixture_sample(),
+        "langid_confusion": oracle.sql_langid_confusion(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

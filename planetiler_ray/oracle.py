@@ -512,6 +512,19 @@ FROM scores
 """
 
 
+def sql_langid_confusion() -> str:
+    """Twin of ``training.q_langid_confusion``: the sql_langid guess logic
+    grouped against the declared lang."""
+    inner = sql_langid().strip().rstrip()
+    return f"""
+WITH guesses AS ({inner}),
+decl AS (SELECT doc_id, lang FROM documents)
+SELECT d.lang, g.lang_guess, count(*) AS n
+FROM decl d JOIN guesses g USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_fingerprint() -> str:
     return """
 SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp_md5 FROM documents

@@ -611,6 +611,32 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID QA confusion matrix: declared ``lang`` x heuristic
+    ``lang_guess``, counted — the label-quality audit every classifier
+    pipeline reports.  Per-batch classify + partial pivot counts -> ONE
+    tiny groupby-sum (state <= langs x guesses)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = text.langid_ngram(batch)
+        t = pa.table({"lang": batch.column("lang"),
+                      "lang_guess": g.column("lang_guess")})
+        agg = t.group_by(["lang", "lang_guess"]).aggregate([("lang", "count")])
+        return pa.table({
+            "lang": agg.column("lang"),
+            "lang_guess": agg.column("lang_guess"),
+            "n_part": agg.column("lang_count"),
+        })
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_guess"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def _query_vectors(sf_dir: str, n: int = 10):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
