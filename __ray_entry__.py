@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastss_pairs": training.q_fastss_pairs,
         "mixture_sample": training.q_mixture_sample,
         "langid_confusion": training.q_langid_confusion,
+        "langs_above_median": training.q_langs_above_median,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "fastss_pairs": oracle.sql_fastss_pairs(),
         "mixture_sample": oracle.sql_mixture_sample(),
         "langid_confusion": oracle.sql_langid_confusion(),
+        "langs_above_median": oracle.sql_langs_above_median(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

@@ -512,6 +512,19 @@ FROM scores
 """
 
 
+def sql_langs_above_median() -> str:
+    """Twin of ``training.q_langs_above_median``: quantile_disc per lang
+    HAVING > global quantile_disc."""
+    return """
+SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_len
+FROM documents
+GROUP BY 1
+HAVING quantile_disc(n_chars, 0.5) >
+       (SELECT quantile_disc(n_chars, 0.5) FROM documents)
+ORDER BY 1
+"""
+
+
 def sql_langid_confusion() -> str:
     """Twin of ``training.q_langid_confusion``: the sql_langid guess logic
     grouped against the declared lang."""

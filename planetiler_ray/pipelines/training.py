@@ -611,6 +611,31 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_langs_above_median(sf_dir: str):
+    """Aggregate-of-aggregate HAVING: languages whose median doc length
+    exceeds the CORPUS median — two exact histogram-quantile passes (the
+    global one is the per-group machinery with a constant key), joined by
+    a driver-side scalar broadcast, never a row-level shuffle."""
+    from ..stages import events as E
+
+    glob = E.grouped_quantiles(
+        docs_ds(sf_dir, ["lang", "n_chars"]).map_batches(
+            lambda b: pa.table({"all": pa.array(["x"] * b.num_rows),
+                                "n_chars": b.column("n_chars")}),
+            batch_format="pyarrow"),
+        "all", "n_chars", qs=(0.5,)).to_pandas()
+    g_med = int(glob["p50"].iloc[0])
+    per = E.grouped_quantiles(docs_ds(sf_dir, ["lang", "n_chars"]),
+                              "lang", "n_chars", qs=(0.5,))
+    return (
+        per.filter(expr=f"p50 > {g_med}")
+        .map_batches(
+            lambda b: pa.table({"lang": b.column("lang"),
+                                "median_len": b.column("p50")}),
+            batch_format="pyarrow")
+    )
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID QA confusion matrix: declared ``lang`` x heuristic
     ``lang_guess``, counted — the label-quality audit every classifier
