@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": training.q_mixture_sample,
         "langid_confusion": training.q_langid_confusion,
         "langs_above_median": training.q_langs_above_median,
+        "rare_postings": training.q_rare_postings,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -446,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": oracle.sql_mixture_sample(),
         "langid_confusion": oracle.sql_langid_confusion(),
         "langs_above_median": oracle.sql_langs_above_median(),
+        "rare_postings": oracle.sql_rare_postings(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

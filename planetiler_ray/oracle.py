@@ -512,6 +512,24 @@ FROM scores
 """
 
 
+def sql_rare_postings(df_cap: int = 400) -> str:
+    """Twin of ``text.rare_postings``: distinct (token, doc) pairs, df
+    filter, ordered string_agg posting list."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+    FROM documents),
+pairs AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM tok),
+dfc AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1)
+SELECT p.token, CAST(d.df AS BIGINT) AS df,
+       string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id)
+         AS postings
+FROM pairs p JOIN dfc d USING (token)
+WHERE d.df <= {df_cap}
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def sql_langs_above_median() -> str:
     """Twin of ``training.q_langs_above_median``: quantile_disc per lang
     HAVING > global quantile_disc."""

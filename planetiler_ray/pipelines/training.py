@@ -611,6 +611,12 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_rare_postings(sf_dir: str):
+    """Inverted-index postings for rare tokens (df <= 400): token -> df +
+    sorted posting list; string_agg twin."""
+    return text.rare_postings(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_langs_above_median(sf_dir: str):
     """Aggregate-of-aggregate HAVING: languages whose median doc length
     exceeds the CORPUS median — two exact histogram-quantile passes (the

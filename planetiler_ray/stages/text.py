@@ -678,6 +678,111 @@ def bigram_stats(ds, min_count: int = 5, col: str = "text"):
     return rd.from_pandas(out)
 
 
+def rare_postings(ds, df_cap: int = 400, n_buckets: int = 32,
+                  col: str = "text"):
+    """Inverted-index construction for RARE tokens: token -> (document
+    frequency, comma-joined sorted posting list) for tokens with df <=
+    ``df_cap`` — the retrieval-index side of the rare-token family.
+
+    Scale shape (the ``rare_bigrams`` discipline): pass 1 aggregates
+    distinct (token, doc) pair counts and broadcasts the COMMON token set
+    (df > cap — bounded by distinct_pairs/cap, the broadcastable side);
+    pass 2 re-streams docs, drops common tokens, and builds postings in
+    token-hash BUCKETS (one lexsort per bucket; the per-token string join
+    runs over the bounded rare vocabulary, never corpus rows).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        doc = np.repeat(batch.column("doc_id").to_numpy(),
+                        np.asarray(lens, np.int64))
+        t = pa.table({"token": flat, "doc_id": pa.array(doc, pa.int64())})
+        g = t.group_by(["token", "doc_id"]).aggregate([("doc_id", "count")])
+        return pa.table({"token": g.column("token"),
+                         "doc_id": g.column("doc_id"),
+                         "one": pa.array(
+                             np.ones(g.num_rows, np.int64), pa.int64())})
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .aggregate(Sum("one", alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    dfc = (
+        pairs.map_batches(
+            lambda b: pa.table({"token": b.column("token"),
+                                "one": pa.array(np.ones(b.num_rows, np.int64),
+                                                pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("one", alias_name="df"))
+    )
+    common = dfc.map_batches(
+        lambda b: b.filter(pa.array(b.column("df").to_numpy() > df_cap)),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded by distinct_pairs / df_cap
+    common_set = ray.put(set(common["token"].tolist()))
+
+    class RareFilter:
+        def __init__(self, handle):
+            from .joins import _resolve
+
+            self.common = _resolve(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tok = batch.column("token")
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            keep = ~np.asarray(
+                pc.is_in(tok, value_set=pa.array(sorted(self.common))
+                         if self.common else pa.array([], pa.string()))
+                .to_numpy(zero_copy_only=False))
+            out = batch.filter(pa.array(keep))
+            from ..functions.vhash import fnv64_arrow
+            tk = out.column("token")
+            if isinstance(tk, pa.ChunkedArray):
+                tk = tk.combine_chunks()
+            hb = (fnv64_arrow(tk) % np.uint64(n_buckets)).astype(np.int64)
+            return out.append_column("bkt", pa.array(hb, pa.int64()))
+
+    def build(g: pa.Table) -> pa.Table:
+        tok = np.asarray(g.column("token").to_pandas(), dtype=object)
+        doc = g.column("doc_id").to_numpy()
+        order = np.lexsort((doc, tok))
+        tok, doc = tok[order], doc[order]
+        first = np.ones(len(tok), bool)
+        first[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(tok))
+        toks, dfs, posts = [], [], []
+        for s0, e0 in zip(starts, ends):  # loop over the RARE vocab only
+            toks.append(tok[s0])
+            dfs.append(e0 - s0)
+            posts.append(",".join(map(str, doc[s0:e0])))
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "df": pa.array(np.array(dfs, np.int64), pa.int64()),
+            "postings": pa.array(posts, pa.string()),
+        })
+
+    return (
+        pairs.map_batches(RareFilter, fn_constructor_args=(common_set,),
+                          batch_format="pyarrow", concurrency=(1, 4),
+                          num_cpus=0.5)
+        .groupby("bkt")
+        .map_groups(lambda g: build(g.drop_columns(["bkt"])),
+                    batch_format="pyarrow")
+    )
+
+
 def _bigram_partial(col: str):
     """Per-batch adjacent-bigram partial counts (Arrow-native shifted
     pairing + group_by; pairs spanning a document boundary excluded)."""
