@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
         "pip_complex": webgeo.q_pip_complex,
+        "doc_geo_extent": webgeo.q_doc_geo_extent,
+        "admin_centroid": webgeo.q_admin_centroid,
         "rasterize_polygons": webgeo.q_rasterize_polygons,
         "pip_nearest": webgeo.q_pip_nearest,
         "knn_join": webgeo.q_knn,
@@ -355,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),
         "pip_complex": oracle.sql_pip_complex(),
+        "doc_geo_extent": oracle.sql_doc_geo_extent(),
+        "admin_centroid": oracle.sql_admin_centroid(),
         "rasterize_polygons": oracle.sql_rasterize_polygons(),
         "pip_nearest": oracle.sql_pip_nearest(),
         "knn_join": oracle.sql_knn(),

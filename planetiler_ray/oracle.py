@@ -281,6 +281,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sql_doc_geo_extent() -> str:
+    """Twin of ``webgeo.q_doc_geo_extent``."""
+    return f"""
+WITH {POINTS_CTE}
+SELECT doc_id, count(*) AS n_mentions,
+       min(lat_mdeg) AS lat_min, max(lat_mdeg) AS lat_max,
+       min(lon_mdeg) AS lon_min, max(lon_mdeg) AS lon_max
+FROM points GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_admin_centroid() -> str:
+    """Twin of ``webgeo.q_admin_centroid``: box join + integer coordinate
+    sums."""
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W}"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H}"
+    return f"""
+WITH {POINTS_CTE}
+SELECT n.n_nationkey AS admin_id, count(*) AS n_points,
+       CAST(sum(p.lat_mdeg) AS BIGINT) AS lat_sum,
+       CAST(sum(p.lon_mdeg) AS BIGINT) AS lon_sum
+FROM points p JOIN nation n
+  ON p.lon >= {lon_w} AND p.lon < {lon_w} + {W.ADMIN_LON_W}
+ AND p.lat >= {lat_s} AND p.lat < {lat_s} + {W.ADMIN_LAT_H}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_radius_join(radius: float = 25.0) -> str:
     """Twin of ``webgeo.q_radius_join``: LEFT join on the squared-euclidean
     degree-space distance test (pure IEEE arithmetic, no libm)."""

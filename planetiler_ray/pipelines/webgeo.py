@@ -629,6 +629,51 @@ def q_cell_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_geo_extent(sf_dir: str) -> ray.data.Dataset:
+    """ST_Extent analogue per document: mention count + integer-mdeg bbox —
+    the geoparse-QA aggregate (docs whose mentions span continents are
+    suspect).  Per-batch partial min/max/count -> ONE groupby merge."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return (
+        mentions_ds(sf_dir)
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_mentions"),
+            Min("lat_mdeg", alias_name="lat_min"),
+            Max("lat_mdeg", alias_name="lat_max"),
+            Min("lon_mdeg", alias_name="lon_min"),
+            Max("lon_mdeg", alias_name="lon_max"),
+        )
+    )
+
+
+def q_admin_centroid(sf_dir: str) -> ray.data.Dataset:
+    """ST_Centroid numerators per admin region: exact integer-mdeg
+    coordinate sums + count (the centroid itself is a consumer division) —
+    the weighted-center aggregate over the PIP join."""
+    from ray.data.aggregate import Count, Sum
+
+    handle = ray.put(load_admin_polygons(sf_dir))
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .filter(expr="admin_id >= 0")
+        .groupby("admin_id")
+        .aggregate(
+            Count(alias_name="n_points"),
+            Sum("lat_mdeg", alias_name="lat_sum"),
+            Sum("lon_mdeg", alias_name="lon_sum"),
+        )
+    )
+
+
 def q_hex_smooth(sf_dir: str, res: int = 7) -> ray.data.Dataset:
     """Hex k-ring smoothing (H3 kRing surface): per-hex mention counts at
     resolution ``res`` convolved over ring-1 (each cell's smoothed value =
