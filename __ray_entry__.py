@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": training.q_stratified_sample,
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
+        "route_mileage": _q_route_mileage,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
         "way_split": _q_way_split,
@@ -267,6 +268,18 @@ def _sql_super_relations() -> str:
     from planetiler_ray.pipelines import osm
 
     return osm.sql_super_relations()
+
+
+def _q_route_mileage(sf_dir: str):
+    from planetiler_ray.pipelines import osm
+
+    return osm.route_mileage(sf_dir)
+
+
+def _sql_route_mileage() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_route_mileage()
 
 
 def _q_way_assembly(sf_dir: str):
@@ -484,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT node, node - (node % 7) AS comp FROM n"
         ),
         "way_assembly": _sql_way_assembly(),
+        "route_mileage": _sql_route_mileage(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),
         "way_split": _sql_way_split(),

@@ -243,6 +243,95 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     )
 
 
+def route_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Way mileage per admin zone: Manhattan segment length (|dlat|+|dlon|
+    in integer mdeg — exact, no sqrt) of every way segment, attributed to
+    the admin box of the segment's FIRST endpoint (pure-arithmetic grid
+    assignment, no PIP needed for the rect grid).  The "road km per
+    region" rollup.
+
+    Scale shape: the way⋈node join (ONE bucketed shuffle), way-bucket
+    regroup, vectorized consecutive-diff per bucket, per-bucket partial
+    (admin, len) sums -> ONE tiny groupby-sum (<= 25 rows).
+    Output: (admin_id, manhattan_mdeg, n_segments).
+    """
+    from ray.data.aggregate import Sum
+
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        wid = g.column("way_id").to_numpy()
+        seq = g.column("seq").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        lat = g.column("lat_mdeg").to_numpy()
+        lon = g.column("lon_mdeg").to_numpy()
+        order = np.lexsort((nid, seq, wid))
+        w, la, lo = wid[order], lat[order], lon[order]
+        same = w[1:] == w[:-1]
+        dlat = np.abs(np.diff(la))[same]
+        dlon = np.abs(np.diff(lo))[same]
+        plat, plon = la[:-1][same], lo[:-1][same]
+        col = np.floor((plon / 1000.0 + 180.0005) / 72.0).astype(np.int64)
+        row = np.floor((plat / 1000.0 + 85.0005) / 34.0).astype(np.int64)
+        admin = row * 5 + col
+        mlen = dlat + dlon
+        u, inv = np.unique(admin, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        cnts = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, mlen)
+        np.add.at(cnts, inv, 1)
+        return pa.table({
+            "admin_id": pa.array(u, pa.int64()),
+            "len_part": pa.array(sums, pa.int64()),
+            "n_part": pa.array(cnts, pa.int64()),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+        .groupby("admin_id")
+        .aggregate(Sum("len_part", alias_name="manhattan_mdeg"),
+                   Sum("n_part", alias_name="n_segments"))
+    )
+
+
+def sql_route_mileage() -> str:
+    """Twin of :func:`route_mileage`: the lag-window deltas with the same
+    arithmetic grid assignment of the segment's first endpoint."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+deltas AS (
+    SELECT way_id,
+           lat_mdeg - lag(lat_mdeg) OVER w AS dlat,
+           lon_mdeg - lag(lon_mdeg) OVER w AS dlon,
+           lag(lat_mdeg) OVER w AS plat,
+           lag(lon_mdeg) OVER w AS plon
+    FROM joined
+    WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+),
+seg AS (
+    SELECT CAST(floor((plat / 1000.0 + 85.0005) / 34.0) AS BIGINT) * 5
+             + CAST(floor((plon / 1000.0 + 180.0005) / 72.0) AS BIGINT)
+             AS admin_id,
+           abs(dlat) + abs(dlon) AS mlen
+    FROM deltas WHERE dlat IS NOT NULL)
+SELECT admin_id, CAST(sum(mlen) AS BIGINT) AS manhattan_mdeg,
+       count(*) AS n_segments
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_way_assembly() -> str:
     """DuckDB oracle for :func:`assemble_ways` (exact integer arithmetic)."""
     return f"""
