@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
+        "st_cube": webgeo.q_st_cube,
         "raster_distance": webgeo.q_raster_distance,
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
+        "st_cube": oracle.sql_st_cube(),
         "raster_distance": oracle.sql_raster_distance(),
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),

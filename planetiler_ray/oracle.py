@@ -882,6 +882,17 @@ ORDER BY 1
 """
 
 
+def sql_st_cube(z: int = 5) -> str:
+    """Twin of ``webgeo.q_st_cube``."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH {POINTS_CTE}
+SELECT {tx} AS tile_x, {ty} AS tile_y, p.doc_id // 60 AS t_min,
+       count(*) AS n
+FROM points p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def sql_quadkey_counts(z: int = 6) -> str:
     """Twin of ``webgeo.q_quadkey_counts``: same tile exprs, unrolled
     base-4 digit concat (level z-1 .. 0)."""

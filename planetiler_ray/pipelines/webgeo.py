@@ -162,6 +162,41 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_st_cube(sf_dir: str, z: int = 5) -> ray.data.Dataset:
+    """Spatiotemporal cube: mention counts per (zoom-z tile, crawl-minute)
+    — the space x time rollup behind activity heatmaps.  Crawl time is the
+    deterministic warc_ts (2024-01-01 + doc_id seconds), so the minute key
+    is doc_id // 60 on both sides.  Per-batch partial counts -> ONE
+    bounded groupby-sum (state <= occupied (tile, minute) cells)."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import mercator
+
+    n_side = 1 << z
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        tmin = batch.column("doc_id").to_numpy() // 60
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        key = (y * n_side + x) * 1_000_000 + tmin
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_x": pa.array((u // 1_000_000) % n_side, pa.int64()),
+            "tile_y": pa.array((u // 1_000_000) // n_side, pa.int64()),
+            "t_min": pa.array(u % 1_000_000, pa.int64()),
+            "n_part": pa.array(c, pa.int64()),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y", "t_min"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_quadkey_counts(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     """Mention counts per Bing-style QUADKEY (base-4 digit string of the
     Morton-interleaved tile address) — the third tile-address family next
