@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": training.q_langid_confusion,
         "langs_above_median": training.q_langs_above_median,
         "rare_postings": training.q_rare_postings,
+        "split_leakage": training.q_split_leakage,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": oracle.sql_langid_confusion(),
         "langs_above_median": oracle.sql_langs_above_median(),
         "rare_postings": oracle.sql_rare_postings(),
+        "split_leakage": oracle.sql_split_leakage(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

@@ -2148,6 +2148,47 @@ FROM documents""")
     return " UNION ALL ".join(parts)
 
 
+def sql_split_leakage(k: int = 5, val_bp: int = 100,
+                      test_bp: int = 100) -> str:
+    """Twin of ``dedup.split_leakage``: the dataset_split M61 rule, k-gram
+    windows per doc, per-position EXISTS semijoin of test grams against
+    train grams."""
+    return f"""
+WITH {_hash61_ctes("documents", "doc_id")},
+tagged AS (
+    SELECT doc_id, text,
+           CASE WHEN CAST(_h % 10000 AS BIGINT) < {val_bp} THEN 'val'
+                WHEN CAST(_h % 10000 AS BIGINT) < {val_bp + test_bp}
+                    THEN 'test'
+                ELSE 'train' END AS split
+    FROM _hh),
+words AS (
+    SELECT doc_id, split,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    FROM tagged),
+grams AS (
+    SELECT doc_id, split,
+           CASE WHEN len(ws) >= {k}
+                THEN array_to_string(ws[i:i+{k - 1}], ' ')
+                ELSE array_to_string(ws, ' ') END AS gram
+    FROM words,
+         UNNEST(generate_series(1, greatest(len(ws) - {k - 1}, 1))) AS t(i)
+    WHERE len(ws) > 0),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+hits AS (
+    SELECT g.doc_id, count(*) AS n_leaked
+    FROM grams g
+    WHERE g.split = 'test'
+      AND EXISTS (SELECT 1 FROM train_grams t WHERE t.gram = g.gram)
+    GROUP BY 1)
+SELECT w.doc_id, COALESCE(h.n_leaked, 0) AS n_leaked,
+       COALESCE(h.n_leaked, 0) > 0 AS leaked
+FROM words w LEFT JOIN hits h USING (doc_id)
+WHERE w.split = 'test'
+ORDER BY 1
+"""
+
+
 def sql_dataset_split(val_bp: int = 100, test_bp: int = 100) -> str:
     """Mirror of ``training.q_dataset_split``."""
     return f"""

@@ -551,6 +551,13 @@ def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     )
 
 
+def q_split_leakage(sf_dir: str):
+    """Train->test k-gram contamination audit over the dataset_split rule;
+    EXISTS-semijoin SQL twin (gram strings vs 64-bit shingle hashes —
+    divergence needs an FNV collision, the accepted class)."""
+    return dedup.split_leakage(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_repetition(sf_dir: str):
     """Within-doc duplicate-shingle ratio (boilerplate quality signal) —
     per-doc metric, embarrassingly parallel, exact-integer oracle."""

@@ -1001,6 +1001,92 @@ def probe_gram_hashes(ds, k: int = 3, mod: int = 97, col: str = "text"):
     return np.unique(parts["probe_h"].to_numpy(dtype=np.uint64))
 
 
+def split_leakage(ds, k: int = 5, val_bp: int = 100, test_bp: int = 100,
+                  col: str = "text"):
+    """Train->test contamination audit: for every TEST-split document (the
+    ``dataset_split`` M61 rule), how many of its word-k-gram positions
+    also occur in ANY train document — the leakage check run before
+    trusting held-out metrics.
+
+    Scale plan (the broadcast side is always the SMALL split): pass 1
+    collects the test split's distinct shingle hashes (bounded by the 1%
+    split); pass 2 streams the TRAIN split and keeps only shingles in
+    that broadcast set (matched set <= test shingles, collected small);
+    pass 3 re-streams test docs and counts positions whose shingle is in
+    the matched set.  Three linear passes, zero row-level shuffles.
+    Output: (doc_id, n_leaked, leaked) for test docs.
+    """
+    import ray
+
+    from .sketch import hash61
+
+    def split_mask(batch: pa.Table, want: str) -> np.ndarray:
+        h = hash61(batch.column("doc_id").to_numpy().astype(np.int64)) % 10000
+        if want == "test":
+            return (h >= val_bp) & (h < val_bp + test_bp)
+        return h >= val_bp + test_bp  # train
+
+    def test_shingles(batch: pa.Table) -> pa.Table:
+        m = split_mask(batch, "test")
+        sh = np.empty(0, np.uint64)
+        if m.any():
+            sh, _ = _shingle_flat(batch.column(col).to_pandas()[m], k)
+        return pa.table({"sh": pa.array(np.unique(sh), pa.uint64())})
+
+    tsh = np.unique(
+        ds.map_batches(test_shingles, batch_format="pyarrow")
+        .to_pandas()["sh"].to_numpy(dtype=np.uint64))  # bounded: test split
+    t_handle = ray.put(tsh)
+
+    def train_matches(batch: pa.Table) -> pa.Table:
+        m = split_mask(batch, "train")
+        out = np.empty(0, np.uint64)
+        if m.any():
+            sh, _ = _shingle_flat(batch.column(col).to_pandas()[m], k)
+            ph = _resolve_handle(t_handle)
+            if len(ph) and len(sh):
+                pos = np.minimum(np.searchsorted(ph, sh), len(ph) - 1)
+                out = np.unique(sh[ph[pos] == sh])
+        return pa.table({"sh": pa.array(out, pa.uint64())})
+
+    matched = np.unique(
+        ds.map_batches(train_matches, batch_format="pyarrow")
+        .to_pandas()["sh"].to_numpy(dtype=np.uint64))  # <= |test shingles|
+    m_handle = ray.put(matched)
+
+    def mark_test(batch: pa.Table) -> pa.Table:
+        m = split_mask(batch, "test")
+        sub = batch.filter(pa.array(m))
+        if sub.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_leaked": pa.array([], pa.int64()),
+                "leaked": pa.array([], pa.bool_()),
+            })
+        sh, starts = _shingle_flat(sub.column(col).to_pandas(), k)
+        ph = _resolve_handle(m_handle)
+        if len(ph) and len(sh):
+            pos = np.minimum(np.searchsorted(ph, sh), len(ph) - 1)
+            hit = (ph[pos] == sh).astype(np.int64)
+        else:
+            hit = np.zeros(len(sh), np.int64)
+        c = np.concatenate([[0], np.cumsum(hit)])
+        n = c[starts[1:]] - c[starts[:-1]]
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_leaked": pa.array(n, pa.int64()),
+            "leaked": pa.array(n > 0),
+        })
+
+    return ds.map_batches(mark_test, batch_format="pyarrow")
+
+
+def _resolve_handle(h):
+    import ray as _r
+
+    return _r.get(h) if isinstance(h, _r.ObjectRef) else h
+
+
 def decontaminate(ds, probes_handle, k: int = 3, col: str = "text"):
     """Benchmark decontamination (GPT-3/Lee-et-al. style): per doc, count
     word-k-gram positions whose gram is in the broadcast probe set.
