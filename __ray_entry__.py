@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langs_above_median": training.q_langs_above_median,
         "rare_postings": training.q_rare_postings,
         "split_leakage": training.q_split_leakage,
+        "dedup_by_source": training.q_dedup_by_source,
+        "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -469,6 +471,8 @@ def oracle_sql() -> dict[str, str]:
         "langs_above_median": oracle.sql_langs_above_median(),
         "rare_postings": oracle.sql_rare_postings(),
         "split_leakage": oracle.sql_split_leakage(),
+        "dedup_by_source": oracle.sql_dedup_by_source(),
+        "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),
         "distinct_langs": oracle.sql_distinct_langs(),

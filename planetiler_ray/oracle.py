@@ -2148,6 +2148,28 @@ FROM documents""")
     return " UNION ALL ".join(parts)
 
 
+def sql_dedup_by_source() -> str:
+    """Twin of ``training.q_dedup_by_source``."""
+    return """
+SELECT source, count(DISTINCT text) AS n_unique, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_ab_assign(arms: int = 4) -> str:
+    """Twin of ``training.q_ab_assign``: M61 arm hash, distinct users and
+    purchase counts per arm."""
+    return f"""
+WITH {_hash61_ctes("events", "user_id")},
+per_user AS (
+    SELECT CAST(_h % {arms} AS BIGINT) AS arm, user_id,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buys
+    FROM _hh GROUP BY 1, 2)
+SELECT arm, count(*) AS n_users, CAST(sum(buys) AS BIGINT) AS n_purchases
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_split_leakage(k: int = 5, val_bp: int = 100,
                       test_bp: int = 100) -> str:
     """Twin of ``dedup.split_leakage``: the dataset_split M61 rule, k-gram

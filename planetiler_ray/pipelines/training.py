@@ -551,6 +551,66 @@ def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     )
 
 
+def q_dedup_by_source(sf_dir: str):
+    """Dedup impact report: per source, total docs vs distinct contents —
+    the "how much of this crawl is boilerplate" census.  Per-batch
+    (source, 128-bit content hash) partials -> ONE groupby over distinct
+    (source, hash) -> tiny per-source rollup; COUNT(DISTINCT text) twin."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import add_content_hash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch)
+        df = (
+            b.select(["source", "hash_hi", "hash_lo"])
+            .to_pandas()
+            .groupby(["source", "hash_hi", "hash_lo"], as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(df.rename(columns={"size": "n_part"}),
+                                    preserve_index=False)
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "hash_hi", "hash_lo"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .groupby("source")
+        .aggregate(Count(alias_name="n_unique"), Sum("n", alias_name="n_docs"))
+    )
+
+
+def q_ab_assign(sf_dir: str, arms: int = 4):
+    """A/B experiment census: users assigned to ``arms`` buckets by the
+    M61 hash, per-arm distinct users and purchase events — the
+    deterministic experiment-slicing primitive.  Per-batch partials over
+    (arm, user) -> distinct-user groupby -> tiny arm rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sketch import hash61
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        arm = (hash61(uid) % arms).astype(np.int64)
+        buys = (np.asarray(batch.column("event_type").to_pandas()) ==
+                "purchase").astype(np.int64)
+        df = (
+            pd.DataFrame({"arm": arm, "user_id": uid, "buys": buys})
+            .groupby(["arm", "user_id"], as_index=False)["buys"].sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events_ds(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["arm", "user_id"])
+        .aggregate(Sum("buys", alias_name="n_buys"))
+        .groupby("arm")
+        .aggregate(Count(alias_name="n_users"), Sum("n_buys", alias_name="n_purchases"))
+    )
+
+
 def q_split_leakage(sf_dir: str):
     """Train->test k-gram contamination audit over the dataset_split rule;
     EXISTS-semijoin SQL twin (gram strings vs 64-bit shingle hashes —
