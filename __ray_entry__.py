@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_postings": training.q_rare_postings,
         "split_leakage": training.q_split_leakage,
         "dedup_by_source": training.q_dedup_by_source,
+        "cube_counts": training.q_cube_counts,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_postings": oracle.sql_rare_postings(),
         "split_leakage": oracle.sql_split_leakage(),
         "dedup_by_source": oracle.sql_dedup_by_source(),
+        "cube_counts": oracle.sql_cube_counts(),
         "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),

@@ -2148,6 +2148,20 @@ FROM documents""")
     return " UNION ALL ".join(parts)
 
 
+def sql_cube_counts() -> str:
+    """Twin of ``training.q_cube_counts``: GROUP BY CUBE with '(all)'
+    sentinels on rolled dimensions."""
+    return """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY 1, 2
+"""
+
+
 def sql_dedup_by_source() -> str:
     """Twin of ``training.q_dedup_by_source``."""
     return """

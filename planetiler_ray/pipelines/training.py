@@ -551,6 +551,45 @@ def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     )
 
 
+def q_cube_counts(sf_dir: str):
+    """OLAP CUBE over (lang, source): all four grouping sets — (lang,
+    source), (lang), (source), () — computed in ONE pass: each batch emits
+    partials for every grouping set with an '(all)' sentinel on the
+    rolled-up dimension, then one groupby-sum.  GROUP BY CUBE twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": np.asarray(batch.column("lang").to_pandas(), dtype=object),
+            "source": np.asarray(batch.column("source").to_pandas(),
+                                 dtype=object),
+            "n_chars": batch.column("n_chars").to_numpy(),
+        })
+        outs = []
+        for keep_lang, keep_src in ((True, True), (True, False),
+                                    (False, True), (False, False)):
+            g = df.copy()
+            if not keep_lang:
+                g["lang"] = "(all)"
+            if not keep_src:
+                g["source"] = "(all)"
+            outs.append(
+                g.groupby(["lang", "source"], as_index=False)
+                .agg(n_part=("n_chars", "size"),
+                     chars_part=("n_chars", "sum"))
+            )
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    return (
+        docs_ds(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_part", alias_name="n_docs"),
+                   Sum("chars_part", alias_name="sum_chars"))
+    )
+
+
 def q_dedup_by_source(sf_dir: str):
     """Dedup impact report: per source, total docs vs distinct contents —
     the "how much of this crawl is boilerplate" census.  Per-batch
