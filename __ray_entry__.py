@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "st_cube": webgeo.q_st_cube,
+        "tile_skew": webgeo.q_tile_skew,
         "raster_distance": webgeo.q_raster_distance,
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
@@ -372,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "st_cube": oracle.sql_st_cube(),
+        "tile_skew": oracle.sql_tile_skew(),
         "raster_distance": oracle.sql_raster_distance(),
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),

@@ -882,6 +882,30 @@ ORDER BY 1
 """
 
 
+def sql_tile_skew(z: int = 10, ks=(1, 10, 100, 1000)) -> str:
+    """Twin of ``webgeo.q_tile_skew``: ranked tile counts, cumulative at
+    each k, share in basis points."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    klist = ", ".join(str(k) for k in ks)
+    n = 1 << z
+    return f"""
+WITH {POINTS_CTE},
+c AS (
+    SELECT {ty} * {n} + {tx} AS cell, count(*) AS n
+    FROM points p GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, cell) AS rk FROM c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+ks AS (SELECT unnest([{klist}]) AS k)
+SELECT ks.k,
+       CAST(coalesce((SELECT sum(r.n) FROM r WHERE r.rk <= ks.k), 0) AS BIGINT)
+         AS top_n,
+       (SELECT total FROM tot) AS total,
+       CAST(coalesce((SELECT sum(r.n) FROM r WHERE r.rk <= ks.k), 0) * 10000
+            // greatest((SELECT total FROM tot), 1) AS BIGINT) AS share_bp
+FROM ks ORDER BY ks.k
+"""
+
+
 def sql_st_cube(z: int = 5) -> str:
     """Twin of ``webgeo.q_st_cube``."""
     tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))

@@ -162,6 +162,79 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_tile_skew(sf_dir: str, z: int = 10,
+                ks=(1, 10, 100, 1000)) -> ray.data.Dataset:
+    """Spatial skew audit: what share (basis points) of all mentions the
+    top-k hottest zoom-``z`` tiles hold — the number that decides whether
+    the tile shuffle needs hot-key salting.  Same sentinel-fused design as
+    the vocab coverage curve: per-batch cell partials + a '' total row ->
+    ONE bounded groupby-sum -> partial top-max(k) -> tiny finish.
+    Output: (k, top_n, total, share_bp)."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import mercator
+
+    n_side = 1 << z
+    kmax = max(ks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table({
+            "cell": pa.array(np.concatenate([u, [-1]]), pa.int64()),
+            "n_part": pa.array(np.concatenate([c, [len(lat)]]), pa.int64()),
+        })
+
+    counts = (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        n = batch.column("n").to_numpy()
+        sent = cell == -1
+        real = np.flatnonzero(~sent)
+        if len(real) > kmax:
+            nr = n[real]
+            thresh = np.partition(nr, len(nr) - kmax)[len(nr) - kmax]
+            cand = real[nr >= thresh]
+            order = cand[np.lexsort((cell[cand], -n[cand]))][:kmax]
+            keep = np.concatenate([np.flatnonzero(sent), order])
+            return batch.take(pa.array(keep, pa.int64()))
+        return batch
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        n = batch.column("n").to_numpy()
+        total = int(n[cell == -1].sum())
+        nr, cr = n[cell != -1], cell[cell != -1]
+        order = np.lexsort((cr, -nr))
+        cum = np.cumsum(nr[order])
+        out_k, out_top = [], []
+        for k in ks:
+            out_k.append(k)
+            out_top.append(int(cum[min(k, len(cum)) - 1]) if len(cum) else 0)
+        top = np.array(out_top, np.int64)
+        return pa.table({
+            "k": pa.array(out_k, pa.int64()),
+            "top_n": pa.array(top, pa.int64()),
+            "total": pa.array([total] * len(out_k), pa.int64()),
+            "share_bp": pa.array(top * 10000 // max(total, 1), pa.int64()),
+        })
+
+    return (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_st_cube(sf_dir: str, z: int = 5) -> ray.data.Dataset:
     """Spatiotemporal cube: mention counts per (zoom-z tile, crawl-minute)
     — the space x time rollup behind activity heatmaps.  Crawl time is the
