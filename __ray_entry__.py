@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": training.q_split_leakage,
         "dedup_by_source": training.q_dedup_by_source,
         "cube_counts": training.q_cube_counts,
+        "window_deltas": training.q_window_deltas,
+        "lang_overlap": training.q_lang_overlap,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
@@ -476,6 +478,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": oracle.sql_split_leakage(),
         "dedup_by_source": oracle.sql_dedup_by_source(),
         "cube_counts": oracle.sql_cube_counts(),
+        "window_deltas": oracle.sql_window_deltas(),
+        "lang_overlap": oracle.sql_lang_overlap(),
         "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),

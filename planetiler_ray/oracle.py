@@ -2172,6 +2172,40 @@ FROM documents""")
     return " UNION ALL ".join(parts)
 
 
+def sql_window_deltas() -> str:
+    """Twin of ``training.q_window_deltas``: lag() over the hourly
+    aggregate, first window per type dropped (NULL lag)."""
+    return """
+WITH agg AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+           count(*) AS n
+    FROM events GROUP BY 1, 2),
+d AS (
+    SELECT event_type, window_id, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY window_id)
+             AS delta
+    FROM agg)
+SELECT event_type, window_id, CAST(n AS BIGINT) AS n,
+       CAST(delta AS BIGINT) AS delta
+FROM d WHERE delta IS NOT NULL
+ORDER BY 1, 2
+"""
+
+
+def sql_lang_overlap() -> str:
+    """Twin of ``training.q_lang_overlap``: distinct (lang, token) pairs,
+    pairwise intersection counts."""
+    return """
+WITH lt AS (
+    SELECT DISTINCT lang,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents)
+SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+FROM lt a JOIN lt b ON a.token = b.token AND a.lang < b.lang
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_cube_counts() -> str:
     """Twin of ``training.q_cube_counts``: GROUP BY CUBE with '(all)'
     sentinels on rolled dimensions."""

@@ -551,6 +551,131 @@ def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     )
 
 
+def q_window_deltas(sf_dir: str):
+    """Hour-over-hour deltas per event type (lag on an AGGREGATE): the
+    trend table behind alerting.  The aggregate is the bounded tumbling
+    window (partials -> groupby-sum, state <= types x hours); the lag runs
+    in ONE single-block pass over that small table.  lag() twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        win = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        df = (
+            pd.DataFrame({"event_type": et, "window_id": win})
+            .groupby(["event_type", "window_id"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        win = batch.column("window_id").to_numpy()
+        n = batch.column("n").to_numpy()
+        order = np.lexsort((win, et))
+        et, win, n = et[order], win[order], n[order]
+        same = np.zeros(len(et), bool)
+        same[1:] = et[1:] == et[:-1]
+        prev = np.full(len(et), -1, np.int64)
+        prev[same] = n[np.flatnonzero(same) - 1]
+        keep = same  # first window per type has no prior: dropped (lag NULL)
+        return pa.table({
+            "event_type": pa.array(et[keep].tolist(), pa.string()),
+            "window_id": pa.array(win[keep], pa.int64()),
+            "n": pa.array(n[keep], pa.int64()),
+            "delta": pa.array(n[keep] - prev[keep], pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(deltas, batch_format="pyarrow")
+
+
+def q_lang_overlap(sf_dir: str):
+    """Cross-language vocabulary overlap matrix: for every lang pair, how
+    many distinct tokens they share — the corpus-similarity table.  One
+    (token -> lang bitmask) aggregate (per-batch OR partials), then a
+    bincount over <= 2^langs masks; never a token-level self-join.
+    Exact intersection twin."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _flat_tokens
+
+    langs = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .column("lang").to_pylist()))
+    lidx = {l: i for i, l in enumerate(langs)}
+
+    def or_by_token(tok: np.ndarray, bits: np.ndarray) -> pa.Table:
+        order = np.lexsort((bits, tok))
+        t, b = tok[order], bits[order]
+        first = np.ones(len(t), bool)
+        first[1:] = t[1:] != t[:-1]
+        starts = np.flatnonzero(first)
+        masks_arr = np.bitwise_or.reduceat(b, starts) if len(t) else b
+        return pa.table({
+            "token": pa.array(t[starts].tolist(), pa.string()),
+            "mask_part": pa.array(masks_arr, pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column("text").to_pandas())
+        lab = np.asarray(batch.column("lang").to_pandas(), dtype=object)
+        bit = np.repeat(
+            np.array([1 << lidx[l] for l in lab], np.int64),
+            np.asarray(lens, np.int64))
+        tok = np.asarray(flat.to_pandas(), dtype=object)
+        return or_by_token(tok, bit)
+
+    # Ray has no BitOr aggregate, so the OR-combine of the (bounded,
+    # vocabulary-sized) partial masks runs as token-hash BUCKETS with one
+    # lexsort + bitwise_or.reduceat per bucket — never per-token groups.
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        from planetiler_ray.functions.vhash import fnv64_arrow
+
+        tk = batch.column("token")
+        if isinstance(tk, pa.ChunkedArray):
+            tk = tk.combine_chunks()
+        b = (fnv64_arrow(tk) % np.uint64(32)).astype(np.int64)
+        return batch.append_column("bkt", pa.array(b, pa.int64()))
+
+    masks = (
+        docs_ds(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(
+            lambda g: or_by_token(
+                np.asarray(g.column("token").to_pandas(), dtype=object),
+                g.column("mask_part").to_numpy(),
+            ).rename_columns(["token", "mask"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = batch.column("mask").to_numpy()
+        bc = np.bincount(m, minlength=1 << len(langs))
+        rows = []
+        for i in range(len(langs)):
+            for j in range(i + 1, len(langs)):
+                both = sum(int(bc[x]) for x in range(len(bc))
+                           if (x >> i) & 1 and (x >> j) & 1)
+                rows.append((langs[i], langs[j], both))
+        return pa.table({
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_shared": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    return masks.repartition(1).map_batches(pair_counts, batch_format="pyarrow")
+
+
 def q_cube_counts(sf_dir: str):
     """OLAP CUBE over (lang, source): all four grouping sets — (lang,
     source), (lang), (source), () — computed in ONE pass: each batch emits
