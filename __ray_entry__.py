@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_by_source": training.q_dedup_by_source,
         "cube_counts": training.q_cube_counts,
         "window_deltas": training.q_window_deltas,
+        "partitioned_roundtrip": training.q_partitioned_roundtrip,
         "lang_overlap": training.q_lang_overlap,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_by_source": oracle.sql_dedup_by_source(),
         "cube_counts": oracle.sql_cube_counts(),
         "window_deltas": oracle.sql_window_deltas(),
+        "partitioned_roundtrip": oracle.sql_partitioned_roundtrip(),
         "lang_overlap": oracle.sql_lang_overlap(),
         "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),

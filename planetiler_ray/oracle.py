@@ -2172,6 +2172,15 @@ FROM documents""")
     return " UNION ALL ".join(parts)
 
 
+def sql_partitioned_roundtrip() -> str:
+    """Twin of ``training.q_partitioned_roundtrip``."""
+    return """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_window_deltas() -> str:
     """Twin of ``training.q_window_deltas``: lag() over the hourly
     aggregate, first window per type dropped (NULL lag)."""

@@ -551,6 +551,48 @@ def q_decontaminate(sf_dir: str, k: int = 3, mod: int = 97):
     )
 
 
+def q_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned parquet round trip: write documents partitioned by
+    lang (the resumable-output layout — one directory per partition), then
+    read back ONLY the 'en' partition with column pruning and aggregate
+    per source.  Exercises partition pruning at the read (a directory
+    filter, zero bytes from other langs) — the layout every 100-TB rerun
+    depends on.  Oracle: direct filtered aggregate."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    out = tempfile.mkdtemp(prefix="pr_docs_")
+    try:
+        docs_ds(sf_dir, ["doc_id", "lang", "source", "n_chars"]).write_parquet(
+            out, partition_cols=["lang"])
+        part = ray.data.read_parquet(
+            f"{out}/lang=en", columns=["source", "n_chars"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = (
+                pd.DataFrame({
+                    "source": np.asarray(batch.column("source").to_pandas(),
+                                         dtype=object),
+                    "n_chars": batch.column("n_chars").to_numpy(),
+                })
+                .groupby("source", as_index=False)
+                .agg(n_part=("n_chars", "size"), chars_part=("n_chars", "sum"))
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return (
+            part.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_part", alias_name="n_docs"),
+                       Sum("chars_part", alias_name="sum_chars"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_window_deltas(sf_dir: str):
     """Hour-over-hour deltas per event type (lag on an AGGREGATE): the
     trend table behind alerting.  The aggregate is the bounded tumbling
