@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadkey_counts": webgeo.q_quadkey_counts,
         "st_cube": webgeo.q_st_cube,
         "tile_skew": webgeo.q_tile_skew,
+        "admin_top_terms": webgeo.q_admin_top_terms,
         "raster_distance": webgeo.q_raster_distance,
         "hex_smooth": webgeo.q_hex_smooth,
         "pip_join": webgeo.q_pip,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "st_cube": oracle.sql_st_cube(),
         "tile_skew": oracle.sql_tile_skew(),
+        "admin_top_terms": oracle.sql_admin_top_terms(),
         "raster_distance": oracle.sql_raster_distance(),
         "hex_smooth": oracle.sql_hex_smooth(),
         "pip_join": oracle.sql_admin_join(),

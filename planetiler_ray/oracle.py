@@ -882,6 +882,34 @@ ORDER BY 1
 """
 
 
+def sql_admin_top_terms(k: int = 3) -> str:
+    """Twin of ``webgeo.q_admin_top_terms``: first-mention admin box join,
+    token counts per admin, row_number top-k (ties token ASC)."""
+    lon_w = f"(-180.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey % {W.ADMIN_COLS}) * {W.ADMIN_LON_W}"
+    lat_s = f"(-85.0 - {W.ADMIN_EDGE_OFF}) + (n.n_nationkey // {W.ADMIN_COLS}) * {W.ADMIN_LAT_H}"
+    return f"""
+WITH {POINTS_CTE},
+da AS (
+    SELECT p.doc_id, n.n_nationkey AS admin_id
+    FROM points p JOIN nation n
+      ON p.lon >= {lon_w} AND p.lon < {lon_w} + {W.ADMIN_LON_W}
+     AND p.lat >= {lat_s} AND p.lat < {lat_s} + {W.ADMIN_LAT_H}
+    WHERE p.mention_idx = 0),
+toks AS (
+    SELECT da.admin_id,
+           unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS token
+    FROM documents d JOIN da USING (doc_id)),
+c AS (SELECT admin_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+r AS (
+    SELECT admin_id, token, n,
+           row_number() OVER (PARTITION BY admin_id
+                              ORDER BY n DESC, token) AS rk
+    FROM c)
+SELECT admin_id, token, CAST(n AS BIGINT) AS n, rk
+FROM r WHERE rk <= {k} ORDER BY 1, 4
+"""
+
+
 def sql_tile_skew(z: int = 10, ks=(1, 10, 100, 1000)) -> str:
     """Twin of ``webgeo.q_tile_skew``: ranked tile counts, cumulative at
     each k, share in basis points."""

@@ -162,6 +162,91 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_admin_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Geo x text fusion: the top-k corpus tokens per admin region, where a
+    document belongs to the region containing its FIRST mention — the
+    "what people write about, by where they write about it" analytic that
+    joins both halves of this engine.
+
+    Plan: PIP-enrich mention 0 of every doc (broadcast polygons), native
+    hash join docs->admin on the dense doc_id key, per-batch (admin,
+    token) count partials -> ONE groupby-sum over admin x vocab -> per-
+    block partial top-k per admin -> tiny single-block finish.  row_number
+    twin."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _flat_tokens
+
+    handle = ray.put(load_admin_polygons(sf_dir))
+    doc_admin = (
+        mentions_ds(sf_dir)
+        .filter(expr="mention_idx == 0")
+        .map_batches(
+            PIPJoiner,
+            fn_constructor_args=(handle,),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=0.5,
+        )
+        .filter(expr="admin_id >= 0")
+        .map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "admin_id": b.column("admin_id")}),
+            batch_format="pyarrow",
+        )
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    joined = docs.join(doc_admin, join_type="inner", num_partitions=16,
+                       on=("doc_id",))
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column("text").to_pandas())
+        admin = np.repeat(batch.column("admin_id").to_numpy(),
+                          np.asarray(lens, np.int64))
+        t = pa.table({"admin_id": pa.array(admin, pa.int64()), "token": flat})
+        g = t.group_by(["admin_id", "token"]).aggregate([("token", "count")])
+        return pa.table({
+            "admin_id": g.column("admin_id"),
+            "token": g.column("token"),
+            "n_part": g.column("token_count"),
+        })
+
+    counts = (
+        joined.map_batches(token_partial, batch_format="pyarrow")
+        .groupby(["admin_id", "token"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def partial_topk(batch: pa.Table, emit_rank: bool = False) -> pa.Table:
+        admin = batch.column("admin_id").to_numpy()
+        tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+        n = batch.column("n").to_numpy()
+        order = np.lexsort((tok, -n, admin))
+        a, t, c = admin[order], tok[order], n[order]
+        first = np.ones(len(a), bool)
+        first[1:] = a[1:] != a[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(a)))
+        pos = np.arange(len(a)) - np.repeat(starts, lens)
+        keep = pos < k
+        cols = {
+            "admin_id": pa.array(a[keep], pa.int64()),
+            "token": pa.array(t[keep].tolist(), pa.string()),
+            "n": pa.array(c[keep], pa.int64()),
+        }
+        if emit_rank:
+            cols["rk"] = pa.array((pos[keep] + 1).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        counts.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda b: partial_topk(b, emit_rank=True),
+                     batch_format="pyarrow")
+    )
+
+
 def q_tile_skew(sf_dir: str, z: int = 10,
                 ks=(1, 10, 100, 1000)) -> ray.data.Dataset:
     """Spatial skew audit: what share (basis points) of all mentions the
