@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_deltas": training.q_window_deltas,
         "partitioned_roundtrip": training.q_partitioned_roundtrip,
         "lang_overlap": training.q_lang_overlap,
+        "length_hist_sim": training.q_length_hist_sim,
+        "embed_dim_stats": training.q_embed_dim_stats,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
         "left_join_audit": training.q_left_join_audit,
@@ -484,6 +486,8 @@ def oracle_sql() -> dict[str, str]:
         "window_deltas": oracle.sql_window_deltas(),
         "partitioned_roundtrip": oracle.sql_partitioned_roundtrip(),
         "lang_overlap": oracle.sql_lang_overlap(),
+        "length_hist_sim": oracle.sql_length_hist_sim(),
+        "embed_dim_stats": oracle.sql_embed_dim_stats(),
         "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),
         "anti_join": oracle.sql_anti_join(),

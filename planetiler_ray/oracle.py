@@ -2229,6 +2229,39 @@ ORDER BY 1, 2
 """
 
 
+def sql_length_hist_sim(bucket: int = 64) -> str:
+    """Twin of ``training.q_length_hist_sim``: full-join histograms with
+    least() intersection."""
+    return f"""
+WITH h AS (
+    SELECT lang, n_chars // {bucket} AS b, count(*) AS n
+    FROM documents GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM documents)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(coalesce(sum(least(ha.n, hb.n)), 0) AS BIGINT) AS n_common
+FROM langs a
+JOIN langs b ON a.lang < b.lang
+LEFT JOIN h ha ON ha.lang = a.lang
+LEFT JOIN h hb ON hb.lang = b.lang AND hb.b = ha.b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sql_embed_dim_stats(fp: int = 16384) -> str:
+    """Twin of ``training.q_embed_dim_stats``."""
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+vals AS (
+    SELECT s.i - 1 AS dim,
+           CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {fp}) AS BIGINT) AS q
+    FROM e JOIN generate_series(1, 4096) s(i) ON s.i <= e.d)
+SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_fp,
+       min(q) AS min_fp, max(q) AS max_fp
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_lang_overlap() -> str:
     """Twin of ``training.q_lang_overlap``: distinct (lang, token) pairs,
     pairwise intersection counts."""

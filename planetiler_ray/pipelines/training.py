@@ -638,6 +638,90 @@ def q_window_deltas(sf_dir: str):
     return agg.repartition(1).map_batches(deltas, batch_format="pyarrow")
 
 
+def q_length_hist_sim(sf_dir: str, bucket: int = 64):
+    """Distribution similarity between languages: histogram-intersection
+    (sum of min bucket counts) of the doc-length distributions per lang
+    pair — the integer-exact distribution-drift metric.  The histograms
+    are a bounded aggregate (langs x length buckets); the pair matrix is a
+    single-block pass over that small table.  least()-join twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "lang": np.asarray(batch.column("lang").to_pandas(),
+                                   dtype=object),
+                "b": batch.column("n_chars").to_numpy() // bucket,
+            })
+            .groupby(["lang", "b"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        docs_ds(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "b"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        langs = sorted(df["lang"].unique())
+        piv = df.pivot_table(index="b", columns="lang", values="n",
+                             fill_value=0, aggfunc="sum")
+        rows = []
+        for i in range(len(langs)):
+            for j in range(i + 1, len(langs)):
+                inter = int(np.minimum(piv[langs[i]].to_numpy(),
+                                       piv[langs[j]].to_numpy()).sum())
+                rows.append((langs[i], langs[j], inter))
+        return pa.table({
+            "lang_a": pa.array([r[0] for r in rows], pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_common": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(pairs, batch_format="pyarrow")
+
+
+def q_embed_dim_stats(sf_dir: str, fp: int = 16384):
+    """Per-dimension embedding statistics in fixed point (floor(x * 2^14))
+    — the feature-drift / normalization audit over the vector store.
+    Per-batch per-dim partials (sum/min/max over the batch matrix, one
+    vectorized pass) -> ONE groupby over #dims rows.  Series-join twin."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(batch.num_rows, -1)
+        q = np.floor(m * fp).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n_part": pa.array(np.full(d, q.shape[0], np.int64), pa.int64()),
+            "sum_part": pa.array(q.sum(axis=0), pa.int64()),
+            "min_part": pa.array(q.min(axis=0), pa.int64()),
+            "max_part": pa.array(q.max(axis=0), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("sum_part", alias_name="sum_fp"),
+            Min("min_part", alias_name="min_fp"),
+            Max("max_part", alias_name="max_fp"),
+        )
+    )
+
+
 def q_lang_overlap(sf_dir: str):
     """Cross-language vocabulary overlap matrix: for every lang pair, how
     many distinct tokens they share — the corpus-similarity table.  One
