@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_roundtrip": training.q_partitioned_roundtrip,
         "lang_overlap": training.q_lang_overlap,
         "length_hist_sim": training.q_length_hist_sim,
+        "cusum_alert": training.q_cusum_alert,
+        "benford_census": training.q_benford_census,
         "embed_dim_stats": training.q_embed_dim_stats,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
@@ -487,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip": oracle.sql_partitioned_roundtrip(),
         "lang_overlap": oracle.sql_lang_overlap(),
         "length_hist_sim": oracle.sql_length_hist_sim(),
+        "cusum_alert": oracle.sql_cusum_alert(),
+        "benford_census": oracle.sql_benford_census(),
         "embed_dim_stats": oracle.sql_embed_dim_stats(),
         "ab_assign": oracle.sql_ab_assign(),
         "left_join_audit": oracle.sql_left_join_audit(),

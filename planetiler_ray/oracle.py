@@ -2229,6 +2229,56 @@ ORDER BY 1, 2
 """
 
 
+def sql_cusum_alert() -> str:
+    """Twin of ``training.q_cusum_alert``: the closed-form CUSUM via
+    running sum + running min window functions."""
+    return """
+WITH agg AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+           count(*) AS n
+    FROM events GROUP BY 1, 2),
+kk AS (
+    SELECT CAST((SELECT count(*) FROM events)
+                // (SELECT count(*) FROM agg) AS BIGINT) AS k),
+p1 AS (
+    SELECT event_type, window_id,
+           sum(n - (SELECT k FROM kk))
+             OVER (PARTITION BY event_type ORDER BY window_id
+                   ROWS UNBOUNDED PRECEDING) AS prefix
+    FROM agg),
+p2 AS (
+    SELECT *, least(0, min(prefix)
+             OVER (PARTITION BY event_type ORDER BY window_id
+                   ROWS UNBOUNDED PRECEDING)) AS rm
+    FROM p1),
+s AS (SELECT event_type, window_id, prefix - rm AS cus FROM p2),
+mx AS (SELECT event_type, max(cus) AS max_cusum FROM s GROUP BY 1),
+pk AS (
+    SELECT s.event_type, min(s.window_id) AS peak_window
+    FROM s JOIN mx ON s.event_type = mx.event_type AND s.cus = mx.max_cusum
+    GROUP BY 1)
+SELECT mx.event_type, CAST(mx.max_cusum AS BIGINT) AS max_cusum,
+       pk.peak_window, (SELECT k FROM kk) AS ref_k
+FROM mx JOIN pk USING (event_type) ORDER BY 1
+"""
+
+
+def sql_benford_census() -> str:
+    """Twin of ``training.q_benford_census``: first digit via substr of the
+    integer cents string."""
+    return """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events),
+d AS (
+    SELECT event_type,
+           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM c WHERE cents > 0)
+SELECT event_type, digit, count(*) AS n
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_length_hist_sim(bucket: int = 64) -> str:
     """Twin of ``training.q_length_hist_sim``: full-join histograms with
     least() intersection."""

@@ -638,6 +638,107 @@ def q_window_deltas(sf_dir: str):
     return agg.repartition(1).map_batches(deltas, batch_format="pyarrow")
 
 
+def q_cusum_alert(sf_dir: str):
+    """Change-point detection per event type: the max CUSUM statistic of
+    hourly counts vs the global per-cell mean — via the CLOSED FORM
+    max_t(prefix_t - min_{j<=t} prefix_j), so it's running-sum +
+    running-min window algebra (no recursion, no sequential scan).  The
+    windowed aggregate is bounded (types x hours); the scan runs in one
+    block.  Window-function twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "event_type": np.asarray(
+                    batch.column("event_type").to_pandas(), dtype=object),
+                "window_id": batch.column("ts").cast(pa.int64()).to_numpy()
+                // 3_600_000_000,
+            })
+            .groupby(["event_type", "window_id"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def cusum(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        win = batch.column("window_id").to_numpy()
+        n = batch.column("n").to_numpy()
+        k = int(n.sum()) // len(n)  # global mean per occupied cell (floor)
+        order = np.lexsort((win, et))
+        et, win, n = et[order], win[order], n[order]
+        first = np.ones(len(et), bool)
+        first[1:] = et[1:] != et[:-1]
+        seg = np.cumsum(first) - 1
+        x = n - k
+        cum = np.cumsum(x)
+        base = np.where(first, cum - x, 0)
+        seg_base = base[np.flatnonzero(first)][seg]
+        prefix = cum - seg_base           # per-type prefix of (n - k)
+        # running min of {0, prefix_1..prefix_t} per type segment (the
+        # closed-form denominator of CUSUM); bounded rows: types x hours
+        rm = np.empty_like(prefix)
+        cur = 0
+        for i in range(len(prefix)):
+            cur = min(0, prefix[i]) if first[i] else min(cur, prefix[i])
+            rm[i] = cur
+        s = prefix - rm
+        rows = []
+        for g in np.unique(seg):
+            m = seg == g
+            sm = s[m]
+            best = int(sm.max())
+            peak = int(win[m][np.flatnonzero(sm == best)[0]])
+            rows.append((et[m][0], best, peak, k))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "max_cusum": pa.array([r[1] for r in rows], pa.int64()),
+            "peak_window": pa.array([r[2] for r in rows], pa.int64()),
+            "ref_k": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(cusum, batch_format="pyarrow")
+
+
+def q_benford_census(sf_dir: str):
+    """Benford first-digit census of value cents per event type — the
+    classic numeric-fraud audit, exact integers end to end (first digit by
+    repeated integer division, vectorized; zero-cent rows excluded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        keep = cents > 0
+        cents, et = cents[keep], et[keep]
+        d = cents.copy()
+        while (d >= 10).any():
+            m = d >= 10
+            d[m] //= 10
+        df = (
+            pd.DataFrame({"event_type": et, "digit": d})
+            .groupby(["event_type", "digit"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events_ds(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_length_hist_sim(sf_dir: str, bucket: int = 64):
     """Distribution similarity between languages: histogram-intersection
     (sum of min bucket counts) of the doc-length distributions per lang
