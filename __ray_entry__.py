@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_overlap": training.q_lang_overlap,
         "length_hist_sim": training.q_length_hist_sim,
         "cusum_alert": training.q_cusum_alert,
+        "source_centroid": training.q_source_centroid,
+        "event_transitions": training.q_event_transitions,
         "benford_census": training.q_benford_census,
         "embed_dim_stats": training.q_embed_dim_stats,
         "ab_assign": training.q_ab_assign,
@@ -490,6 +492,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_overlap": oracle.sql_lang_overlap(),
         "length_hist_sim": oracle.sql_length_hist_sim(),
         "cusum_alert": oracle.sql_cusum_alert(),
+        "source_centroid": oracle.sql_source_centroid(),
+        "event_transitions": oracle.sql_event_transitions(),
         "benford_census": oracle.sql_benford_census(),
         "embed_dim_stats": oracle.sql_embed_dim_stats(),
         "ab_assign": oracle.sql_ab_assign(),

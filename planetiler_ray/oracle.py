@@ -2229,6 +2229,37 @@ ORDER BY 1, 2
 """
 
 
+def sql_source_centroid(fp: int = 16384) -> str:
+    """Twin of ``training.q_source_centroid``."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+vals AS (
+    SELECT vec_id AS doc_id, s.i - 1 AS dim,
+           CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {fp}) AS BIGINT) AS q
+    FROM e JOIN generate_series(1, 4096) s(i) ON s.i <= e.d)
+SELECT doc.source, v.dim, count(*) AS n, CAST(sum(v.q) AS BIGINT) AS sum_fp
+FROM documents doc JOIN vals v USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def sql_event_transitions() -> str:
+    """Twin of ``training.q_event_transitions``: lag() per user over
+    (ts, event_id) order."""
+    return """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+p AS (
+    SELECT user_id, event_type AS type_to,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY tsu, event_id) AS type_from
+    FROM e)
+SELECT type_from, type_to, count(*) AS n
+FROM p WHERE type_from IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_cusum_alert() -> str:
     """Twin of ``training.q_cusum_alert``: the closed-form CUSUM via
     running sum + running min window functions."""

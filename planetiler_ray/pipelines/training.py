@@ -2037,6 +2037,95 @@ def q_doc_vector_join(sf_dir: str):
                      on=("doc_id",))
 
 
+def q_source_centroid(sf_dir: str, fp: int = 16384):
+    """Per-source embedding centroid NUMERATORS in fixed point (the
+    domain-centroid table behind clustering / data-mixing diagnostics):
+    docs(source) ⋈ embeddings on the dense id key (native hash join,
+    vectors pre-quantized to int64 inside map_batches), then per-batch
+    per-(source, dim) partial sums -> ONE groupby over sources x dims.
+    Output: (source, dim, n, sum_fp); the mean is a consumer division."""
+    from ray.data.aggregate import Sum
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                       np.float64).reshape(batch.num_rows, -1)
+        q = np.floor(m * fp).astype(np.int64)
+        d = q.shape[1]
+        cols = {"doc_id": batch.column("vec_id")}
+        for j in range(d):
+            cols[f"q{j}"] = pa.array(q[:, j], pa.int64())
+        return pa.table(cols)
+
+    vecs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quant, batch_format="pyarrow")
+    docs = docs_ds(sf_dir, ["doc_id", "source"])
+    joined = docs.join(vecs, join_type="inner", num_partitions=16,
+                       on=("doc_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("source").to_pandas(), dtype=object)
+        qcols = [c for c in batch.column_names if c.startswith("q")]
+        m = np.column_stack([batch.column(c).to_numpy() for c in qcols])
+        uniq, inv = np.unique(src, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "source": pa.array(np.repeat(uniq, d).tolist(), pa.string()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                            pa.int64()),
+            "n_part": pa.array(np.repeat(cnt, d), pa.int64()),
+            "sum_part": pa.array(sums.ravel(), pa.int64()),
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "dim"])
+        .aggregate(Sum("n_part", alias_name="n"),
+                   Sum("sum_part", alias_name="sum_fp"))
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """Behaviour Markov-transition census: counts of adjacent
+    (type_from -> type_to) pairs in each user's (ts, event_id) order — the
+    funnel-analytics transition matrix, via the user-hash bucket (one
+    lexsort + shifted compare per bucket, partial counts, tiny final
+    groupby).  lag() twin."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.events import _bucketed_by_user
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        et = np.asarray(g.column("event_type").to_pandas(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], et[order]
+        same = u[1:] == u[:-1]
+        df = (
+            pd.DataFrame({"type_from": t[:-1][same], "type_to": t[1:][same]})
+            .groupby(["type_from", "type_to"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _bucketed_by_user(
+            events_ds(sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+        .map_groups(lambda g: per_bucket(g.drop_columns(["ubucket"])),
+                    batch_format="pyarrow")
+        .groupby(["type_from", "type_to"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def q_mutual_nn(sf_dir: str, k_cent: int = 8):
     """Reciprocal nearest neighbours inside integer k-means cells
     (``ann.mutual_nn``) — exact SQL twin re-derives assignment, in-cell
