@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_alert": training.q_cusum_alert,
         "source_centroid": training.q_source_centroid,
         "event_transitions": training.q_event_transitions,
+        "peak_concurrency": training.q_peak_concurrency,
         "benford_census": training.q_benford_census,
         "embed_dim_stats": training.q_embed_dim_stats,
         "ab_assign": training.q_ab_assign,
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_alert": oracle.sql_cusum_alert(),
         "source_centroid": oracle.sql_source_centroid(),
         "event_transitions": oracle.sql_event_transitions(),
+        "peak_concurrency": oracle.sql_peak_concurrency(),
         "benford_census": oracle.sql_benford_census(),
         "embed_dim_stats": oracle.sql_embed_dim_stats(),
         "ab_assign": oracle.sql_ab_assign(),

@@ -2229,6 +2229,25 @@ ORDER BY 1, 2
 """
 
 
+def sql_peak_concurrency() -> str:
+    """Twin of ``events.peak_concurrency``: the sessionize CTE, +1/-1
+    deltas at start/end+1, ordered prefix, max + earliest time."""
+    sess = sql_sessionize().strip()
+    return f"""
+WITH sess AS ({sess}),
+deltas AS (
+    SELECT start_us AS t, 1 AS d FROM sess
+    UNION ALL SELECT end_us + 1 AS t, -1 AS d FROM sess),
+per_t AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY t),
+pre AS (
+    SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c
+    FROM per_t)
+SELECT CAST((SELECT max(c) FROM pre) AS BIGINT) AS peak,
+       (SELECT min(t) FROM pre WHERE c = (SELECT max(c) FROM pre))
+         AS t_at_peak
+"""
+
+
 def sql_source_centroid(fp: int = 16384) -> str:
     """Twin of ``training.q_source_centroid``."""
     return f"""

@@ -2091,6 +2091,13 @@ def q_source_centroid(sf_dir: str, fp: int = 16384):
     )
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous sessions via the distributed sweep line; window
+    prefix twin over the sessionize CTE."""
+    return events.peak_concurrency(
+        events_ds(sf_dir, ["user_id", "event_id", "ts"]))
+
+
 def q_event_transitions(sf_dir: str):
     """Behaviour Markov-transition census: counts of adjacent
     (type_from -> type_to) pairs in each user's (ts, event_id) order — the

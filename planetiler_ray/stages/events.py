@@ -134,6 +134,84 @@ def running_total(ds, n_buckets: int = 64):
     )
 
 
+def peak_concurrency(ds, range_us: int = 6 * 3_600_000_000,
+                     gap_us: int = SESSION_GAP_US):
+    """Peak simultaneous sessions (the classic interval sweep-line,
+    distributed): sessionize, emit +1/-1 deltas at session start / end+1,
+    then a DISTRIBUTED PREFIX over time ranges — per-range delta totals ->
+    driver-side exclusive offsets (tiny) -> per-range in-order prefix max
+    candidates -> one-row final reduce.  No global sort, no sequential
+    scan of the full timeline.
+
+    Output: one row (peak, t_at_peak) with t_at_peak = earliest micros
+    reaching the peak.
+    """
+    sessions = sessionize(ds, gap_us=gap_us).materialize()  # aggregate-sized
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s0 = batch.column("start_us").to_numpy()
+        e0 = batch.column("end_us").to_numpy() + 1
+        t = np.concatenate([s0, e0])
+        d = np.concatenate([np.ones(len(s0), np.int64),
+                            np.full(len(e0), -1, np.int64)])
+        df = pd.DataFrame({"t": t, "d": d}).groupby("t", as_index=False).sum()
+        df["range_id"] = df["t"] // range_us
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    dts = sessions.map_batches(deltas, batch_format="pyarrow")
+    totals = (
+        dts.map_batches(
+            lambda b: pa.table({"range_id": b.column("range_id"),
+                                "d_part": b.column("d")}),
+            batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(Sum("d_part", alias_name="d"))
+        .to_pandas()  # timeline/range_us rows: tiny
+        .sort_values("range_id")
+    )
+    offsets = {
+        int(r): int(o) for r, o in zip(
+            totals["range_id"],
+            np.concatenate([[0], np.cumsum(totals["d"].to_numpy())[:-1]]))
+    }
+
+    def range_peak(g: pa.Table) -> pa.Table:
+        t = g.column("t").to_numpy()
+        d = g.column("d").to_numpy()
+        rid = int(g.column("range_id").to_numpy()[0])
+        # deltas may arrive pre-grouped per batch but split across batches:
+        # regroup by t inside the range, then prefix
+        ut, inv = np.unique(t, return_inverse=True)
+        dd = np.zeros(len(ut), np.int64)
+        np.add.at(dd, inv, d)
+        c = np.cumsum(dd) + offsets.get(rid, 0)
+        best = int(c.max())
+        at = int(ut[np.flatnonzero(c == best)[0]])
+        return pa.table({
+            "peak": pa.array([best], pa.int64()),
+            "t_at_peak": pa.array([at], pa.int64()),
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        p = batch.column("peak").to_numpy()
+        t = batch.column("t_at_peak").to_numpy()
+        best = int(p.max())
+        at = int(t[p == best].min())
+        return pa.table({
+            "peak": pa.array([best], pa.int64()),
+            "t_at_peak": pa.array([at], pa.int64()),
+        })
+
+    return (
+        dts.groupby("range_id")
+        .map_groups(range_peak, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
 def inter_event_gaps(ds, cap_min: int = 120, n_buckets: int = 64):
     """Inter-arrival-time histogram: the gap between each user's
     consecutive events, bucketed to minutes and capped at ``cap_min`` —
