@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
+        "geohash_counts": webgeo.q_geohash_counts,
+        "contour_census": webgeo.q_contour_census,
+        "box_join": webgeo.q_box_join,
         "st_cube": webgeo.q_st_cube,
         "tile_skew": webgeo.q_tile_skew,
         "admin_top_terms": webgeo.q_admin_top_terms,
@@ -383,6 +386,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
+        "geohash_counts": oracle.sql_geohash_counts(),
+        "contour_census": oracle.sql_contour_census(),
+        "box_join": oracle.sql_box_join(),
         "st_cube": oracle.sql_st_cube(),
         "tile_skew": oracle.sql_tile_skew(),
         "admin_top_terms": oracle.sql_admin_top_terms(),

@@ -292,6 +292,28 @@ FROM points GROUP BY 1 ORDER BY 1
 """
 
 
+def sql_box_join(span_cap: int = 20000) -> str:
+    """Twin of ``webgeo.q_box_join``: per-doc integer-mdeg bbox, the
+    compactness filter, then the quadratic overlap self-join (closed
+    edges) the engine's grid scatter computes without a distinct pass."""
+    return f"""
+WITH {POINTS_CTE},
+e AS (
+    SELECT doc_id,
+           min(lat_mdeg) AS lat_min, max(lat_mdeg) AS lat_max,
+           min(lon_mdeg) AS lon_min, max(lon_mdeg) AS lon_max
+    FROM points GROUP BY 1),
+s AS (
+    SELECT * FROM e
+    WHERE lat_max - lat_min <= {span_cap} AND lon_max - lon_min <= {span_cap})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+ AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+ AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+ORDER BY 1, 2
+"""
+
+
 def sql_admin_centroid() -> str:
     """Twin of ``webgeo.q_admin_centroid``: box join + integer coordinate
     sums."""
@@ -960,6 +982,68 @@ c AS (
     FROM points p GROUP BY 1, 2)
 SELECT {digits} AS quadkey, CAST(c.n AS BIGINT) AS n
 FROM c ORDER BY 1
+"""
+
+
+def sql_geohash_counts(precision: int = 3) -> str:
+    """Twin of ``webgeo.q_geohash_counts``: same double-precision bit
+    exprs, unrolled MSB-first lon/lat interleave, substr alphabet lookup."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lonb = (
+        f"CAST(LEAST(FLOOR((p.lon + 180.0) / 360.0 * {float(1 << lon_bits)!r}),"
+        f" {float((1 << lon_bits) - 1)!r}) AS BIGINT)"
+    )
+    latb = (
+        f"CAST(LEAST(FLOOR((p.lat + 90.0) / 180.0 * {float(1 << lat_bits)!r}),"
+        f" {float((1 << lat_bits) - 1)!r}) AS BIGINT)"
+    )
+    terms = []
+    for p in range(nbits):
+        if p % 2 == 0:
+            bit = f"((b.lonb // {1 << (lon_bits - 1 - p // 2)}) % 2)"
+        else:
+            bit = f"((b.latb // {1 << (lat_bits - 1 - (p - 1) // 2)}) % 2)"
+        terms.append(f"{bit} * {1 << (nbits - 1 - p)}")
+    g_expr = " + ".join(terms)
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alpha}', CAST((h.g // {32 ** (precision - 1 - i)}) % 32 AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH {POINTS_CTE},
+b AS (SELECT {lonb} AS lonb, {latb} AS latb FROM points p),
+h AS (SELECT {g_expr} AS g, count(*) AS n FROM b GROUP BY 1)
+SELECT {chars} AS geohash, CAST(h.n AS BIGINT) AS n
+FROM h ORDER BY 1
+"""
+
+
+def sql_contour_census(z: int = 7, thresh: int = 2) -> str:
+    """Twin of ``webgeo.q_contour_census``: rebuild the occupancy raster,
+    scatter the 4 corner bits per occupied cell (TL=8 TR=4 BR=2 BL=1, y
+    down), SUM==OR per block, per-case histogram with the marching-squares
+    segment-count CASE lookup (saddles 5/10 -> 2, full 15 -> 0)."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH {POINTS_CTE},
+cells AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+occ AS (SELECT x, y FROM cells WHERE n >= {thresh}),
+corners AS (
+    SELECT x AS bx, y AS by, 8 AS bit FROM occ
+    UNION ALL SELECT x - 1, y, 4 FROM occ
+    UNION ALL SELECT x - 1, y - 1, 2 FROM occ
+    UNION ALL SELECT x, y - 1, 1 FROM occ),
+blocks AS (SELECT bx, by, SUM(bit) AS cs FROM corners GROUP BY 1, 2)
+SELECT CAST(cs AS BIGINT) AS case_id, count(*) AS n_blocks,
+       CAST(count(*) * (CASE WHEN cs IN (5, 10) THEN 2
+                             WHEN cs = 15 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_segments
+FROM blocks GROUP BY cs ORDER BY cs
 """
 
 

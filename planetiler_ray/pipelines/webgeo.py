@@ -403,6 +403,112 @@ def q_quadkey_counts(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     )
 
 
+def q_geohash_counts(sf_dir: str, precision: int = 3) -> ray.data.Dataset:
+    """Mention counts per GEOHASH cell (base-32 bit-interleaved lat/lon,
+    the fourth tile-address family next to quadkey / z,x,y / hex cells;
+    geohashes sort hierarchically so prefix scans give spatial rollups).
+    Kernel in ``geo/geohash.py``.  Per-batch partial counts on the integer
+    hash -> ONE bounded groupby-sum (<= 32**precision cells) -> tiny
+    vectorized base-32 stringify.  Exact oracle: unrolled bit arithmetic
+    + substr alphabet lookup over the same double-precision exprs."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import geohash as GH
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = GH.geohash_bits(
+            batch.column("lat").to_numpy(),
+            batch.column("lon").to_numpy(),
+            precision,
+        )
+        u, c = np.unique(g, return_counts=True)
+        return pa.table(
+            {"g": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        s = GH.geohash_str(batch.column("g").to_numpy(), precision)
+        return pa.table({
+            "geohash": pa.array(s.tolist(), pa.string()),
+            "n": batch.column("n"),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(stringify, batch_format="pyarrow")
+    )
+
+
+def q_contour_census(sf_dir: str, z: int = 7, thresh: int = 2) -> ray.data.Dataset:
+    """Marching-squares contouring census: threshold the zoom-``z`` mention
+    density raster at ``thresh`` and classify every 2x2 cell block into its
+    marching-squares case (1..15; empty blocks never materialize).  This is
+    the raster->vector isoline op (``geo/contour.py`` emits the actual
+    segment geometry; this query is its exact-oracle projection).
+
+    Distribution: occupied cells each scatter ONE corner bit to the 4
+    blocks they touch (flat 4x emit, vectorized) -> bounded groupby-sum
+    ORs the bits -> 15-row case histogram with the standard per-case
+    segment-count lookup.  No stencil gather, no dense raster."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import mercator
+    from ..geo.contour import CASE_SEGMENTS, corner_scatter
+
+    n_side = 1 << z
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        keep = batch.column("n").to_numpy() >= thresh
+        cell = batch.column("cell").to_numpy()[keep]
+        block, bit = corner_scatter(cell % n_side, cell // n_side, n_side)
+        return pa.table(
+            {"block": pa.array(block, pa.int64()), "bit": pa.array(bit, pa.int64())}
+        )
+
+    def census(batch: pa.Table) -> pa.Table:
+        cs = batch.column("cs").to_numpy()
+        u, c = np.unique(cs, return_counts=True)
+        return pa.table(
+            {"case_id": pa.array(u, pa.int64()), "nb_part": pa.array(c, pa.int64())}
+        )
+
+    def segify(batch: pa.Table) -> pa.Table:
+        case_id = batch.column("case_id").to_numpy()
+        nb = batch.column("n_blocks").to_numpy()
+        return pa.table({
+            "case_id": batch.column("case_id"),
+            "n_blocks": batch.column("n_blocks"),
+            "n_segments": pa.array(nb * CASE_SEGMENTS[case_id], pa.int64()),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(scatter, batch_format="pyarrow")
+        .groupby("block")
+        .aggregate(Sum("bit", alias_name="cs"))
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("case_id")
+        .aggregate(Sum("nb_part", alias_name="n_blocks"))
+        .map_batches(segify, batch_format="pyarrow")
+    )
+
+
 def q_zonal_stats(sf_dir: str, z: int = 8) -> ray.data.Dataset:
     """Raster zonal statistics: mention-density raster at zoom ``z`` reduced
     per admin zone (count of occupied cells, total point mass, hottest
@@ -839,6 +945,18 @@ def q_doc_geo_extent(sf_dir: str) -> ray.data.Dataset:
             Max("lon_mdeg", alias_name="lon_max"),
         )
     )
+
+
+def q_box_join(sf_dir: str, span_cap: int = 20000) -> ray.data.Dataset:
+    """Rectangle-overlap spatial self-join: pairs of documents whose
+    compact (span <= ``span_cap`` mdeg per axis) mention bboxes intersect
+    — the 2-D box join next to the 1-D ``range_join``/``interval_join``.
+    Grid-pitch-equals-cap scatter + report-at-intersection-min-corner
+    dedup (``stages/joins.box_overlap_pairs``); exact oracle: filtered
+    self-join with the overlap predicate."""
+    from ..stages.joins import box_overlap_pairs
+
+    return box_overlap_pairs(q_doc_geo_extent(sf_dir), span_cap=span_cap)
 
 
 def q_admin_centroid(sf_dir: str) -> ray.data.Dataset:

@@ -148,3 +148,120 @@ class RangeJoiner:
         inside = (pos >= 0) & (v < self.hi[pc])
         out = np.where(inside, self.label[pc], -1)
         return batch.append_column(self.out_col, pa.array(out, pa.int64()))
+
+
+def box_overlap_pairs(ext_ds, span_cap: int = 20000, n_buckets: int = 256):
+    """2-D rectangle-overlap spatial join over integer-mdeg bboxes: all
+    pairs (a < b) of boxes that intersect (closed edges), exactly once each.
+
+    The R-tree-free distributed shape: boxes wider than ``span_cap`` in
+    either axis are excluded (the compactness filter the oracle mirrors);
+    the grid pitch EQUALS the cap, so every surviving box covers at most
+    2x2 grid cells.  Each box scatters to its covered cells (<=4 rows), a
+    bucketed groupby co-locates cells, and within each cell an O(k^2)
+    numpy broadcast finds intersections — but a pair is REPORTED only in
+    the cell containing the top-left corner of the intersection rectangle
+    (the classic grid-join dedup rule), so output needs no distinct pass.
+
+    Scale note: per-cell work is quadratic in cell population; the cap
+    bounds box size, not density — a city every page mentions makes a hot
+    cell.  At that point lower ``span_cap`` (finer pitch) or pre-aggregate
+    identical boxes; both preserve exactness.
+
+    Input columns: doc_id, lat_min, lat_max, lon_min, lon_max (int mdeg).
+    Output: doc_a, doc_b (int64, doc_a < doc_b).
+    """
+    from .assemble import hash_bucket
+
+    OFF_LON, OFF_LAT = 180000, 90000  # shift to nonnegative before floor-div
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        span_ok = pa.compute.and_(
+            pa.compute.less_equal(
+                pa.compute.subtract(batch.column("lat_max"), batch.column("lat_min")),
+                span_cap,
+            ),
+            pa.compute.less_equal(
+                pa.compute.subtract(batch.column("lon_max"), batch.column("lon_min")),
+                span_cap,
+            ),
+        )
+        t = batch.filter(span_ok)
+        n = t.num_rows
+        doc = t.column("doc_id").to_numpy()
+        x0 = t.column("lon_min").to_numpy() + OFF_LON
+        x1 = t.column("lon_max").to_numpy() + OFF_LON
+        y0 = t.column("lat_min").to_numpy() + OFF_LAT
+        y1 = t.column("lat_max").to_numpy() + OFF_LAT
+        cx0, cx1 = x0 // span_cap, x1 // span_cap
+        cy0, cy1 = y0 // span_cap, y1 // span_cap
+        # up to 4 covered cells per box; mask the degenerate duplicates
+        dx = np.tile(np.array([0, 1, 0, 1]), n)
+        dy = np.tile(np.array([0, 0, 1, 1]), n)
+        cxr = np.repeat(cx0, 4) + dx * np.repeat(cx1 - cx0, 4)
+        cyr = np.repeat(cy0, 4) + dy * np.repeat(cy1 - cy0, 4)
+        keep = ((dx == 0) | (np.repeat(cx1 > cx0, 4))) & (
+            (dy == 0) | (np.repeat(cy1 > cy0, 4))
+        )
+        cell = (cyr * 200000 + cxr)[keep]
+        rep = np.repeat(np.arange(n), 4)[keep]
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "bucket": pa.array(hash_bucket(cell, n_buckets), pa.int64()),
+            "doc_id": pa.array(doc[rep], pa.int64()),
+            "x0": pa.array(x0[rep], pa.int64()),
+            "x1": pa.array(x1[rep], pa.int64()),
+            "y0": pa.array(y0[rep], pa.int64()),
+            "y1": pa.array(y1[rep], pa.int64()),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        cell = group.column("cell").to_numpy()
+        doc = group.column("doc_id").to_numpy()
+        x0 = group.column("x0").to_numpy()
+        x1 = group.column("x1").to_numpy()
+        y0 = group.column("y0").to_numpy()
+        y1 = group.column("y1").to_numpy()
+        order = np.lexsort((doc, cell))
+        cell, doc = cell[order], doc[order]
+        x0, x1, y0, y1 = x0[order], x1[order], y0[order], y1[order]
+        bounds = np.flatnonzero(np.diff(cell)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cell)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):  # loop over CELL RUNS, not rows
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            xi0, xj0 = x0[s:e][i], x0[s:e][j]
+            yi0, yj0 = y0[s:e][i], y0[s:e][j]
+            hit = (
+                (xi0 <= x1[s:e][j]) & (xj0 <= x1[s:e][i])
+                & (yi0 <= y1[s:e][j]) & (yj0 <= y1[s:e][i])
+            )
+            # report only where the intersection's min corner falls in
+            # THIS cell — exactly-once emission across cells
+            ix = np.maximum(xi0, xj0)
+            iy = np.maximum(yi0, yj0)
+            hit &= (iy // span_cap) * 200000 + ix // span_cap == cell[s]
+            if hit.any():
+                a = doc[s:e][i[hit]]
+                b = doc[s:e][j[hit]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    return (
+        ext_ds.map_batches(scatter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
