@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "super_relations": _q_super_relations,
         "way_split": _q_way_split,
         "chaikin_smooth": _q_chaikin_smooth,
+        "ring_orientation": _q_ring_orientation,
         # real .osm.pbf source: hand-rolled codec -> parallel blob decode
         "pbf_way_assembly": _q_pbf_way_assembly,
         "pbf_node_tags": _q_pbf_node_tags,
@@ -252,6 +253,21 @@ def _q_zoom_summary(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
+
+
+def _q_ring_orientation(sf_dir: str):
+    """Integer-shoelace winding audit over cyclically-closed assembled
+    ways (Planetiler's outer-CCW/hole-CW ring invariant) — one reduceat
+    per bucket, exact int64 twin."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.ring_orientation_ds(sf_dir)
+
+
+def _sql_ring_orientation() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_ring_orientation()
 
 
 def _sql_chaikin_checksum() -> str:
@@ -443,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": oracle.sql_bloom_probe(),
         "expr_classify": oracle.sql_expr_classify(),
         "chaikin_smooth": _sql_chaikin_checksum(),
+        "ring_orientation": _sql_ring_orientation(),
         "tpch_q6": oracle.sql_tpch_q6(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),

@@ -1124,3 +1124,97 @@ SELECT way_id, CAST(count(*) AS BIGINT) AS n_pts,
        CAST(sum(x) AS BIGINT) AS sx16, CAST(sum(y) AS BIGINT) AS sy16
 FROM r2 GROUP BY way_id
 """
+
+
+def ring_orientation_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Ring winding audit: close each assembled way cyclically and compute
+    the integer shoelace twice-signed-area in the local mdeg frame — the
+    orientation invariant Planetiler enforces during polygon assembly
+    (outer rings positive, holes negative; ``OsmMultipolygon.java`` ring
+    fixing, ``geo/multipolygon.py`` here).  Ways with < 3 vertices are
+    dropped (no area).
+
+    Fully vectorized group body: one lexsort, a cyclic next-vertex index
+    (``nxt[ends-1] = starts``), one cross-product array and ONE
+    ``np.add.reduceat`` — no per-way loop.  Exact int64 (|x|,|y| <=
+    176e3 mdeg, <= 7 vertices per way => |area2| < 2^42).
+
+    Output: way_id, n_pts, area2, winding (+1 CCW / -1 CW / 0 degenerate,
+    y-up lon/lat frame).
+    """
+
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "seq", "node_id"])
+        wid = g["way_id"].to_numpy()
+        base_lat = (wid * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+        base_lon = (wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+        y = base_lat + (g["lat_mdeg"].to_numpy() % 2000) - 1000
+        x = base_lon + (g["lon_mdeg"].to_numpy() % 2000) - 1000
+        n = len(wid)
+        bounds = np.flatnonzero(np.diff(wid)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        nxt = np.arange(1, n + 1)
+        nxt[ends - 1] = starts  # close each ring cyclically
+        cross = x * y[nxt] - x[nxt] * y
+        area2 = np.add.reduceat(cross, starts)
+        lens = ends - starts
+        ok = lens >= 3
+        return pd.DataFrame({
+            "way_id": wid[starts[ok]],
+            "n_pts": lens[ok],
+            "area2": area2[ok],
+            "winding": np.sign(area2[ok]).astype(np.int64),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
+                    batch_format="pandas")
+    )
+
+
+def sql_ring_orientation() -> str:
+    """DuckDB mirror of :func:`ring_orientation_ds`: same local-frame
+    integer vertices (double-mod for DuckDB's truncated ``%``), the
+    closing edge via coalesce(lead, first_value), one SUM per way."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+v0 AS (
+    SELECT way_id,
+           row_number() OVER (PARTITION BY way_id ORDER BY seq, node_id) AS rn,
+           count(*) OVER (PARTITION BY way_id) AS n,
+           CAST((way_id * {WAY_ANCHOR_LON_MULT}) % 350000 - 175000
+             + ((lon_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS x,
+           CAST((way_id * {WAY_ANCHOR_LAT_MULT}) % 160000 - 80000
+             + ((lat_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS y
+    FROM joined
+),
+v AS (SELECT * FROM v0 WHERE n >= 3),
+e AS (
+    SELECT way_id, n, x AS x0, y AS y0,
+           coalesce(lead(x) OVER w, first_value(x) OVER w) AS x1,
+           coalesce(lead(y) OVER w, first_value(y) OVER w) AS y1
+    FROM v WINDOW w AS (PARTITION BY way_id ORDER BY rn)
+),
+a AS (
+    SELECT way_id, any_value(n) AS n_pts,
+           SUM(x0 * y1 - x1 * y0) AS area2
+    FROM e GROUP BY 1)
+SELECT way_id, CAST(n_pts AS BIGINT) AS n_pts, CAST(area2 AS BIGINT) AS area2,
+       CAST(CASE WHEN area2 > 0 THEN 1 WHEN area2 < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS winding
+FROM a ORDER BY 1
+"""
