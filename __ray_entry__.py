@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_counts": webgeo.q_geohash_counts,
         "contour_census": webgeo.q_contour_census,
         "box_join": webgeo.q_box_join,
+        "spatial_autocorr": webgeo.q_spatial_autocorr,
         "st_cube": webgeo.q_st_cube,
         "tile_skew": webgeo.q_tile_skew,
         "admin_top_terms": webgeo.q_admin_top_terms,
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_counts": oracle.sql_geohash_counts(),
         "contour_census": oracle.sql_contour_census(),
         "box_join": oracle.sql_box_join(),
+        "spatial_autocorr": oracle.sql_spatial_autocorr(),
         "st_cube": oracle.sql_st_cube(),
         "tile_skew": oracle.sql_tile_skew(),
         "admin_top_terms": oracle.sql_admin_top_terms(),

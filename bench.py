@@ -109,6 +109,8 @@ def run_bench() -> dict:
     timed("tpch_q5", lambda: training.q_tpch_q5(SF_DIR).count())
     timed("raster_regions", lambda: webgeo.q_raster_regions(SF_DIR).count())
     timed("hex_smooth", lambda: webgeo.q_hex_smooth(SF_DIR).count())
+    timed("box_join", lambda: webgeo.q_box_join(SF_DIR).count())
+    timed("contour_census", lambda: webgeo.q_contour_census(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",

@@ -1047,6 +1047,34 @@ FROM blocks GROUP BY cs ORDER BY cs
 """
 
 
+def sql_spatial_autocorr(z: int = 6) -> str:
+    """Twin of ``webgeo.q_spatial_autocorr``: rebuild the raster, rook
+    self-join for adjacent occupied pairs, same five integer aggregates
+    and the expanded mean-free covariance numerator."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH {POINTS_CTE},
+cells AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+st AS (SELECT count(*) AS nc, sum(n) AS tot FROM cells),
+pairs AS (
+    SELECT a.n AS na, b.n AS nb
+    FROM cells a JOIN cells b
+      ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)),
+pg AS (
+    SELECT count(*) AS np_, coalesce(sum(na * nb), 0) AS s_ab,
+           coalesce(sum(na + nb), 0) AS s_apb
+    FROM pairs)
+SELECT CAST(st.nc AS BIGINT) AS n_cells, CAST(st.tot AS BIGINT) AS total,
+       CAST(pg.np_ AS BIGINT) AS n_pairs, CAST(pg.s_ab AS BIGINT) AS sum_ab,
+       CAST(pg.s_apb AS BIGINT) AS sum_apb,
+       CAST(st.nc * st.nc * pg.s_ab - st.nc * st.tot * pg.s_apb
+            + st.tot * st.tot * pg.np_ AS BIGINT) AS moran_num
+FROM st, pg
+"""
+
+
 def sql_zonal_stats(z: int = 8) -> str:
     """Twin of ``stages.tiling.zonal_stats`` over the nation admin grid:
     rebuild the zoom-z density raster from the mention points, box-join

@@ -509,6 +509,101 @@ def q_contour_census(sf_dir: str, z: int = 7, thresh: int = 2) -> ray.data.Datas
     )
 
 
+def q_spatial_autocorr(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """Moran-style spatial autocorrelation census over the zoom-``z``
+    mention-density raster: the covariance numerator over rook-adjacent
+    occupied cell pairs, kept EXACT in integers by scaling out the mean —
+    sum over pairs of (N*n_a - T)(N*n_b - T) where N = occupied cells and
+    T = total mass (expanding: N^2*sum(ab) - N*T*sum(a+b) + T^2*P, so the
+    whole statistic reduces to five associative integer aggregates; no
+    float mean ever materializes).
+
+    Distribution: bounded cell groupby -> each cell emits itself under its
+    own pair key and under its left/up neighbor's key (vectorized scatter,
+    no self-join) -> groupby-sum pairs them -> per-batch partial products
+    -> scalar aggregates.  Magnitude note: int64-exact while
+    N * max_cell_count < 2^31 (holds for any per-shard raster; shard the
+    statistic per region at planetary mass).
+
+    Output (1 row): n_cells, total, n_pairs, sum_ab, sum_apb, moran_num.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..geo import mercator
+
+    n_side = 1 << z
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    cells = (
+        mentions_ds(sf_dir)
+        .map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    V_OFF = n_side * n_side  # key space offset for vertical pairs
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy()
+        n = batch.column("n").to_numpy()
+        x, y = cell % n_side, cell // n_side
+        # horizontal pair key = LEFT cell id; vertical = UP cell id + V_OFF.
+        # "a" = the anchor cell, "b" = its right/down neighbor; edge cells
+        # (x=0 / y=0) emit a b-row under a key no cell anchors — it pairs
+        # with nothing and is filtered by the a>0 & b>0 gate.
+        keys = np.concatenate([cell, cell - 1, cell + V_OFF, cell - n_side + V_OFF])
+        a = np.concatenate([n, np.zeros(len(n), np.int64)] * 2)
+        b = np.concatenate([np.zeros(len(n), np.int64), n] * 2)
+        keep = np.concatenate(
+            [np.ones(len(n), bool), x > 0, np.ones(len(n), bool), y > 0]
+        )
+        return pa.table({
+            "pkey": pa.array(keys[keep], pa.int64()),
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+        })
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        hit = (a > 0) & (b > 0)
+        a, b = a[hit], b[hit]
+        return pa.table({
+            "n_pairs_p": pa.array([len(a)], pa.int64()),
+            "sum_ab_p": pa.array([int((a * b).sum())], pa.int64()),
+            "sum_apb_p": pa.array([int((a + b).sum())], pa.int64()),
+        })
+
+    pair_agg = (
+        cells.map_batches(scatter, batch_format="pyarrow")
+        .groupby("pkey")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .aggregate(Sum("n_pairs_p"), Sum("sum_ab_p"), Sum("sum_apb_p"))
+    )
+    cell_agg = cells.aggregate(Count(alias_name="nc"), Sum("n", alias_name="tot"))
+
+    N = int(cell_agg["nc"])
+    T = int(cell_agg["tot"])
+    P = int(pair_agg["sum(n_pairs_p)"] or 0)
+    s_ab = int(pair_agg["sum(sum_ab_p)"] or 0)
+    s_apb = int(pair_agg["sum(sum_apb_p)"] or 0)
+    return pd.DataFrame({
+        "n_cells": [N], "total": [T], "n_pairs": [P],
+        "sum_ab": [s_ab], "sum_apb": [s_apb],
+        "moran_num": [N * N * s_ab - N * T * s_apb + T * T * P],
+    })
+
+
 def q_zonal_stats(sf_dir: str, z: int = 8) -> ray.data.Dataset:
     """Raster zonal statistics: mention-density raster at zoom ``z`` reduced
     per admin zone (count of occupied cells, total point mass, hottest
