@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_roundtrip": training.q_partitioned_roundtrip,
         "lang_overlap": training.q_lang_overlap,
         "length_hist_sim": training.q_length_hist_sim,
+        "ks_drift": training.q_ks_drift,
+        "chi2_cells": training.q_chi2_cells,
         "cusum_alert": training.q_cusum_alert,
         "source_centroid": training.q_source_centroid,
         "event_transitions": training.q_event_transitions,
@@ -517,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip": oracle.sql_partitioned_roundtrip(),
         "lang_overlap": oracle.sql_lang_overlap(),
         "length_hist_sim": oracle.sql_length_hist_sim(),
+        "ks_drift": oracle.sql_ks_drift(),
+        "chi2_cells": oracle.sql_chi2_cells(),
         "cusum_alert": oracle.sql_cusum_alert(),
         "source_centroid": oracle.sql_source_centroid(),
         "event_transitions": oracle.sql_event_transitions(),

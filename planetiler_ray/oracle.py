@@ -3431,3 +3431,47 @@ r{h} AS (
                    f" (SELECT node FROM r{h} EXCEPT SELECT node FROM r{h-1})")
     parts.append("\n" + "\nUNION ALL\n".join(sel))
     return "".join(parts)
+
+
+def sql_ks_drift() -> str:
+    """Twin of ``training.q_ks_drift``: grid-aligned window cumsums, pair
+    max of the cross-scaled ECDF gap."""
+    return """
+WITH h AS (SELECT source, n_chars AS v, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+vals AS (SELECT DISTINCT v FROM h),
+grid AS (SELECT t.source, v.v, coalesce(h.n, 0) AS n
+         FROM tot t CROSS JOIN vals v
+         LEFT JOIN h ON h.source = t.source AND h.v = v.v),
+cum AS (SELECT source, v,
+               sum(n) OVER (PARTITION BY source ORDER BY v) AS c
+        FROM grid)
+SELECT ta.source AS src_a, tb.source AS src_b,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(max(abs(ca.c * tb.n - cb.c * ta.n)) AS BIGINT) AS d_num
+FROM tot ta
+JOIN tot tb ON ta.source < tb.source
+JOIN cum ca ON ca.source = ta.source
+JOIN cum cb ON cb.source = tb.source AND cb.v = ca.v
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+"""
+
+
+def sql_chi2_cells() -> str:
+    """Twin of ``training.q_chi2_cells``: margin joins over the contingency
+    cells, integer deviation ``n * total - row * col``."""
+    return """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM c)
+SELECT c.lang, c.source, c.n,
+       r.rn AS row_n, s.cn AS col_n, t.tn AS total_n,
+       CAST(c.n * t.tn - r.rn * s.cn AS BIGINT) AS dev
+FROM c
+JOIN r USING (lang)
+JOIN s USING (source)
+CROSS JOIN t
+ORDER BY 1, 2
+"""

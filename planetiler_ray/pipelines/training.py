@@ -2474,3 +2474,110 @@ def q_bfs_reach(sf_dir: str, hops: int = 3):
 
     e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
     return ray.data.from_pandas(graph.bfs_hops(e, n_nodes=n, hops=hops))
+
+
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distribution-drift statistic between
+    every source pair over doc length (``n_chars``) — integer-exact:
+    ``d_num = max_v |ecdf_a(v) * n_b - ecdf_b(v) * n_a|`` (the KS D scaled
+    by ``n_a * n_b``, so no float division anywhere).  Scale shape mirrors
+    :func:`q_length_hist_sim`: per-batch (source, value) count partials ->
+    ONE bounded groupby (sources x distinct lengths — the VALUE domain, not
+    the row count) -> a single-block pivot/cumsum/pair pass.  At 10^12 rows
+    the cross-products exceed int64 — the scale path divides the cumsums
+    through by a common 2^k first (same argmax); the test-scale integers
+    stay exact.  Window-cumsum SQL twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "source": np.asarray(batch.column("source").to_pandas(),
+                                     dtype=object),
+                "v": batch.column("n_chars").to_numpy(),
+            })
+            .groupby(["source", "v"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        docs_ds(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        piv = (
+            df.pivot_table(index="v", columns="source", values="n",
+                           fill_value=0, aggfunc="sum")
+            .sort_index()
+        )
+        srcs = sorted(piv.columns)
+        cum = piv[srcs].to_numpy(np.int64).cumsum(axis=0)
+        tot = cum[-1] if len(cum) else np.zeros(len(srcs), np.int64)
+        rows = []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                d = int(np.abs(cum[:, i] * tot[j] - cum[:, j] * tot[i]).max()) \
+                    if len(cum) else 0
+                rows.append((srcs[i], srcs[j], int(tot[i]), int(tot[j]), d))
+        return pa.table({
+            "src_a": pa.array([r[0] for r in rows], pa.string()),
+            "src_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "d_num": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(pairs, batch_format="pyarrow")
+
+
+def q_chi2_cells(sf_dir: str):
+    """Chi-square independence audit cells for the (lang x source)
+    contingency table — per cell the observed count, both margins, the
+    grand total and the integer deviation ``dev = n * total - row * col``
+    (the chi-square numerator before squaring/normalizing, exact in int64).
+    Per-batch count partials -> ONE tiny groupby (langs x sources cells) ->
+    margins in a single-block pass.  Margin-join SQL twin."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "lang": np.asarray(batch.column("lang").to_pandas(),
+                                   dtype=object),
+                "source": np.asarray(batch.column("source").to_pandas(),
+                                     dtype=object),
+            })
+            .groupby(["lang", "source"], as_index=False).size()
+            .rename(columns={"size": "n_part"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = (
+        docs_ds(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].astype(np.int64)
+        row = df.groupby("lang")["n"].transform("sum").astype(np.int64)
+        col = df.groupby("source")["n"].transform("sum").astype(np.int64)
+        tot = int(n.sum())
+        return pa.table({
+            "lang": pa.array(df["lang"], pa.string()),
+            "source": pa.array(df["source"], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "row_n": pa.array(row, pa.int64()),
+            "col_n": pa.array(col, pa.int64()),
+            "total_n": pa.array(np.full(len(df), tot, np.int64), pa.int64()),
+            "dev": pa.array(n * tot - row * col, pa.int64()),
+        })
+
+    return cells.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -306,3 +306,44 @@ def test_mutual_nn_matches_numpy_reference(ray_session):
     )
     got = list(zip(out["a"], out["b"], out["dist2"]))
     assert got == expect and len(expect) > 0
+
+
+def test_ks_drift_oracle_parity(ray_session):
+    """Engine vs DuckDB twin at sf0.001 — integer-exact KS numerators."""
+    import duckdb
+
+    from planetiler_ray import oracle
+    from planetiler_ray.pipelines import training
+
+    sf = "/root/testdata/sf0.001"
+    eng = (training.q_ks_drift(sf).to_pandas()
+           .sort_values(["src_a", "src_b"], ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(oracle.sql_ks_drift()).fetchdf()
+    assert eng["d_num"].tolist() == ora["d_num"].astype("int64").tolist()
+    assert eng["n_a"].tolist() == ora["n_a"].astype("int64").tolist()
+    # KS scaled-D is bounded by n_a * n_b and positive for distinct sources
+    assert ((eng["d_num"] >= 0) & (eng["d_num"] <= eng["n_a"] * eng["n_b"])).all()
+
+
+def test_chi2_cells_oracle_parity(ray_session):
+    import duckdb
+
+    from planetiler_ray import oracle
+    from planetiler_ray.pipelines import training
+
+    sf = "/root/testdata/sf0.001"
+    eng = (training.q_chi2_cells(sf).to_pandas()
+           .sort_values(["lang", "source"], ignore_index=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(oracle.sql_chi2_cells()).fetchdf()
+    for c in ["n", "row_n", "col_n", "total_n", "dev"]:
+        assert eng[c].tolist() == ora[c].astype("int64").tolist(), c
+    # margins reconstruct from the present cells exactly
+    assert (eng["n"].groupby(eng["lang"]).transform("sum")
+            == eng["row_n"]).all()
+    assert int(eng["n"].sum()) == int(eng["total_n"].iloc[0])
