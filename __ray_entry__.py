@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
+        "tile_pyramid": webgeo.q_tile_pyramid,
+        "morton_cover": webgeo.q_morton_cover,
         "geohash_counts": webgeo.q_geohash_counts,
         "contour_census": webgeo.q_contour_census,
         "box_join": webgeo.q_box_join,
@@ -405,6 +407,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
+        "tile_pyramid": oracle.sql_tile_pyramid(),
+        "morton_cover": oracle.sql_morton_cover(),
         "geohash_counts": oracle.sql_geohash_counts(),
         "contour_census": oracle.sql_contour_census(),
         "box_join": oracle.sql_box_join(),

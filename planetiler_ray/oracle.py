@@ -985,6 +985,82 @@ FROM c ORDER BY 1
 """
 
 
+def sql_tile_pyramid(z_max: int = 12) -> str:
+    """Twin of ``webgeo.q_tile_pyramid``: same tile exprs at z_max, then
+    ancestor shifts via generate_series integer division — the SQL states
+    the 15-zoom rollup directly; the engine proves the one-pass
+    explode-over-aggregates shape gives the identical pyramid."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z_max))
+    return f"""
+WITH {POINTS_CTE},
+c AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+anc AS (
+    SELECT zs.z AS z,
+           c.x // CAST(pow(2, {z_max} - zs.z) AS BIGINT) AS ax,
+           c.y // CAST(pow(2, {z_max} - zs.z) AS BIGINT) AS ay,
+           sum(c.n) AS n
+    FROM c CROSS JOIN generate_series(0, {z_max}) AS zs(z)
+    GROUP BY 1, 2, 3)
+SELECT z, count(*) AS n_tiles, CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(max(n) AS BIGINT) AS n_max,
+       CAST(sum(ax) AS BIGINT) AS x_sum, CAST(sum(ay) AS BIGINT) AS y_sum,
+       CAST(sum(n * (ay * {1 << 14} + ax)) AS BIGINT) AS wsum
+FROM anc GROUP BY z ORDER BY z
+"""
+
+
+def sql_morton_cover(z: int = 9) -> str:
+    """Twin of ``webgeo.q_morton_cover``: unrolled bit-interleave of the
+    same tile exprs into the Morton code, the SAME literal covering
+    ranges (deterministic driver-side arithmetic, unit-pinned in
+    tests/test_morton.py), candidate counts via a range join and exact
+    counts via integer-mdeg bbox containment."""
+    from .pipelines.webgeo import MORTON_BBOXES_MDEG, morton_cover_plan
+
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    interleave = " + ".join(
+        f"((t.x // {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + ((t.y // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(z)
+    )
+    plans = morton_cover_plan(z)
+    range_rows = ", ".join(
+        f"({p['bbox_id']}, {lo}, {hi})"
+        for p in plans
+        for lo, hi in p["ranges"]
+    )
+    nrange_rows = ", ".join(
+        f"({p['bbox_id']}, {len(p['ranges'])})" for p in plans
+    )
+    bbox_rows = ", ".join(
+        f"({i}, {b[0]}, {b[1]}, {b[2]}, {b[3]})"
+        for i, b in enumerate(MORTON_BBOXES_MDEG)
+    )
+    return f"""
+WITH {POINTS_CTE},
+t AS (SELECT p.lat_mdeg, p.lon_mdeg, {tx} AS x, {ty} AS y FROM points p),
+m AS (SELECT lat_mdeg, lon_mdeg, {interleave} AS code FROM t),
+r(bbox_id, lo, hi) AS (VALUES {range_rows}),
+nr(bbox_id, n_ranges) AS (VALUES {nrange_rows}),
+bb(bbox_id, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES {bbox_rows}),
+cand AS (
+    SELECT r.bbox_id, count(*) AS n_candidates
+    FROM m JOIN r ON m.code BETWEEN r.lo AND r.hi GROUP BY 1),
+ex AS (
+    SELECT bb.bbox_id, count(*) AS n_exact
+    FROM m JOIN bb ON m.lat_mdeg BETWEEN bb.lat_lo AND bb.lat_hi
+                  AND m.lon_mdeg BETWEEN bb.lon_lo AND bb.lon_hi
+    GROUP BY 1)
+SELECT nr.bbox_id, CAST(nr.n_ranges AS BIGINT) AS n_ranges,
+       CAST(COALESCE(cand.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
+FROM nr LEFT JOIN cand USING (bbox_id) LEFT JOIN ex USING (bbox_id)
+ORDER BY 1
+"""
+
+
 def sql_geohash_counts(precision: int = 3) -> str:
     """Twin of ``webgeo.q_geohash_counts``: same double-precision bit
     exprs, unrolled MSB-first lon/lat interleave, substr alphabet lookup."""

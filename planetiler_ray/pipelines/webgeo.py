@@ -403,6 +403,210 @@ def q_quadkey_counts(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     )
 
 
+def q_tile_pyramid(sf_dir: str, z_max: int = 12) -> ray.data.Dataset:
+    """Tile-pyramid rollup: mention counts at z_max aggregated up to EVERY
+    ancestor zoom 0..z_max in ONE read pass — the reference computes its
+    tilestats / minzoom decisions this way (aggregate children into
+    parents, ``TileCoord.java`` parent arithmetic) instead of re-scanning
+    the input once per zoom like ``tile_counts`` must for its independent
+    per-zoom render.  At 100 TB this is the only viable shape: one scan,
+    per-batch partials at the finest level, then a tiny arithmetic explode
+    (x15) over the ALREADY-AGGREGATED cell set, never over raw rows.
+
+    Output (one row per zoom): z, n_tiles (populated), n_mentions (must be
+    constant across zooms — a built-in conservation check), n_max (hottest
+    tile), x_sum/y_sum (populated-tile address checksums) and wsum
+    (count-weighted address checksum — pins every per-tile count).
+    Exact oracle: same tile exprs + generate_series ancestor shifts."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..geo import mercator
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z_max)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z_max)
+        u, c = np.unique((y << z_max) | x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    shifts = np.arange(z_max, -1, -1)  # z = 0 .. z_max
+
+    def ancestors(batch: pa.Table) -> pa.Table:
+        # runs over the aggregated z_max cell set (small), not raw rows
+        cell = batch.column("cell").to_numpy()
+        n = batch.column("n").to_numpy()
+        x = cell & ((1 << z_max) - 1)
+        y = cell >> z_max
+        ax = (x[:, None] >> shifts[None, :]).ravel()
+        ay = (y[:, None] >> shifts[None, :]).ravel()
+        az = np.broadcast_to(z_max - shifts, (len(cell), z_max + 1)).ravel()
+        # composite key: 4 bits zoom | 14 bits y | 14 bits x  (z_max <= 14)
+        key = (az.astype(np.int64) << 28) | (ay << 14) | ax
+        an = np.broadcast_to(n[:, None], (len(n), z_max + 1)).ravel()
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n_part": pa.array(
+                    np.bincount(inv, an).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "z": pa.array(key >> 28, pa.int64()),
+                "x": pa.array(key & ((1 << 14) - 1), pa.int64()),
+                "y": pa.array((key >> 14) & ((1 << 14) - 1), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "w": pa.array(n * (key & ((1 << 28) - 1)), pa.int64()),
+            }
+        )
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(ancestors, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(summarize, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(
+            Count(alias_name="n_tiles"),
+            Sum("n", alias_name="n_mentions"),
+            Max("n", alias_name="n_max"),
+            Sum("x", alias_name="x_sum"),
+            Sum("y", alias_name="y_sum"),
+            Sum("w", alias_name="wsum"),
+        )
+    )
+
+
+# deterministic query windows for q_morton_cover, integer millidegrees
+# (inclusive bounds); the first sits on the hot Paris-ish cluster, the
+# rest exercise wide/narrow/edge shapes of the covering.
+MORTON_BBOXES_MDEG: list[tuple[int, int, int, int]] = [
+    (48000, 50000, 1000, 4000),  # lat_lo, lat_hi, lon_lo, lon_hi
+    (-10000, 10000, -30000, 30000),
+    (40000, 70000, 100000, 160000),
+    (-60000, -45000, -120000, -60000),
+    (0, 30000, 150000, 179999),
+]
+
+
+def morton_cover_plan(z: int = 9) -> list[dict]:
+    """Driver-side covering plan for MORTON_BBOXES_MDEG: each query box is
+    turned into a short list of inclusive Morton-code ranges at level
+    ``z`` (geo/morton.cover_ranges quadtree descent).  Pure arithmetic
+    over a handful of boxes — the broadcast side of the scan."""
+    from ..geo import mercator, morton
+
+    plans = []
+    for i, (lat_lo, lat_hi, lon_lo, lon_hi) in enumerate(MORTON_BBOXES_MDEG):
+        x_lo = int(mercator.world_to_tile(
+            mercator.lon_to_world_x(np.float64(lon_lo / 1000.0)), z))
+        x_hi = int(mercator.world_to_tile(
+            mercator.lon_to_world_x(np.float64(lon_hi / 1000.0)), z))
+        # mercator y grows downward: hi lat -> low tile y
+        y_lo = int(mercator.world_to_tile(
+            mercator.lat_to_world_y(np.float64(lat_hi / 1000.0)), z))
+        y_hi = int(mercator.world_to_tile(
+            mercator.lat_to_world_y(np.float64(lat_lo / 1000.0)), z))
+        ranges = morton.cover_ranges(x_lo, x_hi, y_lo, y_hi, z)
+        plans.append(
+            {
+                "bbox_id": i,
+                "bounds_mdeg": (lat_lo, lat_hi, lon_lo, lon_hi),
+                "ranges": ranges,
+            }
+        )
+    return plans
+
+
+def q_morton_cover(sf_dir: str, z: int = 9) -> ray.data.Dataset:
+    """Window (bbox) queries served by Morton-range index pushdown — the
+    pattern that makes a 2-D window query cheap on 100 TB: the driver
+    covers each box with a few contiguous Z-order code ranges
+    (geo/morton.cover_ranges), workers compute each mention's interleaved
+    code once per batch and answer EVERY box with vectorized searchsorted
+    range probes (index scan) plus an integer-mdeg containment test
+    (refine).  n_candidates >= n_exact per box measures covering
+    tightness; a sorted-by-morton store would only read the candidate
+    ranges.  Exact oracle: unrolled bit-interleave of the same tile exprs
+    + the SAME literal ranges (the covering is deterministic driver-side
+    arithmetic, pinned separately by unit tests)."""
+    from ray.data.aggregate import Sum
+
+    from ..geo import mercator, morton
+
+    plans = morton_cover_plan(z)
+    # flatten ranges for vectorized probing: starts sorted per box
+    lo_all = [np.array([r[0] for r in p["ranges"]], np.int64) for p in plans]
+    hi_all = [np.array([r[1] for r in p["ranges"]], np.int64) for p in plans]
+    bounds = np.array([p["bounds_mdeg"] for p in plans], np.int64)
+    n_ranges = np.array([len(p["ranges"]) for p in plans], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat_mdeg = batch.column("lat_mdeg").to_numpy()
+        lon_mdeg = batch.column("lon_mdeg").to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        code = morton.xy_to_morton(x, y)
+        cand = np.zeros(len(bounds), np.int64)
+        exact = np.zeros(len(bounds), np.int64)
+        for i in range(len(bounds)):
+            # index scan: in-any-range via searchsorted on range starts
+            pos = np.searchsorted(lo_all[i], code, side="right") - 1
+            in_rng = (pos >= 0) & (code <= hi_all[i][np.maximum(pos, 0)])
+            cand[i] = int(np.count_nonzero(in_rng))
+            la_lo, la_hi, lo_lo, lo_hi = bounds[i]
+            exact[i] = int(
+                np.count_nonzero(
+                    (lat_mdeg >= la_lo) & (lat_mdeg <= la_hi)
+                    & (lon_mdeg >= lo_lo) & (lon_mdeg <= lo_hi)
+                )
+            )
+        return pa.table(
+            {
+                "bbox_id": pa.array(np.arange(len(bounds)), pa.int64()),
+                "cand_part": pa.array(cand, pa.int64()),
+                "exact_part": pa.array(exact, pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bid = batch.column("bbox_id").to_numpy()
+        return pa.table(
+            {
+                "bbox_id": batch.column("bbox_id"),
+                "n_ranges": pa.array(n_ranges[bid], pa.int64()),
+                "n_candidates": batch.column("n_candidates"),
+                "n_exact": batch.column("n_exact"),
+            }
+        )
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bbox_id")
+        .aggregate(
+            Sum("cand_part", alias_name="n_candidates"),
+            Sum("exact_part", alias_name="n_exact"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_geohash_counts(sf_dir: str, precision: int = 3) -> ray.data.Dataset:
     """Mention counts per GEOHASH cell (base-32 bit-interleaved lat/lon,
     the fourth tile-address family next to quadkey / z,x,y / hex cells;
