@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dim_stats": training.q_embed_dim_stats,
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
+        "tpch_q12": training.q_tpch_q12,
+        "tpch_q14": training.q_tpch_q14,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
         "distinct_langs": training.q_distinct_langs,
@@ -469,6 +471,8 @@ def oracle_sql() -> dict[str, str]:
         "chaikin_smooth": _sql_chaikin_checksum(),
         "ring_orientation": _sql_ring_orientation(),
         "tpch_q6": oracle.sql_tpch_q6(),
+        "tpch_q12": oracle.sql_tpch_q12(),
+        "tpch_q14": oracle.sql_tpch_q14(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),

@@ -3416,6 +3416,37 @@ GROUP BY 1
 """
 
 
+def sql_tpch_q12() -> str:
+    """Mirror of ``training.q_tpch_q12`` (conditional counts per flag)."""
+    return """
+SELECT l.l_returnflag AS shipmode,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_tpch_q14() -> str:
+    """Mirror of ``training.q_tpch_q14`` — both branches integer exact."""
+    return """
+SELECT 0 AS grp,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_rev_cbp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_cbp
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'
+GROUP BY 1
+"""
+
+
 def sql_edit_distance() -> str:
     """Mirror of ``training.q_edit_distance``."""
     return """

@@ -14,6 +14,20 @@ import ray.data
 from ..stages import ann, dedup, events, text
 
 
+def join_args(max_partitions: int = 64) -> dict:
+    """Cluster-sized kwargs for ``Dataset.join``: hash-partition width
+    derived from total CPUs (ADVICE r2: no hardcoded shuffle parallelism)
+    and FRACTIONAL aggregator CPUs — Ray's hash-shuffle aggregator pool
+    reserves ``num_cpus`` per aggregator up front, so the default of 1
+    deadlocks any session where num_partitions exceeds the CPU count
+    (e.g. the 4-cpu pytest fixture) by starving the upstream map tasks."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return {
+        "num_partitions": max(8, min(max_partitions, 2 * n_cpu)),
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+
+
 def docs_ds(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -1586,7 +1600,7 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
 
     from ray.data.aggregate import Sum
 
-    joined = line.join(orders, join_type="inner", num_partitions=16,
+    joined = line.join(orders, join_type="inner", **join_args(),
                        on=("l_orderkey",))
     agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
         Sum("rev", alias_name="revenue")
@@ -1716,7 +1730,7 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_side, batch_format="pyarrow")
-    joined = line.join(orders, join_type="inner", num_partitions=16,
+    joined = line.join(orders, join_type="inner", **join_args(),
                        on=("l_orderkey",))
     agg = (
         joined
@@ -1765,7 +1779,7 @@ def q_left_join_audit(sf_dir: str, price_threshold: float = 250_000.0):
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
-    joined = line.join(orders, join_type="left_outer", num_partitions=16,
+    joined = line.join(orders, join_type="left_outer", **join_args(),
                        on=("l_orderkey",))
 
     def audit_partial(batch: pa.Table) -> pa.Table:
@@ -1835,7 +1849,7 @@ def q_anti_join(sf_dir: str, cutoff_us: int = 804_556_800_000_000):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = cust.join(okeys, join_type="left_outer", num_partitions=16,
+    joined = cust.join(okeys, join_type="left_outer", **join_args(),
                        on=("c_custkey",))
 
     def census(batch: pa.Table) -> pa.Table:
@@ -2033,7 +2047,7 @@ def q_doc_vector_join(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(norms, batch_format="pyarrow")
     docs = docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
-    return docs.join(vecs, join_type="inner", num_partitions=16,
+    return docs.join(vecs, join_type="inner", **join_args(),
                      on=("doc_id",))
 
 
@@ -2063,7 +2077,7 @@ def q_source_centroid(sf_dir: str, fp: int = 16384):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(quant, batch_format="pyarrow")
     docs = docs_ds(sf_dir, ["doc_id", "source"])
-    joined = docs.join(vecs, join_type="inner", num_partitions=16,
+    joined = docs.join(vecs, join_type="inner", **join_args(),
                        on=("doc_id",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2344,6 +2358,128 @@ def q_tpch_q6(sf_dir: str):
         .aggregate(
             Sum("rev_part", alias_name="revenue_cbp"),
             Sum("n_part", alias_name="n_rows"),
+        )
+    )
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12-shaped (shipping-mode priority audit) on the available
+    columns: orders |><| lineitem big-big join, then the two-branch
+    conditional count per l_returnflag.  Scale plan: BOTH sides are
+    pre-projected to exactly two columns before the one hash exchange
+    (orders -> (key, is_high bool8), lineitem date-filtered -> (key,
+    returnflag dictionary)), the conditional aggregation happens as
+    per-batch partials on the join output, and the final groupby moves
+    <= 3 keys x partials.  Reference parity: the same
+    filter-project-join-aggregate discipline as q_tpch_q3, but with the
+    categorical conditional-count shape instead of top-k."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority").to_pandas().to_numpy(object)
+        is_high = (pri == "1-URGENT") | (pri == "2-HIGH")
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey"),
+                "is_high": pa.array(is_high, pa.bool_()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        keep = pa.array((ship >= lo) & (ship < hi))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").filter(keep),
+                "flag": batch.column("l_returnflag").filter(keep),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch.column("flag").to_pandas(), object)
+        hi_mask = batch.column("is_high").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(flag, return_inverse=True)
+        return pa.table(
+            {
+                "shipmode": pa.array(u, pa.string()),
+                "hi_part": pa.array(
+                    np.bincount(inv, hi_mask).astype(np.int64), pa.int64()
+                ),
+                "lo_part": pa.array(
+                    np.bincount(inv, ~hi_mask).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        lines.join(orders, join_type="inner", on=("l_orderkey",),
+                   **join_args())
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shipmode")
+        .aggregate(
+            Sum("hi_part", alias_name="high_line_count"),
+            Sum("lo_part", alias_name="low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-shaped (promotion-revenue share): lineitem scan with the
+    part dimension BROADCAST as a promo-key membership set (np.isin per
+    batch — the small-side-lookup discipline; no shuffle at all), exact
+    integer cents x basis-points revenue in both branches, one-row
+    output.  The float promo share is left to the consumer; the oracle
+    compares the two integer sums bitwise."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-03-01")
+    hi = np.datetime64("1996-04-01")
+    promo_keys = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        filters=[("p_type", "==", "PROMO")],
+    ).column("p_partkey").to_numpy()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        m = (ship >= lo) & (ship < hi)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[m] * 100
+        ).astype(np.int64)
+        disc_bp = np.round(
+            batch.column("l_discount").to_numpy()[m] * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_bp)
+        promo = np.isin(batch.column("l_partkey").to_numpy()[m], promo_keys)
+        return pa.table(
+            {
+                "grp": pa.array([0], pa.int64()),
+                "promo_part": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_part": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(
+            Sum("promo_part", alias_name="promo_rev_cbp"),
+            Sum("total_part", alias_name="total_rev_cbp"),
         )
     )
 

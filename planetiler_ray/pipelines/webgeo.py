@@ -197,7 +197,9 @@ def q_admin_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     )
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    joined = docs.join(doc_admin, join_type="inner", num_partitions=16,
+    from .training import join_args
+
+    joined = docs.join(doc_admin, join_type="inner", **join_args(),
                        on=("doc_id",))
 
     def token_partial(batch: pa.Table) -> pa.Table:
