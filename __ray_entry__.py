@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
         "morton_cover": webgeo.q_morton_cover,
+        "url_lcp": webgeo.q_url_lcp,
         "geohash_counts": webgeo.q_geohash_counts,
         "contour_census": webgeo.q_contour_census,
         "box_join": webgeo.q_box_join,
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),
         "morton_cover": oracle.sql_morton_cover(),
+        "url_lcp": oracle.sql_url_lcp(),
         "geohash_counts": oracle.sql_geohash_counts(),
         "contour_census": oracle.sql_contour_census(),
         "box_join": oracle.sql_box_join(),

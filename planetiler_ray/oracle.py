@@ -1061,6 +1061,28 @@ ORDER BY 1
 """
 
 
+def sql_url_lcp(cap: int = 64) -> str:
+    """Twin of ``webgeo.q_url_lcp``: lag(url) OVER (ORDER BY url) global
+    sorted adjacency, LCP as an unrolled prefix-indicator sum — the SQL
+    states the global sort; the engine proves bucketed adjacency +
+    boundary reconstruction gives the identical histogram."""
+    terms = " + ".join(
+        f"(CASE WHEN substr(s.url, 1, {k}) = substr(s.prev, 1, {k})"
+        f" THEN 1 ELSE 0 END)"
+        for k in range(1, cap + 1)
+    )
+    return f"""
+WITH u AS (
+    SELECT 'https://example' || CAST(doc_id % 997 AS VARCHAR)
+           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents),
+s AS (SELECT url, lag(url) OVER (ORDER BY url) AS prev FROM u)
+SELECT CAST({terms} AS BIGINT) AS lcp, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE s.prev IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_geohash_counts(precision: int = 3) -> str:
     """Twin of ``webgeo.q_geohash_counts``: same double-precision bit
     exprs, unrolled MSB-first lon/lat interleave, substr alphabet lookup."""

@@ -609,6 +609,95 @@ def q_morton_cover(sf_dir: str, z: int = 9) -> ray.data.Dataset:
     )
 
 
+def q_url_lcp(sf_dir: str, prefix_len: int = 18, cap: int = 64):
+    """Histogram of longest-common-prefix lengths between GLOBALLY
+    sort-adjacent urls — the sorted-neighbor structure crawl dedup uses
+    to spot near-identical url families — computed WITHOUT a global sort
+    shuffle.  The trick: bucketing by a fixed url prefix preserves sorted
+    contiguity (equal prefixes sort together), so (a) in-bucket adjacent
+    pairs come from a bounded per-group lexsort, and (b) the only missing
+    pairs are the <=n_buckets cross-boundary ones, reconstructed exactly
+    from the per-bucket (min_url, max_url) aggregate — a tiny driver-side
+    merge over ~1000 rows, never over data.  LCPs are computed on a
+    zero-copy uint8 matrix view (cap x n), one cumprod — no Python row
+    loop.  Exact oracle: lag(url) OVER (ORDER BY url) with an unrolled
+    64-term prefix-indicator sum."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    import pyarrow.compute as pc
+
+    from ..sources.pages import urls_from_ids
+
+    def to_urls(batch: pa.Table) -> pa.Table:
+        url = urls_from_ids(batch.column("doc_id").to_numpy())
+        return pa.table(
+            {"bucket": pc.utf8_slice_codeunits(url, 0, prefix_len), "url": url}
+        )
+
+    def lcp_of_pairs(a: np.ndarray) -> np.ndarray:
+        # a: sorted S<cap> byte array; returns LCP of consecutive rows
+        m = a.view(np.uint8).reshape(len(a), cap)
+        eq = m[1:] == m[:-1]
+        return np.cumprod(eq, axis=1, dtype=np.uint8).sum(axis=1).astype(np.int64)
+
+    def group_hist(g: pa.Table) -> pa.Table:
+        urls = np.asarray(g.column("url").to_pandas(), dtype=f"S{cap}")
+        urls.sort(kind="stable")
+        if len(urls) < 2:
+            return pa.table(
+                {"lcp": pa.array([], pa.int64()), "n_part": pa.array([], pa.int64())}
+            )
+        lcp = lcp_of_pairs(urls)
+        h = np.bincount(lcp, minlength=cap + 1)
+        nz = np.flatnonzero(h)
+        return pa.table(
+            {
+                "lcp": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_part": pa.array(h[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    urls = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(to_urls, batch_format="pyarrow")
+    # distributed leg: per-bucket adjacent pairs (ONE bounded shuffle)
+    hist = (
+        urls.groupby("bucket")
+        .map_groups(group_hist, batch_format="pyarrow")
+        .groupby("lcp")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    if hist.empty:  # every bucket a singleton (tiny inputs): boundary leg only
+        hist = pd.DataFrame(
+            {"lcp": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
+        )
+    # boundary leg: per-bucket extrema (same key, tiny result ~997 rows)
+    bnd = (
+        urls.groupby("bucket")
+        .aggregate(Min("url", alias_name="lo"), Max("url", alias_name="hi"))
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    if len(bnd) > 1:
+        prev_hi = np.asarray(bnd["hi"][:-1], dtype=f"S{cap}")
+        next_lo = np.asarray(bnd["lo"][1:], dtype=f"S{cap}")
+        inter = np.empty(2 * len(prev_hi), dtype=f"S{cap}")
+        inter[0::2], inter[1::2] = prev_hi, next_lo
+        blcp = lcp_of_pairs(inter)[0::2]  # only (hi_i, lo_i+1) pairs
+        extra = pd.Series(np.bincount(blcp, minlength=cap + 1))
+        hist = (
+            hist.set_index("lcp")["n"]
+            .add(extra[extra > 0], fill_value=0)
+            .astype(np.int64)
+            .rename("n")
+            .reset_index()
+            .rename(columns={"index": "lcp"})
+        )
+    hist["lcp"] = hist["lcp"].astype(np.int64)
+    return hist.sort_values("lcp", ignore_index=True)
+
+
 def q_geohash_counts(sf_dir: str, precision: int = 3) -> ray.data.Dataset:
     """Mention counts per GEOHASH cell (base-32 bit-interleaved lat/lon,
     the fourth tile-address family next to quadkey / z,x,y / hex cells;

@@ -196,6 +196,19 @@ def replicate_documents(batch: pa.Table, repl: int) -> pa.Table:
     )
 
 
+def urls_from_ids(doc_id: np.ndarray) -> pa.Array:
+    """The ONE url constructor (https://example<id%997>.com/p/<id>) —
+    shared by page synthesis and every url-keyed query so the engine and
+    the oracle's url expression cannot drift."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(doc_id).astype(np.int64)
+    return pc.binary_join_element_wise(
+        "https://example", pc.cast(pa.array(ids % 997), pa.string()),
+        ".com/p/", pc.cast(pa.array(ids), pa.string()), "",
+    )
+
+
 def synthesize_pages(batch: pa.Table) -> pa.Table:
     """``documents`` Arrow batch -> ``pages`` Arrow batch (map_batches body).
 
@@ -211,11 +224,7 @@ def synthesize_pages(batch: pa.Table) -> pa.Table:
         base = base.combine_chunks()
     text = build_text_pa(doc_id, base)
     html = build_html_pa(doc_id, text)
-    ids = doc_id.astype(np.int64)
-    url = pc.binary_join_element_wise(
-        "https://example", pc.cast(pa.array(ids % 997), pa.string()),
-        ".com/p/", pc.cast(pa.array(ids), pa.string()), "",
-    )
+    url = urls_from_ids(doc_id)
     warc_ts = np.datetime64("2024-01-01T00:00:00", "us") + doc_id.astype("timedelta64[s]")
     return pa.table(
         {
