@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_tiles": _q_route_tiles,
         # oracle-expressible core of the route path: render length gate
         "route_zoom_gate": _q_route_zoom_gate,
+        # FULL tile path (gate->simplify->slice->shuffle->merge) on an
+        # integer-slack corpus: (z,x,y,n_features) exactly SQL-mirrored
+        "route_tiles_exact": _q_route_tiles_exact,
         # REAL line_tiles slicing kernel, exact integer SAT oracle
         "line_cover": _q_line_cover,
         # archive statistics (tilestats analogue)
@@ -229,6 +232,21 @@ def _q_route_tiles(sf_dir: str):
     return routes.route_tiles_ds(sf_dir, zooms=[0, 4, 8]).select_columns(
         ["tile_id", "z", "tile_x", "tile_y", "n_features", "n_bytes"]
     )
+
+
+def _q_route_tiles_exact(sf_dir: str):
+    """The full line-tile assembly path over a constructed exact corpus —
+    closes the route path's last rows-only gap (see
+    routes.route_tiles_exact_ds for the slack-by-construction design)."""
+    from planetiler_ray.pipelines import routes
+
+    return routes.route_tiles_exact_ds(sf_dir)
+
+
+def _sql_route_tiles_exact():
+    from planetiler_ray.pipelines import routes
+
+    return routes.sql_route_tiles_exact()
 
 
 def _q_route_zoom_gate(sf_dir: str):
@@ -556,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "zoom_summary": oracle.sql_zoom_summary(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
+        "route_tiles_exact": _sql_route_tiles_exact(),
         "polygon_fill": oracle.sql_polygon_fill(),
         "line_cover": _sql_line_cover(),
         "minhash_planted": "SELECT doc_id * 2 AS a, doc_id * 2 + 1 AS b FROM documents",

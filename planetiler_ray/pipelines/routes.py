@@ -365,3 +365,158 @@ def route_tiles_ds(sf_dir: str, zooms=None, n_buckets: int = 256) -> ray.data.Da
             batch_format="pyarrow",
         )
     )
+
+
+# ------------------------------------------------ exact full-path twin --
+
+# Mid-tile latitude bands for the exact route-tile twin: each wy sits
+# >= 16 px away from a tile-row boundary at BOTH test zooms (3 and 6),
+# so the horizontal segments never leak into an adjacent row and the
+# ty = floor(wy * 2^z) decision has ~14 orders of magnitude of slack
+# over any libm ulp difference between numpy and DuckDB.
+EXACT_LAT_BANDS = (52.75, 37.0, 17.0, -5.25)
+EXACT_BASE_COL = 30  # z6 tile column offset keeping every way mid-world
+
+
+def route_tiles_exact_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """The FULL tile path (render gate -> DP simplify -> buffered stripe
+    slicing -> ONE tile shuffle -> per-tile attr-grouped line MERGING,
+    reference ``FeatureMerge.java:101-231`` + ``TiledGeometry.java:169-240``)
+    over a corpus constructed so every float decision has integer slack —
+    which makes (z, tile_x, tile_y, n_features) EXACTLY SQL-expressible
+    (:func:`sql_route_tiles_exact`), closing the route path's last
+    rows-only gap.
+
+    Construction (way w = o_orderkey, all in z6 pixel space):
+
+    * horizontal 2-point segments (DP simplify is identity), lat band
+      ``EXACT_LAT_BANDS[w % 4]`` (mid-tile rows at z3 and z6);
+    * long ways (w % 5 >= 2): x in [(B+a)*256+48, (B+a+s)*256-48] with
+      a = w % 7, s = 1 + w % 3 — every endpoint >= 44 px from a buffered
+      tile boundary at both zooms, so coverage is pure integer range
+      arithmetic; clipped per-tile chains are >= 20 px, far above the
+      4 px merge-drop;
+    * tiny ways exercise both drop gates: w % 5 == 0 spans 6 px (gated
+      out at z3 by the 1 px render gate — 0.75 px — but survives z6's
+      merge), w % 5 == 1 spans 2 px (renders at z6, then merge-dropped:
+      chain < 4 px) — so the oracle proves gate AND merge-drop semantics.
+
+    n_features per tile = COUNT(DISTINCT cls) among surviving ways: the
+    assembler merges each (kind, attrs) group into ONE multilinestring.
+    """
+    from ..sinks.files import add_bucket
+    from ..stages.assemble import make_bucket_assembler
+    from ..stages.render import render_geometry_rows
+
+    prof = routes_profile()
+    zooms = [3, 6]
+    base = EXACT_BASE_COL
+    lats = np.asarray(EXACT_LAT_BANDS, dtype=np.float64)
+
+    def render(batch: pa.Table) -> pa.Table:
+        w = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        a = w % 7
+        s = 1 + (w % 3)
+        knd = w % 5
+        x0 = (base + a) * 256 + 48
+        x1 = np.where(knd == 0, x0 + 6,
+                      np.where(knd == 1, x0 + 2, (base + a + s) * 256 - 48))
+        lon0 = x0.astype(np.float64) / 16384.0 * 360.0 - 180.0
+        lon1 = x1.astype(np.float64) / 16384.0 * 360.0 - 180.0
+        lat = lats[w % 4]
+        cls = w % 3
+        rows: list[dict] = []
+        for i in range(len(w)):
+            rows.extend(
+                render_geometry_rows(
+                    feature_id=int(w[i]),
+                    kind="linestring",
+                    geom_lonlat=np.array(
+                        [[lon0[i], lat[i]], [lon1[i], lat[i]]]
+                    ),
+                    layer="routes",
+                    attrs_row={"cls": f"c{int(cls[i])}"},
+                    min_zoom=0,
+                    max_zoom=10,
+                    zooms=zooms,
+                )
+            )
+        if not rows:  # pragma: no cover — orders batches are never empty
+            return pa.schema(
+                [("tile_id", pa.int64()), ("z", pa.int64()),
+                 ("tile_x", pa.int64()), ("tile_y", pa.int64()),
+                 ("layer", pa.string()), ("kind", pa.string()),
+                 ("geom_px", pa.binary()), ("is_fill", pa.bool_()),
+                 ("feature_id", pa.int64()), ("cls", pa.string())]
+            ).empty_table()
+        cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+        return pa.table(cols)
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     fn_kwargs={"n_buckets": n_buckets})
+        .groupby("bucket")
+        .map_groups(
+            lambda g: make_bucket_assembler(prof)(g.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+        .select_columns(["z", "tile_x", "tile_y", "n_features"])
+    )
+
+
+def sql_route_tiles_exact() -> str:
+    """DuckDB mirror of :func:`route_tiles_exact_ds` — pure BIGINT coverage
+    arithmetic (the construction keeps every endpoint >= 44 px from any
+    buffered tile boundary) + the float mercator row with mid-tile slack.
+
+    Coverage per zoom: px(z) = x >> (6 - z) is exact (all x offsets are
+    multiples of 8); covered columns = floor((px0-4)/256)..floor((px1+4)/256).
+    Drop rules mirrored: w%5==1 never survives (2 px chain < 4 px merge
+    minimum at z6, 0.25 px < 1 px render gate at z3); w%5==0 survives z6
+    only (6 px chain, 0.75 px gated at z3).
+    """
+    lat_case = " ".join(
+        f"WHEN {i} THEN {lat!r}" for i, lat in enumerate(EXACT_LAT_BANDS)
+    )
+    return f"""
+WITH p AS (
+    SELECT o_orderkey AS w, o_orderkey % 7 AS a, 1 + (o_orderkey % 3) AS s,
+           o_orderkey % 4 AS r, o_orderkey % 3 AS c, o_orderkey % 5 AS knd
+    FROM orders
+),
+seg AS (
+    SELECT w, r, c, knd,
+           ({EXACT_BASE_COL} + a) * 256 + 48 AS x0,
+           CASE WHEN knd = 0 THEN ({EXACT_BASE_COL} + a) * 256 + 54
+                WHEN knd = 1 THEN ({EXACT_BASE_COL} + a) * 256 + 50
+                ELSE ({EXACT_BASE_COL} + a + s) * 256 - 48 END AS x1
+    FROM p
+),
+act AS (  -- (way, zoom) pairs that survive render gate + merge minimum
+    SELECT s.w, s.r, s.c, zs.z,
+           s.x0 // zs.d AS px0, s.x1 // zs.d AS px1
+    FROM seg s, (VALUES (3, 8), (6, 1)) AS zs(z, d)
+    WHERE s.knd >= 2 OR (s.knd = 0 AND zs.z = 6)
+),
+band AS (
+    SELECT r,
+           0.5 - 0.25 * ln((1.0 + sin(radians(lat)))
+                           / (1.0 - sin(radians(lat)))) / pi() AS wy
+    FROM (SELECT r, CASE r {lat_case} END AS lat
+          FROM (SELECT DISTINCT r FROM p))
+),
+hits AS (
+    SELECT DISTINCT a.z,
+           (a.px0 - 4) // 256 + g.i AS tile_x,
+           CAST(floor(b.wy * (1 << a.z)) AS BIGINT) AS tile_y,
+           a.c
+    FROM act a
+    JOIN generate_series(0, 15) AS g(i)
+      ON g.i <= (a.px1 + 4) // 256 - (a.px0 - 4) // 256
+    JOIN band b ON b.r = a.r
+)
+SELECT z, tile_x, tile_y, CAST(count(DISTINCT c) AS BIGINT) AS n_features
+FROM hits GROUP BY 1, 2, 3
+"""
