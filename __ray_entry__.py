@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_planted": training.q_simhash_planted,
         "embedding_neardup": training.q_embedding_neardup,
         "neardup_planted": training.q_neardup_planted,
+        "pq_planted": training.q_pq_planted,
         "dedup_components": training.q_dedup_components,
         # similarity search
         "ann_brute": training.q_ann_brute,
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": oracle.sql_corpus_clean(),
         "ann_brute": oracle.sql_ann_brute(),
         "neardup_planted": oracle.sql_neardup_planted(),
+        "pq_planted": oracle.sql_pq_planted(),
         "text_stats": oracle.sql_text_stats(),
         "quality": oracle.sql_quality(),
         "fingerprint": oracle.sql_fingerprint(),

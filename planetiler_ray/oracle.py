@@ -632,6 +632,32 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}
 """
 
 
+def sql_pq_planted(k: int = 5) -> str:
+    """Twin of ``training.q_pq_planted``: on the Hadamard-planted corpus the
+    PQ/ADC scan is exact and q_m . v reduces to the base-9 positional
+    integer below — a pure-BIGINT top-k per query."""
+    return f"""
+WITH sims AS (
+    SELECT q.m, vec_id,
+           ((((vec_id // 1) % 8) + q.m) % 8) * 1
+         + ((((vec_id // 8) % 8) + q.m) % 8) * 9
+         + ((((vec_id // 64) % 8) + q.m) % 8) * 81
+         + ((((vec_id // 512) % 8) + q.m) % 8) * 729
+         + ((((vec_id // 4096) % 8) + q.m) % 8) * 6561
+         + ((((vec_id // 32768) % 8) + q.m) % 8) * 59049
+         + ((((vec_id // 262144) % 8) + q.m) % 8) * 531441
+         + ((((vec_id // 2097152) % 8) + q.m) % 8) * 4782969 AS sim
+    FROM embeddings, (VALUES (0), (1), (2), (3)) AS q(m)
+),
+r AS (
+    SELECT 9000001 + m AS query_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY m ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

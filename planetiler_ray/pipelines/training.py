@@ -1287,6 +1287,59 @@ def q_neardup_planted(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _hadamard8() -> np.ndarray:
+    h = np.array([[1.0]])
+    while h.shape[0] < 8:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def q_pq_planted(sf_dir: str, k: int = 5):
+    """Exact-oracle twin of :func:`q_ann_pq` — the PQ/ADC scan machinery
+    (encode -> LUT gather-sum -> candidate cut -> exact rescore -> merge)
+    on a corpus where ADC IS exact, so the answer equals brute top-k and
+    has a pure-integer SQL twin.
+
+    Construction: vector v = concat of 8 Hadamard rows H[j_s] with
+    j_s = (vec_id >> 3s) & 7 — every vector has norm exactly 8, so the
+    normalized subvectors are EXACTLY the codebook entries H/8 (encode
+    distance 0, Hadamard orthogonality separates codes cleanly).  Query m
+    is built so q_m . v = sum_s ((j_s + m) % 8) * 9^s — a base-9 positional
+    integer, distinct for every vec_id < 8^8, so the ADC candidate cut and
+    the exact rescore agree bit-for-bit and ties never arise.  Codebooks
+    are passed directly (training itself is pinned by unit tests against
+    brute recall); the full :func:`stages.ann.pq_topk` scan path runs
+    unmodified."""
+    H = _hadamard8()
+    books = np.repeat(H[None] / 8.0, 8, axis=0)  # (n_sub=8, n_codes=8, 8)
+    q_ids = np.arange(9_000_001, 9_000_005, dtype=np.int64)
+    q_mat = np.stack([
+        np.concatenate([
+            H @ np.array([((j + m) % 8) * 9 ** s for j in range(8)],
+                         dtype=np.float64) / 8.0
+            for s in range(8)
+        ])
+        for m in range(4)
+    ])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        js = (ids[:, None] >> (3 * np.arange(8, dtype=np.int64))[None, :]) & 7
+        mat = H[js].reshape(len(ids), 64)  # (n, 8, 8) -> (n, 64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(mat.astype(np.float32)),
+                                      pa.list_(pa.float32())),
+            }
+        )
+
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return ann.pq_topk(embs, ray.put((q_ids, q_mat)), ray.put(books), k=k)
+
+
 def q_chunk_documents(sf_dir: str):
     """Fixed-size overlapping document chunking (256 chars, 64 overlap) —
     the context-window prep op; exact substr oracle."""
