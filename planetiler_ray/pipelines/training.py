@@ -14,16 +14,27 @@ import ray.data
 from ..stages import ann, dedup, events, text
 
 
-def join_args(max_partitions: int = 64) -> dict:
+def join_args(max_partitions: int = 64, size_hint_rows: int | None = None,
+              rows_per_partition: int = 500_000) -> dict:
     """Cluster-sized kwargs for ``Dataset.join``: hash-partition width
     derived from total CPUs (ADVICE r2: no hardcoded shuffle parallelism)
     and FRACTIONAL aggregator CPUs — Ray's hash-shuffle aggregator pool
     reserves ``num_cpus`` per aggregator up front, so the default of 1
     deadlocks any session where num_partitions exceeds the CPU count
-    (e.g. the 4-cpu pytest fixture) by starving the upstream map tasks."""
+    (e.g. the 4-cpu pytest fixture) by starving the upstream map tasks.
+
+    ``size_hint_rows`` (big-side row count, usually free from the parquet
+    footer) sizes the pool by DATA, not just cores: each join aggregator
+    is an actor with fixed startup cost, so a 600k-row join wants ~8
+    partitions while a 10^12-row join wants the full 2x-cores width —
+    measured on tpch_q5 at sf0.1, 64 partitions cost 10.7 s vs 6.1 s at
+    16 (the shuffle itself is trivial; the pool is the overhead)."""
     n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    width = max(8, min(max_partitions, 2 * n_cpu))
+    if size_hint_rows is not None:
+        width = max(8, min(width, -(-size_hint_rows // rows_per_partition)))
     return {
-        "num_partitions": max(8, min(max_partitions, 2 * n_cpu)),
+        "num_partitions": width,
         "aggregator_ray_remote_args": {"num_cpus": 0.25},
     }
 
@@ -1653,7 +1664,9 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
 
     from ray.data.aggregate import Sum
 
-    joined = line.join(orders, join_type="inner", **join_args(),
+    n_line = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    joined = line.join(orders, join_type="inner",
+                       **join_args(size_hint_rows=n_line),
                        on=("l_orderkey",))
     agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
         Sum("rev", alias_name="revenue")
@@ -1783,7 +1796,9 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_side, batch_format="pyarrow")
-    joined = line.join(orders, join_type="inner", **join_args(),
+    n_line = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    joined = line.join(orders, join_type="inner",
+                       **join_args(size_hint_rows=n_line),
                        on=("l_orderkey",))
     agg = (
         joined
@@ -1832,8 +1847,11 @@ def q_left_join_audit(sf_dir: str, price_threshold: float = 250_000.0):
     line = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
-    joined = line.join(orders, join_type="left_outer", **join_args(),
-                       on=("l_orderkey",))
+    joined = line.join(
+        orders, join_type="left_outer",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/lineitem.parquet").num_rows),
+        on=("l_orderkey",))
 
     def audit_partial(batch: pa.Table) -> pa.Table:
         rf = batch.column("l_returnflag").to_pandas()
@@ -1902,8 +1920,11 @@ def q_anti_join(sf_dir: str, cutoff_us: int = 804_556_800_000_000):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = cust.join(okeys, join_type="left_outer", **join_args(),
-                       on=("c_custkey",))
+    joined = cust.join(
+        okeys, join_type="left_outer",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/orders.parquet").num_rows),
+        on=("c_custkey",))
 
     def census(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2100,8 +2121,11 @@ def q_doc_vector_join(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(norms, batch_format="pyarrow")
     docs = docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
-    return docs.join(vecs, join_type="inner", **join_args(),
-                     on=("doc_id",))
+    return docs.join(
+        vecs, join_type="inner",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/documents.parquet").num_rows),
+        on=("doc_id",))
 
 
 def q_source_centroid(sf_dir: str, fp: int = 16384):
@@ -2130,8 +2154,11 @@ def q_source_centroid(sf_dir: str, fp: int = 16384):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(quant, batch_format="pyarrow")
     docs = docs_ds(sf_dir, ["doc_id", "source"])
-    joined = docs.join(vecs, join_type="inner", **join_args(),
-                       on=("doc_id",))
+    joined = docs.join(
+        vecs, join_type="inner",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/documents.parquet").num_rows),
+        on=("doc_id",))
 
     def partial(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch.column("source").to_pandas(), dtype=object)
@@ -2477,7 +2504,8 @@ def q_tpch_q12(sf_dir: str):
 
     return (
         lines.join(orders, join_type="inner", on=("l_orderkey",),
-                   **join_args())
+                   **join_args(size_hint_rows=pq.read_metadata(
+                       f"{sf_dir}/lineitem.parquet").num_rows))
         .map_batches(partial, batch_format="pyarrow")
         .groupby("shipmode")
         .aggregate(

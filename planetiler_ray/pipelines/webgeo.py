@@ -199,8 +199,13 @@ def q_admin_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from .training import join_args
 
-    joined = docs.join(doc_admin, join_type="inner", **join_args(),
-                       on=("doc_id",))
+    import pyarrow.parquet as _pq
+
+    joined = docs.join(
+        doc_admin, join_type="inner",
+        **join_args(size_hint_rows=_pq.read_metadata(
+            f"{sf_dir}/documents.parquet").num_rows),
+        on=("doc_id",))
 
     def token_partial(batch: pa.Table) -> pa.Table:
         flat, lens = _flat_tokens(batch.column("text").to_pandas())
