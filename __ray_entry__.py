@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_assign": training.q_ab_assign,
         "tpch_q6": training.q_tpch_q6,
         "tpch_q12": training.q_tpch_q12,
+        "tpch_q18": training.q_tpch_q18,
+        "lone_returner": training.q_lone_returner,
         "tpch_q14": training.q_tpch_q14,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
@@ -494,6 +496,8 @@ def oracle_sql() -> dict[str, str]:
         "ring_orientation": _sql_ring_orientation(),
         "tpch_q6": oracle.sql_tpch_q6(),
         "tpch_q12": oracle.sql_tpch_q12(),
+        "tpch_q18": oracle.sql_tpch_q18(),
+        "lone_returner": oracle.sql_lone_returner(),
         "tpch_q14": oracle.sql_tpch_q14(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),

@@ -658,6 +658,51 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}
 """
 
 
+def sql_tpch_q18(qty_threshold: int = 300, k: int = 100) -> str:
+    """Twin of ``training.q_tpch_q18`` (large-volume customers)."""
+    return f"""
+WITH hot AS (
+    SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {qty_threshold}
+),
+j AS (
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS odate_us,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           h.sum_qty
+    FROM hot h
+    JOIN orders o ON o.o_orderkey = h.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY totalprice_c DESC, o_orderkey) AS rn
+    FROM j
+)
+SELECT c_name, o_custkey, o_orderkey, odate_us, totalprice_c, sum_qty
+FROM r WHERE rn <= {k}
+"""
+
+
+def sql_lone_returner() -> str:
+    """Twin of ``training.q_lone_returner`` (Q21-shaped lone-fault audit)."""
+    return """
+WITH ls AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS had
+    FROM lineitem GROUP BY 1, 2
+),
+o AS (
+    SELECT l_orderkey, count(*) AS n_supp, sum(had) AS n_ret
+    FROM ls GROUP BY 1
+)
+SELECT ls.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM ls JOIN o USING (l_orderkey)
+WHERE ls.had = 1 AND o.n_supp >= 2 AND o.n_ret = 1
+GROUP BY 1
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

@@ -2798,3 +2798,167 @@ def q_chi2_cells(sf_dir: str):
         })
 
     return cells.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds ``qty_threshold``, joined back to order metadata and
+    the customer name, top-``k`` by (o_totalprice desc, orderkey asc).
+
+    Scale plan, stage by stage:
+
+    * HAVING side: per-batch partial qty sums (bounded by distinct
+      orderkeys per batch) -> ONE groupby(l_orderkey) sum -> filter.  The
+      survivor set is ~0.1% of orders — kept as a DATASET (at 10^12 rows
+      it is still billions; never a driver list);
+    * survivors join orders via the size-hinted native hash join (one
+      exchange on the already-aggregated narrow rows);
+    * top-k WITHOUT a global sort: per-batch partial top-k keeps
+      n_blocks x k candidates, one tiny final sort (the
+      :func:`q_topk_events` / brute-top-k pattern);
+    * customer names attach AFTER the top-k — a filtered parquet read of
+      exactly k keys (predicate pushdown), never a broadcast of the full
+      customer table.
+    """
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy()
+        qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(u, pa.int64()),
+            "qty_part": pa.array(np.bincount(inv, qty).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    hot = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty_part", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {qty_threshold}")
+    )
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "odate_us": batch.column("o_orderdate").cast(pa.int64()),
+            "totalprice_c": pa.array(
+                np.round(batch.column("o_totalprice").to_numpy() * 100
+                         ).astype(np.int64), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    joined = hot.join(
+        orders, join_type="inner",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/orders.parquet").num_rows),
+        on=("o_orderkey",))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        price = batch.column("totalprice_c").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        if len(price) > k:
+            thresh = np.partition(price, len(price) - k)[len(price) - k]
+            cand = np.flatnonzero(price >= thresh)
+            order = cand[np.lexsort((okey[cand], -price[cand]))][:k]
+        else:
+            order = np.lexsort((okey, -price))[:k]
+        return batch.take(pa.array(order))
+
+    cand = joined.map_batches(partial_topk, batch_format="pyarrow")
+    top = (
+        cand.sort(["totalprice_c", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    # name lookup for exactly k customers: row-group-pruned parquet read
+    keys = sorted(set(int(x) for x in top["o_custkey"]))
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas().set_index("c_custkey")["c_name"]
+    top["c_name"] = top["o_custkey"].map(names)
+    return top[["c_name", "o_custkey", "o_orderkey", "odate_us",
+                "totalprice_c", "sum_qty"]]
+
+
+def q_lone_returner(sf_dir: str, n_buckets: int = 256):
+    """TPC-H Q21-shaped exists/NOT-exists audit on the available columns:
+    per supplier, the number of multi-supplier orders where THIS supplier
+    had a returned line (l_returnflag = 'R') and no other supplier did —
+    the classic "who alone caused the problem" attribution query.
+
+    Scale plan: per-batch partial collapse to distinct (orderkey,
+    suppkey, had_return) — bounded by lines-per-batch — then ONE shuffle
+    on hash(orderkey) buckets (thousands of orders per group call, never
+    groupby(orderkey) per-tiny-group); in-group logic is a lexsort +
+    run-boundary vectorization; final per-supplier count is a second
+    small aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy()
+        skey = batch.column("l_suppkey").to_numpy()
+        flag = batch.column("l_returnflag").to_pandas().to_numpy(object)
+        ret = (flag == "R").astype(np.int64)
+        pairs = np.stack([okey, skey], axis=1)
+        u, inv = np.unique(pairs, axis=0, return_inverse=True)
+        had = np.bincount(inv, ret).astype(np.int64) > 0
+        return pa.table({
+            "okey": pa.array(u[:, 0], pa.int64()),
+            "skey": pa.array(u[:, 1], pa.int64()),
+            "had_ret": pa.array(had.astype(np.int64), pa.int64()),
+            "bucket": pa.array((u[:, 0] * 2654435761 % 4294967296)
+                               % n_buckets, pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        okey = g.column("okey").to_numpy()
+        skey = g.column("skey").to_numpy()
+        had = g.column("had_ret").to_numpy()
+        order = np.lexsort((skey, okey))
+        okey, skey, had = okey[order], skey[order], had[order]
+        # collapse duplicate (okey, skey) across batches: OR of had_ret
+        new = np.empty(len(okey), bool)
+        new[0] = True
+        new[1:] = (okey[1:] != okey[:-1]) | (skey[1:] != skey[:-1])
+        grp = np.cumsum(new) - 1
+        o = okey[new]
+        s = skey[new]
+        h = np.bincount(grp, had).astype(np.int64) > 0
+        # per order: n suppliers, n suppliers with returns
+        ob = np.empty(len(o), bool)
+        ob[0] = True
+        ob[1:] = o[1:] != o[:-1]
+        og = np.cumsum(ob) - 1
+        n_supp = np.bincount(og)
+        n_ret = np.bincount(og, h)
+        lone = h & (n_supp[og] >= 2) & (n_ret[og] == 1)
+        if not lone.any():
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        su, sinv = np.unique(s[lone], return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(su, pa.int64()),
+            "n_part": pa.array(np.bincount(sinv).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["bucket"])),
+                    batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("n_part", alias_name="numwait"))
+    )
