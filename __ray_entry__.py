@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": training.q_tpch_q6,
         "tpch_q12": training.q_tpch_q12,
         "tpch_q18": training.q_tpch_q18,
+        "rollup_counts": training.q_rollup_counts,
+        "melt_stats": training.q_melt_stats,
+        "lang_head_concat": training.q_lang_head_concat,
+        "qty_disc_corr": training.q_qty_disc_corr,
+        "modal_source": training.q_modal_source,
         "lone_returner": training.q_lone_returner,
         "tpch_q14": training.q_tpch_q14,
         "left_join_audit": training.q_left_join_audit,
@@ -497,6 +502,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": oracle.sql_tpch_q6(),
         "tpch_q12": oracle.sql_tpch_q12(),
         "tpch_q18": oracle.sql_tpch_q18(),
+        "rollup_counts": oracle.sql_rollup_counts(),
+        "melt_stats": oracle.sql_melt_stats(),
+        "lang_head_concat": oracle.sql_lang_head_concat(),
+        "qty_disc_corr": oracle.sql_qty_disc_corr(),
+        "modal_source": oracle.sql_modal_source(),
         "lone_returner": oracle.sql_lone_returner(),
         "tpch_q14": oracle.sql_tpch_q14(),
         "edit_distance": oracle.sql_edit_distance(),

@@ -703,6 +703,76 @@ GROUP BY 1
 """
 
 
+def sql_rollup_counts() -> str:
+    """Twin of ``training.q_rollup_counts`` (sentinel-marked ROLLUP)."""
+    return """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+def sql_melt_stats() -> str:
+    """Twin of ``training.q_melt_stats`` (UNPIVOT to long triples)."""
+    return """
+SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'n_words' AS metric,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+FROM documents
+"""
+
+
+def sql_lang_head_concat(k: int = 8) -> str:
+    """Twin of ``training.q_lang_head_concat`` (bounded ordered concat)."""
+    return f"""
+WITH r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT lang,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS head_ids
+FROM r WHERE rn <= {k} GROUP BY lang
+"""
+
+
+def sql_qty_disc_corr() -> str:
+    """Twin of ``training.q_qty_disc_corr`` (exact moment numerators)."""
+    return """
+WITH b AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y
+    FROM lineitem
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM b GROUP BY 1
+"""
+
+
+def sql_modal_source() -> str:
+    """Twin of ``training.q_modal_source`` (mode w/ lexicographic ties)."""
+    return """
+WITH c AS (
+    SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, source) AS rn
+    FROM c
+)
+SELECT lang, source AS modal_source, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

@@ -2962,3 +2962,191 @@ def q_lone_returner(sf_dir: str, n_buckets: int = 256):
         .groupby("l_suppkey")
         .aggregate(Sum("n_part", alias_name="numwait"))
     )
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in ONE shuffle: the finest (lang,
+    source) counts are aggregated once; the (lang) and grand-total levels
+    are derived from that SMALL result (|langs| x |sources| rows), never
+    by re-scanning the input — the classic rollup optimization.  Level
+    markers use the '<all>' sentinel on both sides (hash-stable vs
+    NULL)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "source": batch.column("source").to_pandas(),
+        })
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "source": pa.array(g["source"], pa.string()),
+            "n_part": pa.array(g[0].to_numpy(np.int64), pa.int64()),
+        })
+
+    fine = (
+        docs_ds(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def levels(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        by_lang = df.groupby("lang", as_index=False)["n"].sum()
+        by_lang["source"] = "<all>"
+        total = pd.DataFrame(
+            {"lang": ["<all>"], "source": ["<all>"], "n": [df["n"].sum()]}
+        )
+        out = pd.concat([df, by_lang[["lang", "source", "n"]], total])
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    # the finest level is tiny (distinct langs x sources); one task derives
+    # the coarser levels from it
+    return fine.repartition(1).map_batches(levels, batch_format="pyarrow")
+
+
+def q_melt_stats(sf_dir: str):
+    """UNPIVOT/melt: wide per-doc stats -> long (doc_id, metric, value)
+    triples, entirely inside map_batches (a k-fold concat per batch — no
+    shuffle at all; the op is embarrassingly parallel)."""
+    def melt(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        chars = batch.column("n_chars").to_numpy().astype(np.int64)
+        words = np.asarray(
+            pc.count_substring(batch.column("text"), " ").to_numpy(
+                zero_copy_only=False), np.int64) + 1
+        metrics = [("n_chars", chars), ("n_words", words)]
+        n = len(d)
+        return pa.table({
+            "doc_id": pa.array(np.tile(d, len(metrics)), pa.int64()),
+            "metric": pa.array(
+                np.repeat([m for m, _ in metrics], n), pa.string()),
+            "value": pa.array(
+                np.concatenate([v for _, v in metrics]), pa.int64()),
+        })
+
+    import pyarrow.compute as pc  # noqa: F811 (batch-local kernels)
+
+    return docs_ds(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        melt, batch_format="pyarrow")
+
+
+def q_lang_head_concat(sf_dir: str, k: int = 8):
+    """Grouped ORDERED string aggregation, bounded: per lang, the comma-
+    joined k SMALLEST doc_ids.  Unbounded string_agg is a scale hazard
+    (one group's concat can be the whole corpus); the bounded-k variant
+    keeps per-batch bottom-k partials so the shuffle moves <= k ids per
+    (batch, lang) and the final concat is O(k) per group."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "doc_id": batch.column("doc_id").to_numpy(),
+        })
+        g = df.sort_values("doc_id", kind="stable").groupby(
+            "lang", sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        lang = g.column("lang")[0].as_py()
+        ids = np.sort(g.column("doc_id").to_numpy())[:k]
+        return pa.table({
+            "lang": pa.array([lang], pa.string()),
+            "head_ids": pa.array(
+                [",".join(str(int(i)) for i in ids)], pa.string()),
+        })
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def q_qty_disc_corr(sf_dir: str):
+    """Pearson-correlation NUMERATORS per l_returnflag in exact integers:
+    (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) over x = quantity,
+    y = discount pct — the one-pass parallel moment collection behind
+    corr/covar/regression; r itself is a consumer-side division.  Both
+    domains are tiny ints so every sum stays far inside int64 at any
+    corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_pandas().to_numpy(object)
+        x = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np.round(batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(flag, return_inverse=True)
+        def s(v):
+            return np.bincount(inv, v).astype(np.int64)
+        return pa.table({
+            "l_returnflag": pa.array(u.astype(str), pa.string()),
+            "n_p": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "sx_p": pa.array(s(x), pa.int64()),
+            "sy_p": pa.array(s(y), pa.int64()),
+            "sxy_p": pa.array(s(x * y), pa.int64()),
+            "sx2_p": pa.array(s(x * x), pa.int64()),
+            "sy2_p": pa.array(s(y * y), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sum_x"),
+            Sum("sy_p", alias_name="sum_y"),
+            Sum("sxy_p", alias_name="sum_xy"),
+            Sum("sx2_p", alias_name="sum_x2"),
+            Sum("sy2_p", alias_name="sum_y2"),
+        )
+    )
+
+
+def q_modal_source(sf_dir: str):
+    """Statistical MODE per group with a deterministic tie-break: the most
+    frequent source per lang (ties -> lexicographically smallest source).
+    One shuffle on the (lang, source) pair; the argmax runs over the tiny
+    aggregated table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "source": batch.column("source").to_pandas(),
+        })
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "source": pa.array(g["source"], pa.string()),
+            "n_part": pa.array(g[0].to_numpy(np.int64), pa.int64()),
+        })
+
+    fine = (
+        docs_ds(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["lang", "n", "source"], ascending=[True, False, True],
+            kind="stable")
+        top = df.groupby("lang", sort=False).head(1)
+        return pa.table({
+            "lang": pa.array(top["lang"], pa.string()),
+            "modal_source": pa.array(top["source"], pa.string()),
+            "n": pa.array(top["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return fine.repartition(1).map_batches(argmax, batch_format="pyarrow")
