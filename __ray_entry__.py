@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": training.q_tpch_q6,
         "tpch_q12": training.q_tpch_q12,
         "tpch_q18": training.q_tpch_q18,
+        "tpch_q10": training.q_tpch_q10,
+        "tpch_q19": training.q_tpch_q19,
+        "tpch_q22": training.q_tpch_q22,
         "rollup_counts": training.q_rollup_counts,
         "melt_stats": training.q_melt_stats,
         "lang_head_concat": training.q_lang_head_concat,
@@ -502,6 +505,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": oracle.sql_tpch_q6(),
         "tpch_q12": oracle.sql_tpch_q12(),
         "tpch_q18": oracle.sql_tpch_q18(),
+        "tpch_q10": oracle.sql_tpch_q10(),
+        "tpch_q19": oracle.sql_tpch_q19(),
+        "tpch_q22": oracle.sql_tpch_q22(),
         "rollup_counts": oracle.sql_rollup_counts(),
         "melt_stats": oracle.sql_melt_stats(),
         "lang_head_concat": oracle.sql_lang_head_concat(),

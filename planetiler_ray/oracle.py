@@ -773,6 +773,77 @@ FROM r WHERE rn = 1
 """
 
 
+def sql_tpch_q10(lo: str = "1996-01-01", hi: str = "1996-04-01",
+                 k: int = 20) -> str:
+    """Twin of ``training.q_tpch_q10`` (returned-item revenue top-k)."""
+    return f"""
+WITH rev AS (
+    SELECT o.o_custkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{lo}'
+      AND o.o_orderdate < TIMESTAMP '{hi}'
+    GROUP BY 1
+),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rn
+    FROM rev
+)
+SELECT r.o_custkey, c.c_name, r.revenue,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c, n.n_name
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE r.rn <= {k}
+"""
+
+
+def sql_tpch_q19() -> str:
+    """Twin of ``training.q_tpch_q19`` (disjunctive-predicate revenue)."""
+    arms = [("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+            ("Brand#7", 15, 20, 30)]
+    conds = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {smax}"
+        f" AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+        for b, smax, qlo, qhi in arms
+    )
+    return f"""
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+            AS BIGINT) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {conds}
+"""
+
+
+def sql_tpch_q22(nation_mod: int = 3, since: str = "2000-01-01") -> str:
+    """Twin of ``training.q_tpch_q22`` (global-balance anti join)."""
+    return f"""
+WITH pool AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_nationkey % {nation_mod} = 0
+),
+avg_ref AS (
+    SELECT CAST(sum(bal_c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM pool WHERE bal_c > 0
+)
+SELECT p.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(p.bal_c) AS BIGINT) AS totacctbal_c
+FROM pool p, avg_ref a
+WHERE p.bal_c * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{since}')
+GROUP BY 1
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

@@ -3150,3 +3150,244 @@ def q_modal_source(sf_dir: str):
         })
 
     return fine.repartition(1).map_batches(argmax, batch_format="pyarrow")
+
+
+def q_tpch_q10(sf_dir: str, lo_us: int = 820_454_400_000_000,  # 1996-01-01
+               hi_us: int = 828_316_800_000_000,                # 1996-04-01
+               k: int = 20):
+    """TPC-H Q10 (returned-item revenue): customers ranked by revenue
+    lost to returns in a quarter.  Four-table shape on the available
+    columns: lineitem('R') |><| orders(window) is the ONE big-big hash
+    exchange; customer and nation attach as broadcast int->attr maps
+    (both are the small side by construction); revenue in exact integer
+    cents x (100 - disc_pct); top-k via per-batch partial top-k, never a
+    global sort."""
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_name").to_pylist()))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    order_c = np.argsort(ck, kind="stable")
+    c_keys = ck[order_c]
+    c_nation = cust.column("c_nationkey").to_numpy()[order_c]
+    c_bal_c = np.round(
+        cust.column("c_acctbal").to_numpy() * 100).astype(np.int64)[order_c]
+    c_names = np.asarray(cust.column("c_name").to_pylist(), object)[order_c]
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (odate >= lo_us) & (odate < hi_us)
+        return pa.table({
+            "l_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "o_custkey": batch.column("o_custkey").filter(pa.array(keep)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_pandas().to_numpy(object)
+        keep = pa.array(flag == "R")
+        price_c = np.round(batch.column("l_extendedprice")
+                           .filter(keep).to_numpy() * 100).astype(np.int64)
+        disc = np.round(batch.column("l_discount")
+                        .filter(keep).to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").filter(keep),
+            "rev": pa.array(price_c * (100 - disc), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+    per_cust = (
+        lines.join(orders, join_type="inner",
+                   **join_args(size_hint_rows=pq.read_metadata(
+                       f"{sf_dir}/lineitem.parquet").num_rows),
+                   on=("l_orderkey",))
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue").to_numpy()
+        key = batch.column("o_custkey").to_numpy()
+        if len(rev) > k:
+            thresh = np.partition(rev, len(rev) - k)[len(rev) - k]
+            cand = np.flatnonzero(rev >= thresh)
+            sel = cand[np.lexsort((key[cand], -rev[cand]))][:k]
+        else:
+            sel = np.lexsort((key, -rev))[:k]
+        return batch.take(pa.array(sel))
+
+    top = (
+        per_cust.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    pos = np.searchsorted(c_keys, top["o_custkey"].to_numpy())
+    top["c_name"] = c_names[pos]
+    top["acctbal_c"] = c_bal_c[pos]
+    top["n_name"] = np.asarray([nmap[int(n)] for n in c_nation[pos]], object)
+    return top[["o_custkey", "c_name", "revenue", "acctbal_c", "n_name"]]
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate join on the available
+    columns: revenue from lineitems whose part matches ANY of three
+    (brand, size-range, qty-range) arms — the classic OR-of-ANDs
+    predicate that defeats naive pushdown.  Scale plan: part collapses
+    to a BROADCAST bitmask (3 bits per partkey, one byte each — ~1 GB
+    per 10^9 parts, object-store shared, read zero-copy per task), so
+    the probe is one gather + compare per batch and NO join exchange
+    happens at all."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    brand = np.asarray(part.column("p_brand").to_pylist(), object)
+    size = part.column("p_size").to_numpy()
+    arms = ((brand == "Brand#12") & (size >= 1) & (size <= 5),
+            (brand == "Brand#23") & (size >= 1) & (size <= 10),
+            (brand == "Brand#7") & (size >= 1) & (size <= 15))
+    mask = np.zeros(int(pk.max()) + 2, np.uint8)
+    for i, arm in enumerate(arms):
+        mask[pk[arm]] |= 1 << i
+    import ray as _ray
+    mask_ref = _ray.put(mask)
+    qty_arms = ((1, 11), (10, 20), (20, 30))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        m = _ray.get(mask_ref) if isinstance(mask_ref, _ray.ObjectRef) else mask_ref
+        pkey = batch.column("l_partkey").to_numpy()
+        qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
+        bits = m[np.minimum(pkey, len(m) - 1)]
+        hit = np.zeros(len(pkey), bool)
+        for i, (qlo, qhi) in enumerate(qty_arms):
+            hit |= ((bits & (1 << i)) > 0) & (qty >= qlo) & (qty <= qhi)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc = np.round(
+            batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = np.where(hit, price_c * (100 - disc), 0).sum()
+        n = int(hit.sum())
+        return pa.table({"rev_part": pa.array([rev], pa.int64()),
+                         "n_part": pa.array([np.int64(n)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(probe, batch_format="pyarrow")
+        .aggregate(Sum("rev_part", alias_name="revenue"),
+                   Sum("n_part", alias_name="n_lines"))
+    )
+    return pd.DataFrame({"revenue": [out["revenue"]],
+                         "n_lines": [out["n_lines"]]})
+
+
+def q_tpch_q22(sf_dir: str, nation_mod: int = 3,
+               since_us: int = 946_684_800_000_000):  # 2000-01-01
+    """TPC-H Q22-shaped (global-balance anti-join): customers from a
+    nation subset whose balance exceeds the positive-balance average of
+    that subset AND who have placed no orders since ``since_us``
+    (the lapsed-customer variant — the synthetic corpus gives every
+    customer SOME order, so the recency window keeps the NOT EXISTS arm
+    non-degenerate), counted per nation.
+
+    Scale plan: the scalar subquery (global avg) is TWO driver floats
+    from one aggregate pass; rich customers stream against the orders
+    key side through the native LEFT OUTER join + null filter (the
+    ``anti_join`` pattern — never a driver-side key set); final count is
+    a tiny per-nation groupby.  Balances compare in exact cents
+    (avg as exact integer-ratio cross-multiplication: bal * n > sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy()
+        bal_c = np.round(
+            batch.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        keep = (nk % nation_mod == 0) & (bal_c > 0)
+        return pa.table({"s": pa.array([bal_c[keep].sum()], pa.int64()),
+                         "n": pa.array([np.int64(keep.sum())], pa.int64())})
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    agg = (
+        ray.data.read_parquet(cust_path, columns=["c_nationkey", "c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    tot_s, tot_n = int(agg["s"]), int(agg["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy()
+        bal_c = np.round(
+            batch.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        # bal > avg  <=>  bal * n > sum  (exact integers, no division)
+        keep = (nk % nation_mod == 0) & (bal_c * tot_n > tot_s)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey").filter(pa.array(keep)),
+            "c_nationkey": pa.array(nk[keep], pa.int64()),
+            "bal_c": pa.array(bal_c[keep], pa.int64()),
+        })
+
+    rich_ds = ray.data.read_parquet(
+        cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(rich, batch_format="pyarrow")
+
+    def okeys(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = pa.array(odate >= since_us)
+        u = np.unique(batch.column("o_custkey").filter(keep).to_numpy())
+        return pa.table({"c_custkey": pa.array(u, pa.int64()),
+                         "has_order": pa.array(np.ones(len(u), np.int8),
+                                               pa.int8())})
+
+    orders = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+        .map_batches(okeys, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .add_column("has_order", lambda df: pd.Series(
+            np.ones(len(df), np.int8)))
+    )
+    joined = rich_ds.join(
+        orders, join_type="left_outer",
+        **join_args(size_hint_rows=pq.read_metadata(cust_path).num_rows),
+        on=("c_custkey",))
+
+    def census(batch: pa.Table) -> pa.Table:
+        has = batch.column("has_order").to_numpy(zero_copy_only=False)
+        none = pa.array(pd.isna(has) | (has != 1))
+        kept = batch.filter(none)
+        nk = kept.column("c_nationkey").to_numpy()
+        bal = kept.column("bal_c").to_numpy()
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "c_nationkey": pa.array(u, pa.int64()),
+            "n_part": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "bal_part": pa.array(np.bincount(inv, bal).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        joined.map_batches(census, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(_Sum("n_part", alias_name="numcust"),
+                   _Sum("bal_part", alias_name="totacctbal_c"))
+    )
