@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_counts": webgeo.q_geohash_counts,
         "contour_census": webgeo.q_contour_census,
         "box_join": webgeo.q_box_join,
+        "convex_hull": webgeo.q_convex_hull,
         "spatial_autocorr": webgeo.q_spatial_autocorr,
         "st_cube": webgeo.q_st_cube,
         "tile_skew": webgeo.q_tile_skew,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_head_concat": training.q_lang_head_concat,
         "qty_disc_corr": training.q_qty_disc_corr,
         "modal_source": training.q_modal_source,
+        "props_stats": training.q_props_stats,
         "lone_returner": training.q_lone_returner,
         "tpch_q14": training.q_tpch_q14,
         "left_join_audit": training.q_left_join_audit,
@@ -252,6 +254,12 @@ def _q_route_tiles_exact(sf_dir: str):
     from planetiler_ray.pipelines import routes
 
     return routes.route_tiles_exact_ds(sf_dir)
+
+
+def _sql_convex_hull():
+    from planetiler_ray.pipelines import routes
+
+    return routes.sql_convex_hull()
 
 
 def _sql_route_tiles_exact():
@@ -445,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_counts": oracle.sql_geohash_counts(),
         "contour_census": oracle.sql_contour_census(),
         "box_join": oracle.sql_box_join(),
+        "convex_hull": _sql_convex_hull(),
         "spatial_autocorr": oracle.sql_spatial_autocorr(),
         "st_cube": oracle.sql_st_cube(),
         "tile_skew": oracle.sql_tile_skew(),
@@ -513,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_head_concat": oracle.sql_lang_head_concat(),
         "qty_disc_corr": oracle.sql_qty_disc_corr(),
         "modal_source": oracle.sql_modal_source(),
+        "props_stats": oracle.sql_props_stats(),
         "lone_returner": oracle.sql_lone_returner(),
         "tpch_q14": oracle.sql_tpch_q14(),
         "edit_distance": oracle.sql_edit_distance(),

@@ -844,6 +844,23 @@ GROUP BY 1
 """
 
 
+def sql_props_stats() -> str:
+    """Twin of ``training.q_props_stats`` (JSON scalar extraction)."""
+    return """
+WITH e AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY 1
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

@@ -520,3 +520,37 @@ hits AS (
 SELECT z, tile_x, tile_y, CAST(count(DISTINCT c) AS BIGINT) AS n_features
 FROM hits GROUP BY 1, 2, 3
 """
+
+
+def sql_convex_hull(n_zones: int = 8) -> str:
+    """Twin of ``webgeo.q_convex_hull``: the planted hull is exactly the
+    parabola ring, so every output is a generate_series closed form —
+    points p_t = (t - K, (t - K)^2) ordered by x, shoelace over lag
+    pairs plus the closing chord edge 2K^3."""
+    return f"""
+WITH zs AS (
+    SELECT g.i AS zone, 3 + g.i AS K FROM generate_series(0, {n_zones - 1}) g(i)
+),
+ring AS (
+    SELECT z.zone, z.K, t.i - z.K AS x, (t.i - z.K) * (t.i - z.K) AS y
+    FROM zs z JOIN generate_series(0, 40) t(i) ON t.i <= 2 * z.K
+),
+edges AS (
+    SELECT zone, K, x, y,
+           lag(x) OVER w AS px, lag(y) OVER w AS py
+    FROM ring WINDOW w AS (PARTITION BY zone ORDER BY x)
+),
+shoe AS (
+    SELECT zone, K,
+           CAST(sum(CASE WHEN px IS NULL THEN 0
+                         ELSE px * y - x * py END) AS BIGINT) AS open_sum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS x_sum,
+           CAST(sum(x * y) AS BIGINT) AS xy_sum
+    FROM edges GROUP BY 1, 2
+)
+SELECT zone, n AS n_vertices,
+       CAST(abs(open_sum + 2 * K * K * K) AS BIGINT) AS area2x,
+       x_sum, xy_sum
+FROM shoe
+"""

@@ -3391,3 +3391,55 @@ def q_tpch_q22(sf_dir: str, nation_mod: int = 3,
         .aggregate(_Sum("n_part", alias_name="numcust"),
                    _Sum("bal_part", alias_name="totacctbal_c"))
     )
+
+
+def q_props_stats(sf_dir: str):
+    """JSON field extraction over the events ``props`` column (vectorized
+    RE2 ``extract_regex`` — the JSON-scalar fast path every log pipeline
+    needs; no per-row json.loads) + per-type aggregate of the extracted
+    integer: n with the field, sum / min / max.  The generic nested
+    accessor lives in ``functions/structs.py``; this is the columnar
+    hot-path variant for flat scalar fields."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        et = batch.column("event_type").to_pandas().to_numpy(object)
+        valid = ~np.asarray(pc.is_null(k).to_numpy(zero_copy_only=False))
+        kv = k.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        u, inv = np.unique(et[valid], return_inverse=True)
+        if len(u) == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "s_p": pa.array([], pa.int64()),
+                "mn_p": pa.array([], pa.int64()),
+                "mx_p": pa.array([], pa.int64()),
+            })
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, kv)
+        mx = np.full(len(u), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, kv)
+        return pa.table({
+            "event_type": pa.array(u.astype(str), pa.string()),
+            "n_p": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "s_p": pa.array(np.bincount(inv, kv).astype(np.int64), pa.int64()),
+            "mn_p": pa.array(mn, pa.int64()),
+            "mx_p": pa.array(mx, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_p", alias_name="n"),
+                   Sum("s_p", alias_name="sum_k"),
+                   Min("mn_p", alias_name="min_k"),
+                   Max("mx_p", alias_name="max_k"))
+    )

@@ -1786,3 +1786,76 @@ def q_polygon_fill(sf_dir: str, zooms=(7, 8, 10)) -> ray.data.Dataset:
         Sum("tile_x", alias_name="x_sum"),
         Sum("tile_y", alias_name="y_sum"),
     )
+
+
+def q_convex_hull(sf_dir: str, n_zones: int = 8):
+    """Distributed EXACT convex hull per zone (ST_ConvexHull analogue):
+    per-batch partial hulls (associative: hull(A∪B) = hull(hull A ∪
+    hull B)) -> ONE shuffle of hull VERTICES only -> per-zone final
+    merge.  The cloud never crosses the exchange; the kernel is Andrew's
+    monotone chain over a vectorized per-x min/max prefilter
+    (``geo/hull.py``).
+
+    Exact oracle by construction: zone g plants ring points on the
+    integer parabola (t, t^2), t in [-K, K] (strictly convex => ALL are
+    hull vertices) plus interior points (u, u^2 + 1) strictly between the
+    parabola and the top chord — so the hull is EXACTLY the 2K+1 planted
+    ring points, and n_vertices / |shoelace| / coordinate checksums have
+    a pure-BIGINT generate_series twin.  Requires >= n_zones * (2K+1)
+    docs (holds from sf0.01 up)."""
+    from ..geo.hull import convex_hull, hull_area2x
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        g = d % n_zones
+        i = d // n_zones
+        K = 3 + g
+        is_ring = i <= 2 * K
+        t = i - K
+        u = (i * 2654435761 % (2 * K - 1)) - (K - 1)
+        x = np.where(is_ring, t, u)
+        y = np.where(is_ring, t * t, u * u + 1)
+        return pa.table({
+            "zone": pa.array(g, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        })
+
+    def partial_hull(batch: pa.Table) -> pa.Table:
+        zone = batch.column("zone").to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        zs, xs, ys = [], [], []
+        for z in np.unique(zone):
+            m = zone == z
+            ring = convex_hull(x[m], y[m])
+            zs.append(np.full(len(ring), z, np.int64))
+            xs.append(ring[:, 0])
+            ys.append(ring[:, 1])
+        return pa.table({
+            "zone": pa.array(np.concatenate(zs), pa.int64()),
+            "x": pa.array(np.concatenate(xs).astype(np.int64), pa.int64()),
+            "y": pa.array(np.concatenate(ys).astype(np.int64), pa.int64()),
+        })
+
+    def final_hull(grp: pa.Table) -> pa.Table:
+        z = grp.column("zone")[0].as_py()
+        ring = convex_hull(grp.column("x").to_numpy(),
+                           grp.column("y").to_numpy())
+        return pa.table({
+            "zone": pa.array([z], pa.int64()),
+            "n_vertices": pa.array([len(ring)], pa.int64()),
+            "area2x": pa.array([abs(hull_area2x(ring))], pa.int64()),
+            "x_sum": pa.array([int(ring[:, 0].sum())], pa.int64()),
+            "xy_sum": pa.array([int((ring[:, 0] * ring[:, 1]).sum())],
+                               pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(partial_hull, batch_format="pyarrow")
+        .groupby("zone")
+        .map_groups(final_hull, batch_format="pyarrow")
+    )
