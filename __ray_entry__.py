@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": training.q_tpch_q12,
         "tpch_q18": training.q_tpch_q18,
         "tpch_q10": training.q_tpch_q10,
+        "tpch_q7": training.q_tpch_q7,
         "tpch_q19": training.q_tpch_q19,
         "tpch_q22": training.q_tpch_q22,
         "rollup_counts": training.q_rollup_counts,
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
         "route_mileage": _q_route_mileage,
+        "overlay_area": _q_overlay_area,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
         "way_split": _q_way_split,
@@ -349,6 +351,20 @@ def _sql_super_relations() -> str:
     from planetiler_ray.pipelines import osm
 
     return osm.sql_super_relations()
+
+
+def _q_overlay_area(sf_dir: str):
+    """Vector overlay join: exact integer bbox∩admin-rect areas per zone
+    (see osm.overlay_area for the no-join bbox + broadcast-grid design)."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.overlay_area(sf_dir)
+
+
+def _sql_overlay_area():
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_overlay_area()
 
 
 def _q_route_mileage(sf_dir: str):
@@ -515,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": oracle.sql_tpch_q12(),
         "tpch_q18": oracle.sql_tpch_q18(),
         "tpch_q10": oracle.sql_tpch_q10(),
+        "tpch_q7": oracle.sql_tpch_q7(),
         "tpch_q19": oracle.sql_tpch_q19(),
         "tpch_q22": oracle.sql_tpch_q22(),
         "rollup_counts": oracle.sql_rollup_counts(),
@@ -622,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "way_assembly": _sql_way_assembly(),
         "route_mileage": _sql_route_mileage(),
+        "overlay_area": _sql_overlay_area(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),
         "way_split": _sql_way_split(),

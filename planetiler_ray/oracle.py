@@ -861,6 +861,22 @@ FROM e GROUP BY 1
 """
 
 
+def sql_tpch_q7() -> str:
+    """Twin of ``training.q_tpch_q7`` (nation-pair ship-year revenue)."""
+    return """
+SELECT c.c_nationkey AS c_nation, s.s_nationkey AS s_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY 1, 2, 3
+"""
+
+
 def sql_window() -> str:
     return """
 SELECT user_id,

@@ -3443,3 +3443,85 @@ def q_props_stats(sf_dir: str):
                    Min("mn_p", alias_name="min_k"),
                    Max("mx_p", alias_name="max_k"))
     )
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7-shaped (volume shipping): the full customer-nation x
+    supplier-nation x ship-year revenue matrix.  Same broadcast-dims +
+    one-big-big-exchange discipline as :func:`q_tpch_q5`, but with the
+    pair-matrix output (625 x years cells) instead of the region filter —
+    the partial aggregation happens on the join output per batch, so the
+    final groupby moves only cell partials."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    order_c = np.argsort(ck, kind="stable")
+    c_keys, c_nat = ck[order_c], cust.column("c_nationkey").to_numpy()[order_c]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy()
+    order_s = np.argsort(sk, kind="stable")
+    s_keys, s_nat = sk[order_s], supp.column("s_nationkey").to_numpy()[order_s]
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(c_keys, okey)
+        return pa.table({
+            "l_orderkey": batch.column("o_orderkey"),
+            "c_nation": pa.array(
+                c_nat[np.minimum(pos, len(c_keys) - 1)], pa.int64()),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc = np.round(
+            batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        ship = batch.column("l_shipdate").to_numpy()  # datetime64[us]
+        year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        skey = batch.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(s_keys, skey)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "s_nation": pa.array(
+                s_nat[np.minimum(pos, len(s_keys) - 1)], pa.int64()),
+            "ship_year": pa.array(year, pa.int64()),
+            "rev": pa.array(price_c * (100 - disc), pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+    joined = lines.join(
+        orders, join_type="inner",
+        **join_args(size_hint_rows=pq.read_metadata(
+            f"{sf_dir}/lineitem.parquet").num_rows),
+        on=("l_orderkey",))
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        cn = batch.column("c_nation").to_numpy()
+        sn = batch.column("s_nation").to_numpy()
+        yr = batch.column("ship_year").to_numpy()
+        rev = batch.column("rev").to_numpy()
+        key = (cn * 25 + sn) * 10000 + yr
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "c_nation": pa.array(u // 250000, pa.int64()),
+            "s_nation": pa.array(u // 10000 % 25, pa.int64()),
+            "ship_year": pa.array(u % 10000, pa.int64()),
+            "rev_p": pa.array(np.bincount(inv, rev).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["c_nation", "s_nation", "ship_year"])
+        .aggregate(Sum("rev_p", alias_name="revenue"))
+    )
