@@ -3168,16 +3168,6 @@ def q_tpch_q10(sf_dir: str, lo_us: int = 820_454_400_000_000,  # 1996-01-01
                         columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
                     nat.column("n_name").to_pylist()))
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy()
-    order_c = np.argsort(ck, kind="stable")
-    c_keys = ck[order_c]
-    c_nation = cust.column("c_nationkey").to_numpy()[order_c]
-    c_bal_c = np.round(
-        cust.column("c_acctbal").to_numpy() * 100).astype(np.int64)[order_c]
-    c_names = np.asarray(cust.column("c_name").to_pylist(), object)[order_c]
 
     def orders_side(batch: pa.Table) -> pa.Table:
         odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
@@ -3234,10 +3224,21 @@ def q_tpch_q10(sf_dir: str, lo_us: int = 820_454_400_000_000,  # 1996-01-01
         .limit(k)
         .to_pandas()
     )
-    pos = np.searchsorted(c_keys, top["o_custkey"].to_numpy())
-    top["c_name"] = c_names[pos]
-    top["acctbal_c"] = c_bal_c[pos]
-    top["n_name"] = np.asarray([nmap[int(n)] for n in c_nation[pos]], object)
+    # customer attrs attach AFTER the cut: a row-group-pruned read of
+    # exactly k keys (q_tpch_q18 pattern) — never a driver-side load of
+    # the full customer table (at 10^12-lineitem scale customer itself
+    # is billions of rows)
+    keys = sorted(set(int(x) for x in top["o_custkey"]))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas().set_index("c_custkey")
+    top["c_name"] = top["o_custkey"].map(cust["c_name"])
+    top["acctbal_c"] = (
+        top["o_custkey"].map(cust["c_acctbal"]) * 100).round().astype(np.int64)
+    top["n_name"] = top["o_custkey"].map(cust["c_nationkey"]).map(
+        lambda n: nmap[int(n)])
     return top[["o_custkey", "c_name", "revenue", "acctbal_c", "n_name"]]
 
 
@@ -3451,7 +3452,13 @@ def q_tpch_q7(sf_dir: str):
     one-big-big-exchange discipline as :func:`q_tpch_q5`, but with the
     pair-matrix output (625 x years cells) instead of the region filter —
     the partial aggregation happens on the join output per batch, so the
-    final groupby moves only cell partials."""
+    final groupby moves only cell partials.
+
+    Broadcast budget: custkey->nationkey ships as a sorted-key searchsorted
+    pair today; as a DENSE int8 array it holds to ~10^10 customers (~10 GB
+    object-store resident, read zero-copy per task).  Beyond that the
+    dimension attach becomes a second hash join — same plan shape, one
+    more exchange."""
     from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
