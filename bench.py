@@ -111,6 +111,13 @@ def run_bench() -> dict:
     timed("hex_smooth", lambda: webgeo.q_hex_smooth(SF_DIR).count())
     timed("box_join", lambda: webgeo.q_box_join(SF_DIR).count())
     timed("contour_census", lambda: webgeo.q_contour_census(SF_DIR).count())
+    timed("tpch_q18", lambda: len(training.q_tpch_q18(SF_DIR)))
+    timed("tpch_q7", lambda: training.q_tpch_q7(SF_DIR).count())
+    timed("url_lcp", lambda: len(webgeo.q_url_lcp(SF_DIR)))
+    timed("convex_hull", lambda: webgeo.q_convex_hull(SF_DIR).count())
+    timed("overlay_area", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["overlay_area"]
+    ).overlay_area(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",
