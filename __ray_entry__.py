@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_cover": _q_line_cover,
         # archive statistics (tilestats analogue)
         "zoom_summary": _q_zoom_summary,
+        "tile_weights": _q_tile_weights,
     }
 
 
@@ -300,6 +301,22 @@ def _q_zoom_summary(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]]
+
+
+def _q_tile_weights(sf_dir: str):
+    """Traffic-weighted archive stats (TileWeights / weighted-average
+    TilesetSummaryStatistics analogue) over the same places-only build as
+    zoom_summary: deterministic synthetic per-tile traffic weight, exact
+    int64 per-zoom sums (weight normalizer + weighted feature numerator)."""
+    from planetiler_ray.pipelines import flagship, stats
+    from planetiler_ray.pipelines.profile import TilingProfile, flagship_profile
+
+    full = flagship_profile()
+    places_only = TilingProfile(name="places-only", description="stats twin")
+    places_only.add(full.layers["places"])
+    rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
+    tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
+    return stats.tile_weights_summary(tiles)
 
 
 def _q_ring_orientation(sf_dir: str):
@@ -621,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": oracle.sql_media_frames(),
         "media_stats": oracle.sql_media_stats(),
         "zoom_summary": oracle.sql_zoom_summary(),
+        "tile_weights": oracle.sql_tile_weights(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
         "route_tiles_exact": _sql_route_tiles_exact(),

@@ -1834,6 +1834,24 @@ GROUP BY z
 """
 
 
+def sql_tile_weights(zooms=(2, 6), grid: float = 64.0, limit: int = 8) -> str:
+    """Mirror of ``stats.tile_weights_summary`` over the places-only build:
+    the synthetic traffic weight is pure integer arithmetic on the tile
+    address, so DuckDB reproduces it bit-for-bit on the same labelgrid
+    tile table the ``zoom_summary`` oracle already proves."""
+    return f"""
+SELECT z, CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(w) AS BIGINT) AS weight_sum,
+       CAST(sum(w * n) AS BIGINT) AS wfeat_sum
+FROM (
+    SELECT z, n,
+           (tile_x * 73856093 + tile_y * 19349663 + z * 83492791) % 997 + 1 AS w
+    FROM ({sql_labelgrid_counts(zooms, grid, limit)}) lg
+) t
+GROUP BY z
+"""
+
+
 def _sql_hits_from(tag: str, src: str, zooms, buffer_px: float = 4.0,
                    extent: int = 256) -> str:
     """Generic buffered-slicing chain over a CTE ``src(fid, lat, lon)`` —

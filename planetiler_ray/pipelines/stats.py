@@ -45,6 +45,60 @@ def biggest_tiles(tiles_ds, n: int = 10) -> pd.DataFrame:
     )
 
 
+def tile_weights_summary(tiles_ds) -> pd.DataFrame:
+    """Traffic-weighted per-zoom archive stats — ``util/TileWeights.java``
+    (weights.merge / getZoomWeight) + ``TilesetSummaryStatistics.java:162``
+    (weighted average respecting weight-per-zoom) analogue.
+
+    The reference downloads 90 days of openstreetmap.org tile-traffic logs
+    (``TopOsmTiles``); with no network the weight is a deterministic
+    synthetic stand-in computed FROM the tile address, so the oracle can
+    mirror it exactly::
+
+        weight(z, x, y) = ((x*73856093 + y*19349663 + z*83492791) % 997) + 1
+
+    Output per zoom (exact int64, no division so the hash is stable):
+    ``n_tiles``, ``weight_sum`` (the reference's per-zoom weight
+    normalizer) and ``wfeat_sum`` = sum(weight * n_features) (the weighted
+    numerator; the reference weights gzipped bytes, which are
+    encode-dependent — feature counts are the SQL-mirrorable core).
+    Partial per batch -> tiny groupby-sum: no driver loops, one small
+    shuffle of ~n_zooms rows per block.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = batch.column("z").to_numpy().astype(np.int64)
+        x = batch.column("tile_x").to_numpy().astype(np.int64)
+        y = batch.column("tile_y").to_numpy().astype(np.int64)
+        nf = batch.column("n_features").to_numpy().astype(np.int64)
+        w = (x * 73856093 + y * 19349663 + z * 83492791) % 997 + 1
+        uz, inv = np.unique(z, return_inverse=True)
+        nt = np.bincount(inv).astype(np.int64)
+        ws = np.zeros(len(uz), np.int64)
+        np.add.at(ws, inv, w)
+        wf = np.zeros(len(uz), np.int64)
+        np.add.at(wf, inv, w * nf)
+        return pa.table(
+            {"z": pa.array(uz, pa.int64()),
+             "nt_part": pa.array(nt, pa.int64()),
+             "ws_part": pa.array(ws, pa.int64()),
+             "wf_part": pa.array(wf, pa.int64())}
+        )
+
+    return (
+        tiles_ds.select_columns(["z", "tile_x", "tile_y", "n_features"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(
+            Sum("nt_part", alias_name="n_tiles"),
+            Sum("ws_part", alias_name="weight_sum"),
+            Sum("wf_part", alias_name="wfeat_sum"),
+        )
+        .to_pandas()
+        .sort_values("z", ignore_index=True)
+    )
+
+
 def layer_attr_stats(tile_rows_ds, attr_cols: list[str]) -> pd.DataFrame:
     """Per (layer, attribute): count + inferred type — LayerAttrStats'
     "tilestats" metadata.  Partial counts per batch, groupby-sum over
