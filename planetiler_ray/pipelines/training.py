@@ -2820,8 +2820,6 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
       exactly k keys (predicate pushdown), never a broadcast of the full
       customer table.
     """
-    from ray.data.aggregate import Sum
-
     def qty_partial(batch: pa.Table) -> pa.Table:
         key = batch.column("l_orderkey").to_numpy()
         qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
@@ -2830,15 +2828,32 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
             "o_orderkey": pa.array(u, pa.int64()),
             "qty_part": pa.array(np.bincount(inv, qty).astype(np.int64),
                                  pa.int64()),
+            "obucket": pa.array(u % 64, pa.int64()),
+        })
+
+    def qty_merge(g: pa.Table) -> pa.Table:
+        # bucketed merge + HAVING filter fused in one vectorized body
+        # (built-in Sum Aggregate at ~150k keys measured ~2x slower than
+        # the lexsort+reduceat bucket pattern — same finding as
+        # osm.overlay_area)
+        key = g.column("o_orderkey").to_numpy()
+        qp = g.column("qty_part").to_numpy()
+        order = np.argsort(key, kind="stable")
+        key_s, qp_s = key[order], qp[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(key_s)) + 1])
+        sums = np.add.reduceat(qp_s, starts)
+        keep = sums > qty_threshold
+        return pa.table({
+            "o_orderkey": pa.array(key_s[starts][keep], pa.int64()),
+            "sum_qty": pa.array(sums[keep], pa.int64()),
         })
 
     hot = (
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_orderkey", "l_quantity"])
         .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("qty_part", alias_name="sum_qty"))
-        .filter(expr=f"sum_qty > {qty_threshold}")
+        .groupby("obucket")
+        .map_groups(qty_merge, batch_format="pyarrow")
     )
 
     def orders_side(batch: pa.Table) -> pa.Table:
