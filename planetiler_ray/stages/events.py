@@ -18,29 +18,68 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 WINDOW_US = 3600 * 1_000_000  # 1 hour
 
 
-def tumbling_window(ds):
+def tumbling_window(ds, n_buckets: int = 64):
     """Per (user_id, 1h window): n events + sum(value) in integer cents.
 
-    Scale pattern: per-batch partial aggregation, then a small groupby-sum.
-    """
-    from ray.data.aggregate import Sum
+    Scale pattern: per-batch partial aggregation (numpy lexsort+reduceat),
+    then ONE user-hash bucket shuffle with a fused reduceat merge body —
+    the built-in two-key Sum Aggregate at ~#(user,hour) cardinality
+    measured ~2x slower than the bucket pattern (same finding as
+    ``osm.overlay_area`` / ``training.q_tpch_q18``)."""
+
+    _empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "window_id": pa.array([], pa.int64()),
+        "n_part": pa.array([], pa.int64()),
+        "cents_part": pa.array([], pa.int64()),
+        "ubucket": pa.array([], pa.int64()),
+    })
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        win = (df["ts"].astype("int64") // WINDOW_US).astype("int64")
-        cents = (df["value"] * 100).round().astype("int64")
-        g = (
-            pd.DataFrame({"user_id": df["user_id"], "window_id": win, "cents": cents})
-            .groupby(["user_id", "window_id"], as_index=False)
-            .agg(n_part=("cents", "size"), cents_part=("cents", "sum"))
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if batch.num_rows == 0:
+            return _empty
+        uid = batch.column("user_id").to_numpy()
+        win = batch.column("ts").cast(pa.int64()).to_numpy() // WINDOW_US
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((win, uid))
+        uid_s, win_s, cents_s = uid[order], win[order], cents[order]
+        new = np.concatenate(
+            [[True], (uid_s[1:] != uid_s[:-1]) | (win_s[1:] != win_s[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(uid_s))
+        return pa.table({
+            "user_id": pa.array(uid_s[starts], pa.int64()),
+            "window_id": pa.array(win_s[starts], pa.int64()),
+            "n_part": pa.array(ends - starts, pa.int64()),
+            "cents_part": pa.array(np.add.reduceat(cents_s, starts), pa.int64()),
+            "ubucket": pa.array(uid_s[starts] % n_buckets, pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty.drop_columns(["n_part", "cents_part", "ubucket"]) \
+                .append_column("n_events", pa.array([], pa.int64())) \
+                .append_column("sum_cents", pa.array([], pa.int64()))
+        uid = g.column("user_id").to_numpy()
+        win = g.column("window_id").to_numpy()
+        np_ = g.column("n_part").to_numpy()
+        cp = g.column("cents_part").to_numpy()
+        order = np.lexsort((win, uid))
+        uid_s, win_s = uid[order], win[order]
+        new = np.concatenate(
+            [[True], (uid_s[1:] != uid_s[:-1]) | (win_s[1:] != win_s[:-1])])
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "user_id": pa.array(uid_s[starts], pa.int64()),
+            "window_id": pa.array(win_s[starts], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(np_[order], starts), pa.int64()),
+            "sum_cents": pa.array(np.add.reduceat(cp[order], starts), pa.int64()),
+        })
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_id"])
-        .aggregate(Sum("n_part", alias_name="n_events"),
-                   Sum("cents_part", alias_name="sum_cents"))
+        .groupby("ubucket")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
