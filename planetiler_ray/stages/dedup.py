@@ -875,28 +875,53 @@ def line_dedup(ds, max_df: int = 10, col: str = "text", n_buckets: int = 64):
     not needed at any tested scale.
     """
     import ray
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     def df_partial(batch: pa.Table) -> pa.Table:
+        # distinct (h_hi, h_lo) counts per batch, lexsort+run-boundary
+        # (numpy, no pandas groupby) + a hash bucket for the merge shuffle
         t = _explode_lines(batch, col)
-        df = (
-            t.select(["h_hi", "h_lo"])
-            .to_pandas()
-            .groupby(["h_hi", "h_lo"], as_index=False)
-            .size()
-            .rename(columns={"size": "c_part"})
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        hi = t.column("h_hi").to_numpy()
+        lo = t.column("h_lo").to_numpy()
+        order = np.lexsort((lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        new = np.concatenate(
+            [[True], (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(hi_s))
+        return pa.table({
+            "h_hi": pa.array(hi_s[starts], pa.int64()),
+            "h_lo": pa.array(lo_s[starts], pa.int64()),
+            "c_part": pa.array(ends - starts, pa.int64()),
+            "hbucket": pa.array(
+                (hi_s[starts].astype(np.uint64) % np.uint64(n_buckets))
+                .astype(np.int64), pa.int64()),
+        })
+
+    def df_merge(g: pa.Table) -> pa.Table:
+        # fused merge + >max_df HAVING filter per hash bucket: output is
+        # the tiny boilerplate set, never the full distinct-line table
+        # (built-in two-key Sum Aggregate at distinct-line cardinality
+        # measured ~2x slower than this bucket body)
+        hi = g.column("h_hi").to_numpy()
+        lo = g.column("h_lo").to_numpy()
+        cp = g.column("c_part").to_numpy()
+        order = np.lexsort((lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        new = np.concatenate(
+            [[True], (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+        starts = np.flatnonzero(new)
+        c = np.add.reduceat(cp[order], starts)
+        keep = c > max_df
+        return pa.table({
+            "h_hi": pa.array(hi_s[starts][keep], pa.int64()),
+            "h_lo": pa.array(lo_s[starts][keep], pa.int64()),
+            "c": pa.array(c[keep], pa.int64()),
+        })
 
     boiler = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby(["h_hi", "h_lo"])
-        .aggregate(Sum("c_part", alias_name="c"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b.column("c"), max_df)),
-            batch_format="pyarrow",
-        )
+        .groupby("hbucket")
+        .map_groups(df_merge, batch_format="pyarrow")
         .to_pandas()  # post-aggregation, filtered: small by construction
     )
     if "h_hi" not in boiler.columns:  # empty result loses its schema
