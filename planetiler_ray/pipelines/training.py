@@ -1662,14 +1662,37 @@ def q_tpch_q3(sf_dir: str, segment: str = "BUILDING",
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
     ).map_batches(line_side, batch_format="pyarrow")
 
-    from ray.data.aggregate import Sum
+    from ..stages.bucketagg import bucketed_sum
 
     n_line = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     joined = line.join(orders, join_type="inner",
                        **join_args(size_hint_rows=n_line),
                        on=("l_orderkey",))
-    agg = joined.groupby(["l_orderkey", "odate_us"]).aggregate(
-        Sum("rev", alias_name="revenue")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        # per-batch combiner BEFORE the merge shuffle: distinct orders per
+        # batch, not joined lines, is what moves
+        if batch.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "odate_us": pa.array([], pa.int64()),
+                "rev_part": pa.array([], pa.int64()),
+            })
+        key = batch.column("l_orderkey").to_numpy()
+        od = batch.column("odate_us").to_numpy()
+        rev = batch.column("rev").to_numpy()
+        order = np.argsort(key, kind="stable")
+        key_s, od_s, rev_s = key[order], od[order], rev[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(key_s)) + 1])
+        return pa.table({
+            "l_orderkey": pa.array(key_s[starts], pa.int64()),
+            "odate_us": pa.array(od_s[starts], pa.int64()),
+            "rev_part": pa.array(np.add.reduceat(rev_s, starts), pa.int64()),
+        })
+
+    agg = bucketed_sum(
+        joined.map_batches(rev_partial, batch_format="pyarrow"),
+        ["l_orderkey", "odate_us"], [("rev_part", "revenue")],
     )
 
     def partial_topk(batch: pa.Table) -> pa.Table:

@@ -117,9 +117,10 @@ def q_tile_counts(sf_dir: str, zooms=DEFAULT_ZOOMS) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from ..stages.bucketagg import bucketed_sum
+
     partial = mentions_ds(sf_dir).map_batches(expand_and_count, batch_format="pyarrow")
-    out = partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
-    return out
+    return bucketed_sum(partial, ["z", "tile_x", "tile_y"], [("n_part", "n")])
 
 
 def q_tile_counts_buffered(sf_dir: str, zooms=(2, 6, 10)) -> ray.data.Dataset:
@@ -144,8 +145,10 @@ def q_tile_counts_buffered(sf_dir: str, zooms=(2, 6, 10)) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from ..stages.bucketagg import bucketed_sum
+
     partial = mentions_ds(sf_dir).map_batches(expand_and_count, batch_format="pyarrow")
-    return partial.groupby(["z", "tile_x", "tile_y"]).aggregate(Sum("n_part", alias_name="n"))
+    return bucketed_sum(partial, ["z", "tile_x", "tile_y"], [("n_part", "n")])
 
 
 def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Dataset:

@@ -225,7 +225,6 @@ def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
       (:func:`_group_neardup_pairs`) — never an O(n^2) all-pairs blow-up.
     """
     import ray
-    from ray.data.aggregate import Count, Min
 
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
@@ -272,11 +271,16 @@ def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    return (
-        cand.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"), Min("sim1000", alias_name="sim1000"))
-        .select_columns(["a", "b", "sim1000"])
+    from .bucketagg import bucketed_sum
+
+    ones = cand.map_batches(
+        lambda b: b.append_column(
+            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow",
     )
+    return bucketed_sum(
+        ones, ["a", "b"], [("_one", "_n")], mins=[("sim1000", "sim1000")]
+    ).select_columns(["a", "b", "sim1000"])
 
 
 # ------------------------------------------------- product quantization --
@@ -487,7 +491,6 @@ def mutual_nn(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
     any cell size); the mutual check is a tiny (a, b) groupby keeping
     pairs seen from BOTH directions."""
     import ray
-    from ray.data.aggregate import Count, Min
 
     cq = np.asarray(centroids_q, dtype=np.int64)
 
@@ -547,17 +550,18 @@ def mutual_nn(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
         .map_groups(lambda g: nn_in_cell(g.drop_columns(["cell"])),
                     batch_format="pyarrow")
     )
-    mutual = nn.groupby(["a", "b"]).aggregate(
-        Count(alias_name="n_dir"), Min("dist2", alias_name="dist2")
+    # bucketed merge with the mutuality test (n_dir == 2) fused as HAVING
+    from .bucketagg import bucketed_sum
+
+    ones = nn.map_batches(
+        lambda b: b.append_column(
+            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow",
     )
-
-    def keep_mutual(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = batch.filter(pc.equal(batch.column("n_dir"), 2))
-        return m.select(["a", "b", "dist2"])
-
-    return mutual.map_batches(keep_mutual, batch_format="pyarrow")
+    return bucketed_sum(
+        ones, ["a", "b"], [("_one", "n_dir")], mins=[("dist2", "dist2")],
+        having=lambda kv, ov: ov["n_dir"] == 2,
+    ).select_columns(["a", "b", "dist2"])
 
 
 def ivf_exact_topk(ds, centroids_q: np.ndarray, query_ids, queries_q: np.ndarray,

@@ -227,15 +227,22 @@ def _runs_pairs(run_starts: np.ndarray, run_lens: np.ndarray, cap: int):
 
 def _dedup_pairs(cand, extra_min: dict | None = None):
     """Distinct (a, b) via a combining aggregate (NOT map_groups over
-    millions of tiny groups); ``extra_min``: {col: alias} kept as Min."""
-    from ray.data.aggregate import Count, Min
+    millions of tiny groups); ``extra_min``: {col: alias} kept as Min.
+    Uses the bucketed reduceat merge — pair-key cardinality is the
+    candidate-pair count, exactly the regime where the built-in Aggregate
+    measured ~2x slower (see ``stages/bucketagg``)."""
+    from .bucketagg import bucketed_sum
 
-    aggs = [Count(alias_name="_n")]
-    keep = ["a", "b"]
-    for col, alias in (extra_min or {}).items():
-        aggs.append(Min(col, alias_name=alias))
-        keep.append(alias)
-    return cand.groupby(["a", "b"]).aggregate(*aggs).select_columns(keep)
+    ones = cand.map_batches(
+        lambda b: b.append_column(
+            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    mins = [(col, alias) for col, alias in (extra_min or {}).items()]
+    keep = ["a", "b"] + [alias for _, alias in mins]
+    return bucketed_sum(
+        ones, ["a", "b"], [("_one", "_n")], mins=mins
+    ).select_columns(keep)
 
 
 # ------------------------------------------------------------ minhash LSH --
