@@ -871,7 +871,6 @@ def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
     """
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.vhash import fnv128_arrow
     from .dedup import _flat_tokens, _member2
@@ -913,16 +912,13 @@ def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
             }
         )
 
-    common = (
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["hi", "lo"])
-        .aggregate(Sum("c_part", alias_name="c12"))
-        .map_batches(
-            lambda b: b.filter(pa.compute.greater_equal(b.column("c12"), min_count)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()  # heavy-hitter-bounded by construction
-    )
+    from .bucketagg import bucketed_sum
+
+    common = bucketed_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["hi", "lo"], [("c_part", "c12")],
+        having=lambda kv, ov: ov["c12"] >= min_count,
+    ).to_pandas()  # heavy-hitter-bounded by construction
     if "hi" in common.columns and len(common):
         chi = common["hi"].to_numpy(np.int64).astype(np.uint64)
         clo = common["lo"].to_numpy(np.int64).astype(np.uint64)
