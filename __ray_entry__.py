@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # archive statistics (tilestats analogue)
         "zoom_summary": _q_zoom_summary,
         "tile_weights": _q_tile_weights,
+        "top_tiles": _q_top_tiles,
     }
 
 
@@ -317,6 +318,22 @@ def _q_tile_weights(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.tile_weights_summary(tiles)
+
+
+def _q_top_tiles(sf_dir: str):
+    """Hot-tile report (TopOsmTiles analogue): top-20 tiles of the
+    places-only build by the synthetic traffic weight — per-batch partial
+    top-k under a total tie-break order, tiny final sort (never a global
+    sort of the tile table)."""
+    from planetiler_ray.pipelines import flagship, stats
+    from planetiler_ray.pipelines.profile import TilingProfile, flagship_profile
+
+    full = flagship_profile()
+    places_only = TilingProfile(name="places-only", description="stats twin")
+    places_only.add(full.layers["places"])
+    rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
+    tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
+    return stats.top_weighted_tiles(tiles)
 
 
 def _q_ring_orientation(sf_dir: str):
@@ -639,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": oracle.sql_media_stats(),
         "zoom_summary": oracle.sql_zoom_summary(),
         "tile_weights": oracle.sql_tile_weights(),
+        "top_tiles": oracle.sql_top_tiles(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
         "route_tiles_exact": _sql_route_tiles_exact(),

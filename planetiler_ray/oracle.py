@@ -1852,6 +1852,20 @@ GROUP BY z
 """
 
 
+def sql_top_tiles(zooms=(2, 6), grid: float = 64.0, limit: int = 8,
+                  k: int = 20) -> str:
+    """Mirror of ``stats.top_weighted_tiles``: rank the labelgrid tile
+    table by the synthetic traffic weight under the same total order."""
+    return f"""
+SELECT z, tile_x, tile_y,
+       (tile_x * 73856093 + tile_y * 19349663 + z * 83492791) % 997 + 1 AS w,
+       n AS n_features
+FROM ({sql_labelgrid_counts(zooms, grid, limit)}) lg
+ORDER BY w DESC, z, tile_x, tile_y
+LIMIT {k}
+"""
+
+
 def _sql_hits_from(tag: str, src: str, zooms, buffer_px: float = 4.0,
                    extent: int = 256) -> str:
     """Generic buffered-slicing chain over a CTE ``src(fid, lat, lon)`` —

@@ -99,6 +99,43 @@ def tile_weights_summary(tiles_ds) -> pd.DataFrame:
     )
 
 
+def top_weighted_tiles(tiles_ds, k: int = 20):
+    """The hot-tile report — ``util/TopOsmTiles.java`` analogue (the
+    reference downloads 90-day OSM tile-traffic logs and keeps the top-N
+    per zoom for :func:`tile_weights_summary`'s weighting; here the weight
+    is the same deterministic synthetic stand-in so the ranking has an
+    exact SQL twin).
+
+    Scale shape: per-batch partial top-k under the FULL tie-break order
+    (w desc, then z/x/y asc — a total order, so the global top-k set is
+    unique), then one tiny sort+limit over n_blocks x k candidate rows —
+    never a global sort of the tile table (the ``brute_topk`` pattern).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = batch.column("z").to_numpy().astype(np.int64)
+        x = batch.column("tile_x").to_numpy().astype(np.int64)
+        y = batch.column("tile_y").to_numpy().astype(np.int64)
+        nf = batch.column("n_features").to_numpy().astype(np.int64)
+        w = (x * 73856093 + y * 19349663 + z * 83492791) % 997 + 1
+        order = np.lexsort((y, x, z, -w))[:k]
+        return pa.table({
+            "z": pa.array(z[order], pa.int64()),
+            "tile_x": pa.array(x[order], pa.int64()),
+            "tile_y": pa.array(y[order], pa.int64()),
+            "w": pa.array(w[order], pa.int64()),
+            "n_features": pa.array(nf[order], pa.int64()),
+        })
+
+    return (
+        tiles_ds.select_columns(["z", "tile_x", "tile_y", "n_features"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["w", "z", "tile_x", "tile_y"],
+              descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
 def layer_attr_stats(tile_rows_ds, attr_cols: list[str]) -> pd.DataFrame:
     """Per (layer, attribute): count + inferred type — LayerAttrStats'
     "tilestats" metadata.  Partial counts per batch, groupby-sum over
