@@ -155,25 +155,35 @@ def exact_dedup(ds, col: str = "text"):
     """Dataset -> (content groups): keep_id = min doc_id, n_dups per group.
 
     Scale pattern: hash per batch, partial (hash -> min,count) per batch,
-    then a small groupby over partials keyed by the full 128-bit hash.
+    then ONE bucket shuffle over partials keyed by the full 128-bit hash
+    (``stages/bucketagg`` reduceat merge — distinct-content cardinality is
+    ~corpus size, the regime where the built-in Aggregate is ~2x slower).
     """
-    from ray.data.aggregate import Min, Sum
+    from .bucketagg import bucketed_sum
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_content_hash(batch, col)
-        df = (
-            b.select(["hash_hi", "hash_lo", "doc_id"])
-            .to_pandas()
-            .groupby(["hash_hi", "hash_lo"], as_index=False)
-            .agg(keep_part=("doc_id", "min"), n_part=("doc_id", "size"))
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        hi = b.column("hash_hi").to_numpy()
+        lo = b.column("hash_lo").to_numpy()
+        doc = b.column("doc_id").to_numpy()
+        order = np.lexsort((doc, lo, hi))
+        hi_s, lo_s, doc_s = hi[order], lo[order], doc[order]
+        new = np.concatenate(
+            [[True], (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(hi_s))
+        return pa.table({
+            "hash_hi": pa.array(hi_s[starts], pa.int64()),
+            "hash_lo": pa.array(lo_s[starts], pa.int64()),
+            "keep_part": pa.array(doc_s[starts], pa.int64()),  # min: sorted
+            "n_part": pa.array(ends - starts, pa.int64()),
+        })
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hash_hi", "hash_lo"])
-        .aggregate(Min("keep_part", alias_name="keep_id"), Sum("n_part", alias_name="n_dups"))
-    )
+    return bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hash_hi", "hash_lo"], [("n_part", "n_dups")],
+        mins=[("keep_part", "keep_id")],
+    ).select_columns(["hash_hi", "hash_lo", "keep_id", "n_dups"])
 
 
 # --------------------------------------------------------- pair utilities --
