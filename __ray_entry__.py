@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OSM-style two-pass source: way ⋈ node shuffle join + assembly
         "way_assembly": _q_way_assembly,
         "route_mileage": _q_route_mileage,
+        "haversine_mileage": _q_haversine_mileage,
         "overlay_area": _q_overlay_area,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
@@ -405,6 +406,22 @@ def _q_route_mileage(sf_dir: str):
     from planetiler_ray.pipelines import osm
 
     return osm.route_mileage(sf_dir)
+
+
+def _q_haversine_mileage(sf_dir: str):
+    """Great-circle road-meters per admin zone (WithGeometry.lengthMeters
+    parity): the way⋈node join + per-bucket haversine with the trig chain
+    mirrored operand-for-operand in the SQL twin (floor per segment keeps
+    every aggregate integer-exact)."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.haversine_mileage(sf_dir)
+
+
+def _sql_haversine_mileage() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_haversine_mileage()
 
 
 def _sql_route_mileage() -> str:
@@ -675,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "way_assembly": _sql_way_assembly(),
         "route_mileage": _sql_route_mileage(),
+        "haversine_mileage": _sql_haversine_mileage(),
         "overlay_area": _sql_overlay_area(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

@@ -300,6 +300,107 @@ def route_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     )
 
 
+def haversine_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Great-circle way mileage per admin zone — the spherical companion of
+    :func:`route_mileage` and the query-level parity surface for the
+    reference's ``WithGeometry.lengthMeters`` (``geo/WithGeometry.java``):
+    per way segment, floor(haversine meters, R=6371000), attributed to the
+    segment's first endpoint's admin box.
+
+    The trig chain (radians -> sin/cos -> asin -> sqrt -> floor) is
+    mirrored operand-for-operand in SQL; numpy and DuckDB libm agree
+    bit-for-bit (validated 0/20000 mismatches on random segments — the
+    same finding that let the S2 oracle pin its trig chain).  floor() per
+    SEGMENT keeps every aggregate integer-exact.
+
+    Scale shape: identical to ``route_mileage`` — the ONE bucketed
+    way⋈node join shuffle, per-bucket vectorized consecutive-diff +
+    haversine, per-bucket (admin, meters) partials, tiny final groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def add_wbucket(batch: pa.Table) -> pa.Table:
+        b = batch.column("way_id").to_numpy() % n_buckets
+        return batch.append_column("wbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        wid = g.column("way_id").to_numpy()
+        seq = g.column("seq").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        lat = g.column("lat_mdeg").to_numpy()
+        lon = g.column("lon_mdeg").to_numpy()
+        order = np.lexsort((nid, seq, wid))
+        w, la, lo = wid[order], lat[order], lon[order]
+        same = w[1:] == w[:-1]
+        la1 = la[:-1][same] / 1000.0
+        la2 = la[1:][same] / 1000.0
+        lo1 = lo[:-1][same] / 1000.0
+        lo2 = lo[1:][same] / 1000.0
+        dp = np.radians(la2 - la1)
+        dl = np.radians(lo2 - lo1)
+        a = (np.sin(dp / 2.0) ** 2
+             + np.cos(np.radians(la1)) * np.cos(np.radians(la2))
+             * np.sin(dl / 2.0) ** 2)
+        m = np.floor(6371000.0 * (2.0 * np.arcsin(np.sqrt(a)))).astype(np.int64)
+        col = np.floor((lo1 + 180.0005) / 72.0).astype(np.int64)
+        row = np.floor((la1 + 85.0005) / 34.0).astype(np.int64)
+        admin = row * 5 + col
+        u, inv = np.unique(admin, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        cnts = np.zeros(len(u), np.int64)
+        np.add.at(sums, inv, m)
+        np.add.at(cnts, inv, 1)
+        return pa.table({
+            "admin_id": pa.array(u, pa.int64()),
+            "m_part": pa.array(sums, pa.int64()),
+            "n_part": pa.array(cnts, pa.int64()),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets)
+        .map_batches(add_wbucket, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+        .groupby("admin_id")
+        .aggregate(Sum("m_part", alias_name="gc_meters"),
+                   Sum("n_part", alias_name="n_segments"))
+    )
+
+
+def sql_haversine_mileage() -> str:
+    """Twin of :func:`haversine_mileage`: the same lag-window deltas with
+    the haversine chain mirrored operand-for-operand (floor per segment)."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+deltas AS (
+    SELECT way_id,
+           lat_mdeg / 1000.0 AS la2, lon_mdeg / 1000.0 AS lo2,
+           lag(lat_mdeg) OVER w / 1000.0 AS la1,
+           lag(lon_mdeg) OVER w / 1000.0 AS lo1
+    FROM joined
+    WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+),
+seg AS (
+    SELECT CAST(floor((la1 + 85.0005) / 34.0) AS BIGINT) * 5
+             + CAST(floor((lo1 + 180.0005) / 72.0) AS BIGINT) AS admin_id,
+           CAST(floor(6371000.0 * (2.0 * asin(sqrt(
+               pow(sin(radians(la2 - la1) / 2.0), 2)
+               + cos(radians(la1)) * cos(radians(la2))
+               * pow(sin(radians(lo2 - lo1) / 2.0), 2))))) AS BIGINT) AS m
+    FROM deltas WHERE la1 IS NOT NULL)
+SELECT admin_id, CAST(sum(m) AS BIGINT) AS gc_meters,
+       count(*) AS n_segments
+FROM seg GROUP BY 1
+"""
+
+
 def sql_route_mileage() -> str:
     """Twin of :func:`route_mileage`: the lag-window deltas with the same
     arithmetic grid assignment of the segment's first endpoint."""
