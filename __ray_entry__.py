@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_bigrams": training.q_rare_bigrams,
         "canonical_docs": training.q_canonical_docs,
         "corpus_diff": training.q_corpus_diff,
+        "tile_invalidate": training.q_tile_invalidate,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
         "pareto_front": training.q_pareto_front,
@@ -602,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_bigrams": oracle.sql_rare_bigrams(),
         "canonical_docs": oracle.sql_canonical_docs(),
         "corpus_diff": oracle.sql_corpus_diff(),
+        "tile_invalidate": oracle.sql_tile_invalidate(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),
         "mad_outliers": oracle.sql_mad_outliers(),

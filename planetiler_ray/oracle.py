@@ -119,6 +119,22 @@ def sql_tile_expr(lat_expr: str, lon_expr: str, z: str) -> tuple[str, str]:
     return tx, ty
 
 
+def sql_tile_invalidate(zooms=(2, 6)) -> str:
+    """Mirror of ``training.q_tile_invalidate``: the v2-snapshot dirty
+    predicate collapses to ``doc_id % 10 = 0 OR doc_id % 7 = 0`` (removed
+    OR changed) over the same points CTE + tile chain as tile_counts."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", "z.z")
+    zl = ", ".join(str(z) for z in zooms)
+    return f"""
+WITH {POINTS_CTE}
+SELECT z.z AS z, {tx} AS tile_x, {ty} AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_affected
+FROM points p CROSS JOIN (SELECT UNNEST([{zl}]) AS z) z
+WHERE p.doc_id % 10 = 0 OR p.doc_id % 7 = 0
+GROUP BY 1, 2, 3
+"""
+
+
 def sql_tile_counts(zooms=(2, 6, 10, 14)) -> str:
     tx, ty = sql_tile_expr("p.lat", "p.lon", "z.z")
     zl = ", ".join(str(z) for z in zooms)

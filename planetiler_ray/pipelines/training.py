@@ -326,6 +326,116 @@ def q_funnel(sf_dir: str):
     return events.funnel(events_ds(sf_dir, ["user_id", "ts", "event_type"]))
 
 
+def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
+    """Incremental tile invalidation — the recompute-the-delta composition
+    the north rule's checkpoint/lineage story exists for: given a corpus
+    delta (v2 snapshot), find every tile whose OLD content must re-render
+    (tiles touched by mentions of changed-or-removed docs), counted per
+    (z, tile_x, tile_y).
+
+    Scale shape, stage by stage:
+    * the dirty-id set is ``corpus_diff`` (one side-tagged doc-hash bucket
+      shuffle) filtered to changed/removed — it stays a DATASET (at 10^12
+      docs the delta is still billions; never a driver list or broadcast);
+    * dirty ids semi-join the old snapshot's mentions via the SAME
+      side-tagged bucket pattern (union on doc-hash buckets, in-group
+      sorted membership);
+    * survivors expand through the real tile kernel (``assign_tiles``) and
+      count via the bucketed reduceat merge (``stages/bucketagg``).
+    Exact SQL twin: the dirty predicate collapses to
+    ``doc_id % 10 = 0 OR doc_id % 7 = 0`` over the points CTE.
+    """
+    from ..stages.bucketagg import bucketed_sum
+    from ..stages.incremental import corpus_diff
+    from ..stages.tiling import assign_tiles
+    from .webgeo import mentions_ds
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    old = docs_ds(sf_dir, ["doc_id", "text"])
+    new = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _v2_docs, batch_format="pyarrow", fn_kwargs={"n": n}
+    )
+    dirty = corpus_diff(old, new).filter(
+        expr="status == 'changed' or status == 'removed'"
+    )
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _jbucket(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * MIX) >> np.uint64(33)
+                ).astype(np.int64) % n_buckets
+
+    def tag_dirty(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        m = len(ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "mention_idx": pa.nulls(m, pa.int64()),
+            "lat": pa.nulls(m, pa.float64()),
+            "lon": pa.nulls(m, pa.float64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "jbucket": pa.array(_jbucket(ids), pa.int64()),
+        })
+
+    def tag_mentions(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        m = len(ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "mention_idx": batch.column("mention_idx").cast(pa.int64()),
+            "lat": batch.column("lat").cast(pa.float64()),
+            "lon": batch.column("lon").cast(pa.float64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "jbucket": pa.array(_jbucket(ids), pa.int64()),
+        })
+
+    def sift(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        dirty_sorted = np.unique(ids[side == 0])
+        keep = np.zeros(len(ids), dtype=bool)
+        mm = side == 1
+        if dirty_sorted.size and mm.any():
+            pos = np.searchsorted(dirty_sorted, ids[mm])
+            pos_c = np.minimum(pos, dirty_sorted.size - 1)
+            keep[mm] = (pos < dirty_sorted.size) & (
+                dirty_sorted[pos_c] == ids[mm])
+        return g.filter(pa.array(keep)).drop_columns(["side", "jbucket"])
+
+    affected = (
+        dirty.map_batches(tag_dirty, batch_format="pyarrow")
+        .union(
+            mentions_ds(sf_dir).map_batches(tag_mentions,
+                                            batch_format="pyarrow"))
+        .groupby("jbucket")
+        .map_groups(sift, batch_format="pyarrow")
+    )
+
+    def expand_count(batch: pa.Table) -> pa.Table:
+        t = assign_tiles(batch, zooms=list(zooms))
+        z = t.column("z").to_numpy().astype(np.int64)
+        x = t.column("tile_x").to_numpy().astype(np.int64)
+        y = t.column("tile_y").to_numpy().astype(np.int64)
+        order = np.lexsort((y, x, z))
+        z_s, x_s, y_s = z[order], x[order], y[order]
+        new_run = np.concatenate(
+            [[True], (z_s[1:] != z_s[:-1]) | (x_s[1:] != x_s[:-1])
+             | (y_s[1:] != y_s[:-1])])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(z_s))
+        return pa.table({
+            "z": pa.array(z_s[starts], pa.int64()),
+            "tile_x": pa.array(x_s[starts], pa.int64()),
+            "tile_y": pa.array(y_s[starts], pa.int64()),
+            "n_part": pa.array(ends - starts, pa.int64()),
+        })
+
+    return bucketed_sum(
+        affected.map_batches(expand_count, batch_format="pyarrow"),
+        ["z", "tile_x", "tile_y"], [("n_part", "n_affected")],
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Incremental snapshot diff: old vs deterministically-derived v2
     corpus -> per-id added/removed/changed/same, one side-tagged
