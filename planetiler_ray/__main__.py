@@ -13,15 +13,30 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _init_ray(cpus: int):
+    """Local by default; on a cluster (``ray job submit`` sets RAY_ADDRESS,
+    or pass RAY_ADDRESS=auto) we CONNECT instead — num_cpus is a local-mode
+    sizing knob only, never a cluster cap."""
+    import ray
+
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    if addr in ("local",):
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    else:
+        ray.init(address=addr, ignore_reinit_error=True,
+                 logging_level="ERROR")
 
 
 def _corpus_cmd(args):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        _init_ray(args.cpus)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -186,8 +201,7 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        _init_ray(args.cpus)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
