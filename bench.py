@@ -118,6 +118,11 @@ def run_bench() -> dict:
     timed("overlay_area", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["overlay_area"]
     ).overlay_area(SF_DIR).count())
+    timed("haversine_mileage", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["haversine_mileage"]
+    ).haversine_mileage(SF_DIR).count())
+    timed("tile_invalidate",
+          lambda: training.q_tile_invalidate(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",
