@@ -33,7 +33,7 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def bucketed_sum(ds, keys: list[str], sums: list[tuple[str, str]],
-                 n_buckets: int = 64, having=None,
+                 n_buckets: int | None = None, having=None,
                  mins: list[tuple[str, str]] | None = None):
     """``SELECT keys, sum(part) AS out [, min(col) AS out2] ... GROUP BY
     keys [HAVING ...]`` over int64 columns, as one bucket shuffle +
@@ -45,6 +45,13 @@ def bucketed_sum(ds, keys: list[str], sums: list[tuple[str, str]],
     mask`` applied inside the merge.  Returns a Dataset with columns
     ``keys + sums-outs + mins-outs`` (int64).
     """
+    if n_buckets is None:
+        # scale the merge fan-out with the cluster (the flagship's
+        # shuffle_partitions knob): 64 on a 32-core box, 2x cores beyond —
+        # a fixed 64 would cap the reduce wave on >32-core clusters
+        from ..pipelines.flagship import shuffle_partitions
+
+        n_buckets = shuffle_partitions()
     mins = mins or []
     out_schema = pa.schema(
         [(k, pa.int64()) for k in keys]
