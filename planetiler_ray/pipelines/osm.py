@@ -1337,6 +1337,10 @@ def overlay_area(sf_dir: str) -> ray.data.Dataset:
     ~10^8 ways per partial."""
     from ray.data.aggregate import Sum
 
+    from .flagship import shuffle_partitions
+
+    n_buckets = shuffle_partitions()
+
     def node_partial(batch: pa.Table) -> pa.Table:
         wid = batch.column("l_orderkey").to_numpy()
         nid = batch.column("l_partkey").to_numpy()
@@ -1361,7 +1365,7 @@ def overlay_area(sf_dir: str) -> ray.data.Dataset:
             "lat_hi_p": pa.array(hi_la, pa.int64()),
             "lon_lo_p": pa.array(lo_lo, pa.int64()),
             "lon_hi_p": pa.array(hi_lo, pa.int64()),
-            "wbucket": pa.array(u % 64, pa.int64()),
+            "wbucket": pa.array(u % n_buckets, pa.int64()),
         })
 
     # the broadcast small side: 25 admin rects (row-major 5x5 mdeg grid)

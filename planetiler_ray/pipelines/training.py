@@ -2953,6 +2953,10 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
       exactly k keys (predicate pushdown), never a broadcast of the full
       customer table.
     """
+    from ..pipelines.flagship import shuffle_partitions
+
+    n_buckets = shuffle_partitions()
+
     def qty_partial(batch: pa.Table) -> pa.Table:
         key = batch.column("l_orderkey").to_numpy()
         qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
@@ -2961,7 +2965,7 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
             "o_orderkey": pa.array(u, pa.int64()),
             "qty_part": pa.array(np.bincount(inv, qty).astype(np.int64),
                                  pa.int64()),
-            "obucket": pa.array(u % 64, pa.int64()),
+            "obucket": pa.array(u % n_buckets, pa.int64()),
         })
 
     def qty_merge(g: pa.Table) -> pa.Table:
