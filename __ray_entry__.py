@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": training.q_canonical_docs,
         "corpus_diff": training.q_corpus_diff,
         "tile_invalidate": training.q_tile_invalidate,
+        "delta_dedup": training.q_delta_dedup,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
         "pareto_front": training.q_pareto_front,
@@ -604,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": oracle.sql_canonical_docs(),
         "corpus_diff": oracle.sql_corpus_diff(),
         "tile_invalidate": oracle.sql_tile_invalidate(),
+        "delta_dedup": oracle.sql_delta_dedup(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),
         "mad_outliers": oracle.sql_mad_outliers(),

@@ -2595,6 +2595,20 @@ SELECT doc_id * 2 + 1 AS node, doc_id * 2 AS comp FROM documents
 """
 
 
+def sql_delta_dedup() -> str:
+    """Mirror of ``training.q_delta_dedup``: the planted re-entries join
+    the old corpus on the text itself; old_id = min content-equal doc."""
+    return """
+WITH n AS (SELECT count(*) AS nv FROM documents),
+added AS (
+  SELECT (SELECT nv FROM n) + doc_id AS new_id, text
+  FROM documents WHERE doc_id % 13 = 0)
+SELECT a.new_id, CAST(min(o.doc_id) AS BIGINT) AS old_id
+FROM added a JOIN documents o ON o.text = a.text
+GROUP BY 1
+"""
+
+
 def sql_corpus_diff() -> str:
     """Mirror of ``training.q_corpus_diff``: v2 snapshot replayed in SQL,
     full outer join on doc_id, direct text comparison."""

@@ -436,6 +436,87 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
     )
 
 
+def q_delta_dedup(sf_dir: str, n_buckets: int | None = None):
+    """Dedup the DELTA against the existing corpus — the recurring-crawl
+    companion of ``exact_dedup``: newly added docs (planted: every
+    ``doc_id % 13 == 0`` re-enters as id ``n + doc_id`` with its old text)
+    are matched against the OLD corpus by content; output
+    ``(new_id, old_id)`` with old_id = the min content-equal old doc.
+
+    Scale shape: both sides project to (id, FNV-128) — the new side never
+    re-hashes the old corpus' text storage, only its ids+hashes move; ONE
+    side-tagged content-hash bucket shuffle; in-group matching is a sorted
+    searchsorted probe (old side sorted by (hash, id), so min-id-per-hash
+    is positional).  Hash equality stands in for text equality (the dedup
+    suite's accepted FNV-128 collision class; the oracle joins on the text
+    itself)."""
+    from ..functions.vhash import fnv128_arrow
+    from .flagship import shuffle_partitions
+
+    if n_buckets is None:
+        n_buckets = shuffle_partitions()
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def project(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch.column("text")
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            ids = batch.column("doc_id").to_numpy()
+            if side == 1:
+                keep = ids % 13 == 0
+                sel = pa.array(keep)
+                s = s.filter(sel)
+                ids = ids[keep] + n
+            hi, lo = fnv128_arrow(s)
+            m = len(ids)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "h_hi": pa.array(hi.astype(np.int64), pa.int64()),
+                "h_lo": pa.array(lo.astype(np.int64), pa.int64()),
+                "side": pa.array(np.full(m, side, np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (hi % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            })
+
+        return f
+
+    def match(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        hi = g.column("h_hi").to_numpy()
+        lo = g.column("h_lo").to_numpy()
+        om = side == 0
+        o_order = np.lexsort((ids[om], lo[om], hi[om]))
+        ohi, olo, oid = hi[om][o_order], lo[om][o_order], ids[om][o_order]
+        # first row of each (hi, lo) run = min old id for that content
+        first = np.concatenate(
+            [[True], (ohi[1:] != ohi[:-1]) | (olo[1:] != olo[:-1])])
+        ohi_f, olo_f, oid_f = ohi[first], olo[first], oid[first]
+        nm = ~om
+        nhi, nlo, nid = hi[nm], lo[nm], ids[nm]
+        if not len(nid) or not len(oid_f):
+            return pa.table({"new_id": pa.array([], pa.int64()),
+                             "old_id": pa.array([], pa.int64())})
+        # two-key searchsorted on (hi, lo) via a sorted structured array
+        o_struct = np.empty(len(ohi_f), dtype=[("hi", np.int64), ("lo", np.int64)])
+        o_struct["hi"], o_struct["lo"] = ohi_f, olo_f
+        n_struct = np.empty(len(nhi), dtype=[("hi", np.int64), ("lo", np.int64)])
+        n_struct["hi"], n_struct["lo"] = nhi, nlo
+        pos = np.searchsorted(o_struct, n_struct)
+        pos_c = np.minimum(pos, len(o_struct) - 1)
+        hit = (pos < len(o_struct)) & (o_struct[pos_c] == n_struct)
+        return pa.table({
+            "new_id": pa.array(nid[hit], pa.int64()),
+            "old_id": pa.array(oid_f[pos_c[hit]], pa.int64()),
+        })
+
+    docs = docs_ds(sf_dir, ["doc_id", "text"])
+    tagged = docs.map_batches(project(0), batch_format="pyarrow").union(
+        docs.map_batches(project(1), batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(match, batch_format="pyarrow")
+
+
 def q_corpus_diff(sf_dir: str):
     """Incremental snapshot diff: old vs deterministically-derived v2
     corpus -> per-id added/removed/changed/same, one side-tagged
