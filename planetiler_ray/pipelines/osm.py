@@ -67,7 +67,8 @@ def way_refs_ds(sf_dir: str) -> ray.data.Dataset:
 
 def join_way_nodes(sf_dir: str, n_buckets: int = 64,
                    nodes: ray.data.Dataset | None = None,
-                   refs: ray.data.Dataset | None = None) -> ray.data.Dataset:
+                   refs: ray.data.Dataset | None = None,
+                   emit_wbucket: bool = False) -> ray.data.Dataset:
     """The shuffle join: (way_id, seq, node_id) ⋈ (node_id, lat, lon).
 
     Both sides are tagged with the same hash bucket and unioned with a
@@ -118,10 +119,10 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
         ways_t = g.filter(pc.invert(m_n))
         nid = nodes_t.column("node_id").to_numpy()
         if len(nid) == 0 or ways_t.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], pa.int64())
-                 for c in ("way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg")}
-            )
+            cols = ["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg"]
+            if emit_wbucket:
+                cols.append("wbucket")
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
         order = np.argsort(nid, kind="stable")
         nid_s = nid[order]
         lat_s = nodes_t.column("lat_mdeg").to_numpy()[order]
@@ -131,7 +132,7 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
         pos_c = np.minimum(pos, len(nid_s) - 1)
         ok = (pos < len(nid_s)) & (nid_s[pos_c] == wnid)
         hit = np.flatnonzero(ok)
-        return pa.table(
+        out = pa.table(
             {
                 "way_id": ways_t.column("way_id").take(pa.array(hit)),
                 "seq": ways_t.column("seq").take(pa.array(hit)),
@@ -140,6 +141,14 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
                 "lon_mdeg": pa.array(lon_s[pos[hit]], pa.int64()),
             }
         )
+        if emit_wbucket:
+            # fused second-shuffle key: saves the downstream full-pass
+            # map_batches that every way-regroup consumer used to run
+            out = out.append_column(
+                "wbucket",
+                pa.array(out.column("way_id").to_numpy() % n_buckets,
+                         pa.int64()))
+        return out
 
     return nodes.union(refs).groupby("bucket").map_groups(
         join_bucket, batch_format="pyarrow"
@@ -189,8 +198,9 @@ def assemble_ways(sf_dir: str, n_buckets: int = 64,
         )
 
     return (
-        (joined if joined is not None else join_way_nodes(sf_dir, n_buckets))
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        (joined.map_batches(add_wbucket, batch_format="pyarrow")
+         if joined is not None
+         else join_way_nodes(sf_dir, n_buckets, emit_wbucket=True))
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
@@ -201,10 +211,6 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     """Assembled way geometries as lon/lat WKB linestrings (for the roads
     layer of the tiling demo)."""
     from ..geo import wkb
-
-    def add_wbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("way_id").to_numpy() % n_buckets
-        return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["way_id", "seq", "node_id"])
@@ -235,8 +241,7 @@ def way_lines_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         )
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
                     batch_format="pandas")
@@ -256,10 +261,6 @@ def route_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     Output: (admin_id, manhattan_mdeg, n_segments).
     """
     from ray.data.aggregate import Sum
-
-    def add_wbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("way_id").to_numpy() % n_buckets
-        return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         wid = g.column("way_id").to_numpy()
@@ -289,8 +290,7 @@ def route_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
@@ -318,10 +318,6 @@ def haversine_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     haversine, per-bucket (admin, meters) partials, tiny final groupby.
     """
     from ray.data.aggregate import Sum
-
-    def add_wbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("way_id").to_numpy() % n_buckets
-        return batch.append_column("wbucket", pa.array(b, pa.int64()))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         wid = g.column("way_id").to_numpy()
@@ -357,8 +353,7 @@ def haversine_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
@@ -1129,10 +1124,6 @@ def chaikin_checksum_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     """
     from ..geo.simplify import smooth_chaikin
 
-    def add_wbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("way_id").to_numpy() % n_buckets
-        return batch.append_column("wbucket", pa.array(b, pa.int64()))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["way_id", "seq", "node_id"])
         wid = g["way_id"].to_numpy()
@@ -1159,8 +1150,7 @@ def chaikin_checksum_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         )
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
                     batch_format="pandas")
@@ -1244,10 +1234,6 @@ def ring_orientation_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     y-up lon/lat frame).
     """
 
-    def add_wbucket(batch: pa.Table) -> pa.Table:
-        b = batch.column("way_id").to_numpy() % n_buckets
-        return batch.append_column("wbucket", pa.array(b, pa.int64()))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["way_id", "seq", "node_id"])
         wid = g["way_id"].to_numpy()
@@ -1273,8 +1259,7 @@ def ring_orientation_ds(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets)
-        .map_batches(add_wbucket, batch_format="pyarrow")
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop(columns=["wbucket"])),
                     batch_format="pandas")
