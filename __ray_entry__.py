@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zoom_summary": _q_zoom_summary,
         "tile_weights": _q_tile_weights,
         "top_tiles": _q_top_tiles,
+        "layer_zoom_stats": _q_layer_zoom_stats,
     }
 
 
@@ -321,6 +322,35 @@ def _q_tile_weights(sf_dir: str):
     rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
     tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
     return stats.tile_weights_summary(tiles)
+
+
+def _q_layer_zoom_stats(sf_dir: str):
+    """Per (layer, z) archive stats across two DIFFERENT layer families —
+    the reference's per-layer summary (LayerAttrStats / tilestats "layers"
+    block) at the query level: the places point layer (labelgrid top-k
+    chain) and the admin fill-polygon layer (polygon-slicing fill path),
+    each already oracle-pinned, reported in one layer-tagged table.
+    Both inputs are per-zoom aggregates (tiny); the heavy lifting happens
+    in the underlying distributed chains."""
+    import pandas as pd
+
+    from planetiler_ray.pipelines import flagship, stats, webgeo
+    from planetiler_ray.pipelines.profile import TilingProfile, flagship_profile
+
+    full = flagship_profile()
+    places_only = TilingProfile(name="places-only", description="stats twin")
+    places_only.add(full.layers["places"])
+    rows = flagship.point_rows_ds(sf_dir, zooms=[2, 6])
+    tiles = flagship.assemble_tiles(rows, places_only, n_buckets=64)
+    a = stats.zoom_summary(tiles)[["z", "n_tiles", "n_features"]].rename(
+        columns={"n_features": "n_units"})
+    a.insert(0, "layer", "places")
+    b = webgeo.q_polygon_fill(sf_dir).to_pandas()[
+        ["z", "n_tiles", "n_fill"]].rename(columns={"n_fill": "n_units"})
+    b.insert(0, "layer", "admin_fill")
+    out = pd.concat([a, b], ignore_index=True)
+    out["n_units"] = out["n_units"].astype("int64")
+    return out.sort_values(["layer", "z"], ignore_index=True)
 
 
 def _q_top_tiles(sf_dir: str):
@@ -678,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "zoom_summary": oracle.sql_zoom_summary(),
         "tile_weights": oracle.sql_tile_weights(),
         "top_tiles": oracle.sql_top_tiles(),
+        "layer_zoom_stats": oracle.sql_layer_zoom_stats(),
         "yaml_tiles": oracle.sql_yaml_tiles(),
         "route_zoom_gate": _sql_route_zoom_gate(),
         "route_tiles_exact": _sql_route_tiles_exact(),

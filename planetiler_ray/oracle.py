@@ -1868,6 +1868,18 @@ GROUP BY z
 """
 
 
+def sql_layer_zoom_stats() -> str:
+    """Mirror of ``__ray_entry__._q_layer_zoom_stats``: the two layer
+    chains' per-zoom aggregates, layer-tagged and unioned."""
+    return f"""
+SELECT 'places' AS layer, z, n_tiles, n_features AS n_units
+FROM ({sql_zoom_summary()}) p
+UNION ALL
+SELECT 'admin_fill' AS layer, z, n_tiles, n_fill AS n_units
+FROM ({sql_polygon_fill()}) f
+"""
+
+
 def sql_top_tiles(zooms=(2, 6), grid: float = 64.0, limit: int = 8,
                   k: int = 20) -> str:
     """Mirror of ``stats.top_weighted_tiles``: rank the labelgrid tile
