@@ -71,10 +71,16 @@ def convex_hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 def hull_area2x(ring: np.ndarray) -> int:
     """Twice the signed shoelace area of the hull ring (int-exact for
-    integer inputs); positive for the CCW rings :func:`convex_hull`
-    emits."""
+    integer inputs at ANY magnitude — the cross terms are accumulated as
+    Python ints, so coords near 2^31 cannot silently wrap the way int64
+    numpy arithmetic would); positive for the CCW rings
+    :func:`convex_hull` emits.  Hull rings are tiny (the hull of n points
+    has O(log n) expected vertices), so the Python-int sum is not a hot
+    loop."""
     if len(ring) < 3:
         return 0
-    x = ring[:, 0]
-    y = ring[:, 1]
-    return int(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    xs = [int(v) for v in ring[:, 0]]
+    ys = [int(v) for v in ring[:, 1]]
+    n = len(xs)
+    return sum(xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i]
+               for i in range(n))

@@ -1365,6 +1365,10 @@ def overlay_area(sf_dir: str) -> ray.data.Dataset:
         # fused per-bucket merge (lexsort + reduceat over partials — Ray's
         # built-in Min/Max Aggregate at 150k keys measured ~10x slower than
         # this bucketed body) + rect∩rect against the broadcast grid
+        if g.num_rows == 0:  # guard: reduceat(starts=[0]) raises on empty
+            return pa.schema([("admin_id", pa.int64()),
+                              ("area_p", pa.int64()),
+                              ("n_p", pa.int64())]).empty_table()
         wid = g.column("way_id").to_numpy()
         order = np.argsort(wid, kind="stable")
         wid_s = wid[order]

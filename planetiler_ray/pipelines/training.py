@@ -30,12 +30,20 @@ def join_args(max_partitions: int = 64, size_hint_rows: int | None = None,
     measured on tpch_q5 at sf0.1, 64 partitions cost 10.7 s vs 6.1 s at
     16 (the shuffle itself is trivial; the pool is the overhead)."""
     n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    width = max(8, min(max_partitions, 2 * n_cpu))
+    floor = min(8, max(2, n_cpu))  # ADVICE r3: scale the floor with the
+    # cluster so a 1-2 CPU session doesn't reserve 8 x 0.25 = 2.0 CPUs of
+    # aggregators and starve its own upstream map tasks
+    width = max(floor, min(max_partitions, 2 * n_cpu))
     if size_hint_rows is not None:
-        width = max(8, min(width, -(-size_hint_rows // rows_per_partition)))
+        width = max(floor, min(width, -(-size_hint_rows // rows_per_partition)))
+    # cap the aggregator pool's total reservation at ~n_cpu/2: 0.25/agg
+    # whenever width <= 2*n_cpu (i.e. everywhere today, incl. the 32-cpu
+    # bench), shrinking fractionally only when a small session meets a
+    # wide hint
+    agg_cpus = min(0.25, round(n_cpu / (2 * width), 3))
     return {
         "num_partitions": width,
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+        "aggregator_ray_remote_args": {"num_cpus": agg_cpus},
     }
 
 
@@ -3054,6 +3062,9 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
         # (built-in Sum Aggregate at ~150k keys measured ~2x slower than
         # the lexsort+reduceat bucket pattern — same finding as
         # osm.overlay_area)
+        if g.num_rows == 0:  # guard: reduceat(starts=[0]) raises on empty
+            return pa.schema([("o_orderkey", pa.int64()),
+                              ("sum_qty", pa.int64())]).empty_table()
         key = g.column("o_orderkey").to_numpy()
         qp = g.column("qty_part").to_numpy()
         order = np.argsort(key, kind="stable")
@@ -3153,6 +3164,9 @@ def q_lone_returner(sf_dir: str, n_buckets: int = 256):
         })
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # guard: new[0]=True raises on empty
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
         okey = g.column("okey").to_numpy()
         skey = g.column("skey").to_numpy()
         had = g.column("had_ret").to_numpy()

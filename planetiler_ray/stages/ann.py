@@ -271,15 +271,16 @@ def embedding_neardup(ds, tau: float = 0.95, id_col: str = "vec_id",
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    from .bucketagg import bucketed_sum
+    from .bucketagg import bucketed_sum, count_min_partial
 
-    ones = cand.map_batches(
-        lambda b: b.append_column(
-            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+    # per-batch (a,b) partial so only distinct per-batch pairs are
+    # shuffled (bucketed_sum's pre-aggregation contract, ADVICE r3)
+    part = cand.map_batches(
+        count_min_partial(["a", "b"], "_one", [("sim1000", "sim1000")]),
         batch_format="pyarrow",
     )
     return bucketed_sum(
-        ones, ["a", "b"], [("_one", "_n")], mins=[("sim1000", "sim1000")]
+        part, ["a", "b"], [("_one", "_n")], mins=[("sim1000", "sim1000")]
     ).select_columns(["a", "b", "sim1000"])
 
 
@@ -550,16 +551,17 @@ def mutual_nn(ds, centroids_q: np.ndarray, id_col: str = "vec_id",
         .map_groups(lambda g: nn_in_cell(g.drop_columns(["cell"])),
                     batch_format="pyarrow")
     )
-    # bucketed merge with the mutuality test (n_dir == 2) fused as HAVING
-    from .bucketagg import bucketed_sum
+    # bucketed merge with the mutuality test (n_dir == 2) fused as HAVING;
+    # per-batch partial first (each direction is emitted exactly once, so
+    # the within-batch count is a valid direction-count partial)
+    from .bucketagg import bucketed_sum, count_min_partial
 
-    ones = nn.map_batches(
-        lambda b: b.append_column(
-            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+    part = nn.map_batches(
+        count_min_partial(["a", "b"], "_one", [("dist2", "dist2")]),
         batch_format="pyarrow",
     )
     return bucketed_sum(
-        ones, ["a", "b"], [("_one", "n_dir")], mins=[("dist2", "dist2")],
+        part, ["a", "b"], [("_one", "n_dir")], mins=[("dist2", "dist2")],
         having=lambda kv, ov: ov["n_dir"] == 2,
     ).select_columns(["a", "b", "dist2"])
 

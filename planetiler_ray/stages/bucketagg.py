@@ -32,6 +32,48 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def count_min_partial(keys: list[str], count_col: str,
+                      mins: list[tuple[str, str]] | None = None):
+    """``map_batches`` body that collapses duplicate ``keys`` rows WITHIN
+    the batch into (count partial, min partials) — the pre-aggregation
+    step :func:`bucketed_sum`'s contract requires, shared so pair-emitting
+    callers (``dedup._dedup_pairs``, ``ann.embedding_neardup``,
+    ``ann.mutual_nn``) ship only distinct per-batch keys through the
+    exchange instead of the raw candidate-pair stream (ADVICE r3).
+
+    ``mins``: (in_col, out_col) pairs reduced with ``np.minimum.reduceat``.
+    Output columns: ``keys + [count_col] + min-outs`` (all int64)."""
+    mins = mins or []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            cols = {k: pa.array([], pa.int64()) for k in keys}
+            cols[count_col] = pa.array([], pa.int64())
+            for _, o in mins:
+                cols[o] = pa.array([], pa.int64())
+            return pa.table(cols)
+        karr = [batch.column(k).to_numpy() for k in keys]
+        order = np.lexsort(karr[::-1])
+        ks = [a[order] for a in karr]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for a in ks:
+            new[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        cols = {k: pa.array(a[starts], pa.int64()) for k, a in zip(keys, ks)}
+        cols[count_col] = pa.array(
+            (ends - starts).astype(np.int64), pa.int64())
+        for c, o in mins:
+            cols[o] = pa.array(
+                np.minimum.reduceat(batch.column(c).to_numpy()[order], starts)
+                .astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return partial
+
+
 def bucketed_sum(ds, keys: list[str], sums: list[tuple[str, str]],
                  n_buckets: int | None = None, having=None,
                  mins: list[tuple[str, str]] | None = None):

@@ -241,17 +241,18 @@ def _dedup_pairs(cand, extra_min: dict | None = None):
     Uses the bucketed reduceat merge — pair-key cardinality is the
     candidate-pair count, exactly the regime where the built-in Aggregate
     measured ~2x slower (see ``stages/bucketagg``)."""
-    from .bucketagg import bucketed_sum
+    from .bucketagg import bucketed_sum, count_min_partial
 
-    ones = cand.map_batches(
-        lambda b: b.append_column(
-            "_one", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
-        batch_format="pyarrow",
-    )
     mins = [(col, alias) for col, alias in (extra_min or {}).items()]
     keep = ["a", "b"] + [alias for _, alias in mins]
+    # per-batch partial first (count + min per distinct (a,b)) so only
+    # distinct per-batch pairs cross the exchange, honoring bucketed_sum's
+    # pre-aggregation contract (ADVICE r3)
+    part = cand.map_batches(
+        count_min_partial(["a", "b"], "_one", mins), batch_format="pyarrow")
     return bucketed_sum(
-        ones, ["a", "b"], [("_one", "_n")], mins=mins
+        part, ["a", "b"], [("_one", "_n")],
+        mins=[(alias, alias) for _, alias in mins],
     ).select_columns(keep)
 
 
@@ -919,6 +920,9 @@ def line_dedup(ds, max_df: int = 10, col: str = "text", n_buckets: int = 64):
         # the tiny boilerplate set, never the full distinct-line table
         # (built-in two-key Sum Aggregate at distinct-line cardinality
         # measured ~2x slower than this bucket body)
+        if g.num_rows == 0:  # guard: reduceat(starts=[0]) raises on empty
+            return pa.schema([("h_hi", pa.int64()), ("h_lo", pa.int64()),
+                              ("c", pa.int64())]).empty_table()
         hi = g.column("h_hi").to_numpy()
         lo = g.column("h_lo").to_numpy()
         cp = g.column("c_part").to_numpy()
