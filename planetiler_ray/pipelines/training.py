@@ -341,20 +341,28 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
     (tiles touched by mentions of changed-or-removed docs), counted per
     (z, tile_x, tile_y).
 
-    Scale shape, stage by stage:
-    * the dirty-id set is ``corpus_diff`` (one side-tagged doc-hash bucket
-      shuffle) filtered to changed/removed — it stays a DATASET (at 10^12
-      docs the delta is still billions; never a driver list or broadcast);
-    * dirty ids semi-join the old snapshot's mentions via the SAME
-      side-tagged bucket pattern (union on doc-hash buckets, in-group
-      sorted membership);
-    * survivors expand through the real tile kernel (``assign_tiles``) and
-      count via the bucketed reduceat merge (``stages/bucketagg``).
+    Scale shape, stage by stage (TWO shuffles total — profiled at sf0.1
+    the wall time was three serialized sort barriers, not CPU, so the
+    diff-classify and the mention semi-join are FUSED into one exchange):
+    * old docs, v2 docs and the old snapshot's mentions are all projected
+      to compact side-tagged rows — the doc sides ship (id, FNV-128 of
+      text), never the text (``corpus_diff``'s accepted collision class);
+      the mention side ships (id, lat, lon) — and union into ONE
+      doc-id-hash bucket shuffle;
+    * each bucket classifies its ids with one lexsort over the two doc
+      sides (dirty = changed-or-removed = old-side ids minus hash-equal
+      pairs), filters its mentions to dirty ids, and immediately expands
+      survivors through the real tile kernel (``assign_tiles``) into
+      per-bucket (z, x, y) count partials — the delta stays a DATASET
+      end to end (at 10^12 docs it is still billions; never a driver
+      list or broadcast);
+    * partials merge via the bucketed reduceat merge (``stages/bucketagg``,
+      the second exchange, over distinct tile keys only).
     Exact SQL twin: the dirty predicate collapses to
     ``doc_id % 10 = 0 OR doc_id % 7 = 0`` over the points CTE.
     """
+    from ..functions.vhash import fnv128_arrow
     from ..stages.bucketagg import bucketed_sum
-    from ..stages.incremental import corpus_diff
     from ..stages.tiling import assign_tiles
     from .webgeo import mentions_ds
 
@@ -363,9 +371,6 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
     new = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         _v2_docs, batch_format="pyarrow", fn_kwargs={"n": n}
     )
-    dirty = corpus_diff(old, new).filter(
-        expr="status == 'changed' or status == 'removed'"
-    )
 
     MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -373,54 +378,82 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
         return ((ids.astype(np.uint64) * MIX) >> np.uint64(33)
                 ).astype(np.int64) % n_buckets
 
-    def tag_dirty(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        m = len(ids)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "mention_idx": pa.nulls(m, pa.int64()),
-            "lat": pa.nulls(m, pa.float64()),
-            "lon": pa.nulls(m, pa.float64()),
-            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
-            "jbucket": pa.array(_jbucket(ids), pa.int64()),
-        })
+    def tag_docs(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch.column("text")
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            hi, lo = fnv128_arrow(s)
+            ids = batch.column("doc_id").to_numpy()
+            m = len(ids)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "h_hi": pa.array(hi.astype(np.int64), pa.int64()),
+                "h_lo": pa.array(lo.astype(np.int64), pa.int64()),
+                "lat": pa.nulls(m, pa.float64()),
+                "lon": pa.nulls(m, pa.float64()),
+                "side": pa.array(np.full(m, side, np.int8), pa.int8()),
+                "jbucket": pa.array(_jbucket(ids), pa.int64()),
+            })
+        return f
 
     def tag_mentions(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         m = len(ids)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "mention_idx": batch.column("mention_idx").cast(pa.int64()),
+            "h_hi": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "h_lo": pa.array(np.zeros(m, np.int64), pa.int64()),
             "lat": batch.column("lat").cast(pa.float64()),
             "lon": batch.column("lon").cast(pa.float64()),
-            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "side": pa.array(np.full(m, 2, np.int8), pa.int8()),
             "jbucket": pa.array(_jbucket(ids), pa.int64()),
         })
 
-    def sift(g: pa.Table) -> pa.Table:
+    def sift_expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "z": pa.array([], pa.int64()),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "n_part": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
         side = g.column("side").to_numpy()
         ids = g.column("doc_id").to_numpy()
-        dirty_sorted = np.unique(ids[side == 0])
+        docs = side < 2
+        di, ds_, dhi, dlo = (ids[docs], side[docs],
+                             g.column("h_hi").to_numpy()[docs],
+                             g.column("h_lo").to_numpy()[docs])
+        order = np.lexsort((ds_, di))
+        i, s = di[order], ds_[order]
+        h1, h2 = dhi[order], dlo[order]
+        first = np.ones(len(i), dtype=bool)
+        first[1:] = i[1:] != i[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, len(i)))
+        # dirty = old-side ids minus (both-sides AND hash-equal) pairs
+        old_only = (runlen == 1) & (s[starts] == 0)
+        both = runlen == 2
+        bs = starts[both]
+        changed = np.zeros(len(starts), dtype=bool)
+        changed[both] = (h1[bs] != h1[bs + 1]) | (h2[bs] != h2[bs + 1])
+        dirty_sorted = i[starts[old_only | changed]]  # sorted by build
+        mm = side == 2
         keep = np.zeros(len(ids), dtype=bool)
-        mm = side == 1
         if dirty_sorted.size and mm.any():
             pos = np.searchsorted(dirty_sorted, ids[mm])
             pos_c = np.minimum(pos, dirty_sorted.size - 1)
             keep[mm] = (pos < dirty_sorted.size) & (
                 dirty_sorted[pos_c] == ids[mm])
-        return g.filter(pa.array(keep)).drop_columns(["side", "jbucket"])
-
-    affected = (
-        dirty.map_batches(tag_dirty, batch_format="pyarrow")
-        .union(
-            mentions_ds(sf_dir).map_batches(tag_mentions,
-                                            batch_format="pyarrow"))
-        .groupby("jbucket")
-        .map_groups(sift, batch_format="pyarrow")
-    )
-
-    def expand_count(batch: pa.Table) -> pa.Table:
-        t = assign_tiles(batch, zooms=list(zooms))
+        if not keep.any():
+            return empty
+        pts = pa.table({
+            "doc_id": g.column("doc_id").filter(pa.array(keep)),
+            "lat": g.column("lat").filter(pa.array(keep)),
+            "lon": g.column("lon").filter(pa.array(keep)),
+        })
+        t = assign_tiles(pts, zooms=list(zooms))
         z = t.column("z").to_numpy().astype(np.int64)
         x = t.column("tile_x").to_numpy().astype(np.int64)
         y = t.column("tile_y").to_numpy().astype(np.int64)
@@ -438,9 +471,19 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
             "n_part": pa.array(ends - starts, pa.int64()),
         })
 
+    partials = (
+        old.map_batches(tag_docs(0), batch_format="pyarrow")
+        .union(
+            new.map_batches(tag_docs(1), batch_format="pyarrow"),
+            mentions_ds(sf_dir).map_batches(tag_mentions,
+                                            batch_format="pyarrow"))
+        .groupby("jbucket")
+        .map_groups(lambda g: sift_expand(g.drop_columns(["jbucket"])),
+                    batch_format="pyarrow")
+    )
+
     return bucketed_sum(
-        affected.map_batches(expand_count, batch_format="pyarrow"),
-        ["z", "tile_x", "tile_y"], [("n_part", "n_affected")],
+        partials, ["z", "tile_x", "tile_y"], [("n_part", "n_affected")],
     )
 
 
@@ -1956,10 +1999,14 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
     collapsed driver-side into two compact int->int broadcast maps
     (custkey->nationkey restricted to the region, suppkey->nationkey);
     orders and lineitem are pre-projected scans that attach the nation via
-    vectorized broadcast lookup; the ONE big-big exchange is the native
-    hash join on orderkey; the c_nation = s_nation filter and the 25-row
-    groupby-sum run post-join.  Revenue in exact integer
-    cents x (100 - disc_pct), so the DuckDB twin matches bitwise."""
+    vectorized broadcast lookup; the ONE big-big exchange is a side-tagged
+    union bucketed on orderkey (the osm.py join pattern — profiled faster
+    than native join THEN groupby, which serialized two barriers), whose
+    group body fuses the probe join, the c_nation = s_nation filter and a
+    bincount-by-nation partial; the final 25-row groupby-sum is a trivial
+    second exchange over <= n_buckets x 25 partial rows.  Revenue in exact
+    integer cents x (100 - disc_pct), so the DuckDB twin matches
+    bitwise."""
     from ray.data.aggregate import Sum
 
     reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
@@ -1983,6 +2030,8 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
     sv = supp.column("s_nationkey").to_numpy()[
         np.argsort(supp.column("s_suppkey").to_numpy(), kind="stable")]
 
+    N_BUCKETS = 64
+
     def orders_side(batch: pa.Table) -> pa.Table:
         odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
         okey = batch.column("o_custkey").to_numpy()
@@ -1992,9 +2041,15 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
         hit = hit & (cmap_keys[posc] == okey) if len(cmap_keys) else \
             np.zeros(len(okey), bool)
         keep = (odate >= lo_us) & (odate < hi_us) & hit
+        kept = batch.column("o_orderkey").to_numpy()[keep]
+        m = len(kept)
         return pa.table({
-            "l_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "l_orderkey": pa.array(kept, pa.int64()),
             "c_nation": pa.array(cmap_vals[pos[keep]], pa.int64()),
+            "s_nation": pa.nulls(m, pa.int64()),
+            "rev": pa.nulls(m, pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "obucket": pa.array(kept % N_BUCKETS, pa.int64()),
         })
 
     def line_side(batch: pa.Table) -> pa.Table:
@@ -2004,29 +2059,69 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
             batch.column("l_discount").to_numpy() * 100).astype(np.int64)
         skey = batch.column("l_suppkey").to_numpy()
         pos = np.searchsorted(sk, skey)
+        okey = batch.column("l_orderkey").to_numpy()
+        m = len(okey)
         return pa.table({
-            "l_orderkey": batch.column("l_orderkey"),
+            "l_orderkey": pa.array(okey, pa.int64()),
+            "c_nation": pa.nulls(m, pa.int64()),
             "s_nation": pa.array(sv[np.minimum(pos, len(sk) - 1)], pa.int64()),
             "rev": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "obucket": pa.array(okey % N_BUCKETS, pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(orders_side, batch_format="pyarrow")
-    line = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(line_side, batch_format="pyarrow")
-    n_line = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-    joined = line.join(orders, join_type="inner",
-                       **join_args(size_hint_rows=n_line),
-                       on=("l_orderkey",))
+    def bucket_body(g: pa.Table) -> pa.Table:
+        # fused join + partial aggregate (one exchange instead of the
+        # native-join barrier THEN a groupby barrier; volume unchanged —
+        # the join shipped every row anyway): order keys in this bucket
+        # are sorted once, line rows probe via searchsorted, the
+        # c_nation = s_nation filter and a bincount-by-nation partial
+        # run in the same body.  Output <= 25 rows per bucket.
+        empty = pa.table({"s_nation": pa.array([], pa.int64()),
+                          "rev_part": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        om = side == 0
+        okeys = g.column("l_orderkey").to_numpy()[om]
+        if okeys.size == 0:
+            return empty
+        order = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[order]
+        cnat_s = g.column("c_nation").to_numpy()[om][order]
+        lm = ~om
+        lkey = g.column("l_orderkey").to_numpy()[lm]
+        pos = np.searchsorted(okeys_s, lkey)
+        posc = np.minimum(pos, okeys_s.size - 1)
+        hit = (pos < okeys_s.size) & (okeys_s[posc] == lkey)
+        snat = g.column("s_nation").to_numpy()[lm]
+        match = hit & (cnat_s[posc] == snat)
+        if not match.any():
+            return empty
+        rev = g.column("rev").to_numpy()[lm][match]
+        nat = snat[match]
+        u, inv = np.unique(nat, return_inverse=True)
+        return pa.table({
+            "s_nation": pa.array(u, pa.int64()),
+            "rev_part": pa.array(np.bincount(inv, rev).astype(np.int64),
+                                 pa.int64()),
+        })
+
     agg = (
-        joined
-        .filter(expr="c_nation == s_nation")
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(orders_side, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(line_side, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["obucket"])),
+                    batch_format="pyarrow")
         .groupby("s_nation")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .aggregate(Sum("rev_part", alias_name="revenue"))
     )
 
     def name_back(batch: pa.Table) -> pa.Table:
@@ -3027,17 +3122,24 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
     quantity exceeds ``qty_threshold``, joined back to order metadata and
     the customer name, top-``k`` by (o_totalprice desc, orderkey asc).
 
-    Scale plan, stage by stage:
+    Scale plan, stage by stage (ONE exchange total — profiled at sf0.1
+    the groupby barrier + the native hash join serialized into two
+    all-to-all waits, so the HAVING aggregate and the join-back are FUSED
+    onto one orderkey-hash bucket shuffle; shuffle VOLUME is unchanged,
+    the join shipped every order row anyway):
 
-    * HAVING side: per-batch partial qty sums (bounded by distinct
-      orderkeys per batch) -> ONE groupby(l_orderkey) sum -> filter.  The
-      survivor set is ~0.1% of orders — kept as a DATASET (at 10^12 rows
-      it is still billions; never a driver list);
-    * survivors join orders via the size-hinted native hash join (one
-      exchange on the already-aggregated narrow rows);
-    * top-k WITHOUT a global sort: per-batch partial top-k keeps
-      n_blocks x k candidates, one tiny final sort (the
-      :func:`q_topk_events` / brute-top-k pattern);
+    * lineitem side: per-batch partial qty sums (bounded by distinct
+      orderkeys per batch), side-tagged;
+    * orders side: narrow projected rows, side-tagged, SAME bucket key —
+      the survivor set never exists as a separate dataset, it is derived
+      inside each bucket (at 10^12 rows it is still billions; never a
+      driver list);
+    * each bucket merges qty partials (lexsort + reduceat — the built-in
+      Sum Aggregate at ~150k keys measured ~2x slower), applies the
+      HAVING filter, attaches matching order rows via sorted searchsorted,
+      and emits its partial top-k (<= k rows per bucket);
+    * top-k WITHOUT a global sort: one tiny final sort over n_buckets x k
+      candidates (the :func:`q_topk_events` / brute-top-k pattern);
     * customer names attach AFTER the top-k — a filtered parquet read of
       exactly k keys (predicate pushdown), never a broadcast of the full
       customer table.
@@ -3050,73 +3152,95 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
         key = batch.column("l_orderkey").to_numpy()
         qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
         u, inv = np.unique(key, return_inverse=True)
+        m = len(u)
         return pa.table({
             "o_orderkey": pa.array(u, pa.int64()),
             "qty_part": pa.array(np.bincount(inv, qty).astype(np.int64),
                                  pa.int64()),
+            "o_custkey": pa.nulls(m, pa.int64()),
+            "odate_us": pa.nulls(m, pa.int64()),
+            "totalprice_c": pa.nulls(m, pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "obucket": pa.array(u % n_buckets, pa.int64()),
         })
 
-    def qty_merge(g: pa.Table) -> pa.Table:
-        # bucketed merge + HAVING filter fused in one vectorized body
-        # (built-in Sum Aggregate at ~150k keys measured ~2x slower than
-        # the lexsort+reduceat bucket pattern — same finding as
-        # osm.overlay_area)
-        if g.num_rows == 0:  # guard: reduceat(starts=[0]) raises on empty
-            return pa.schema([("o_orderkey", pa.int64()),
-                              ("sum_qty", pa.int64())]).empty_table()
-        key = g.column("o_orderkey").to_numpy()
-        qp = g.column("qty_part").to_numpy()
+    def orders_side(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_orderkey").to_numpy()
+        m = len(okey)
+        return pa.table({
+            "o_orderkey": pa.array(okey, pa.int64()),
+            "qty_part": pa.nulls(m, pa.int64()),
+            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "odate_us": batch.column("o_orderdate").cast(pa.int64()),
+            "totalprice_c": pa.array(
+                np.round(batch.column("o_totalprice").to_numpy() * 100
+                         ).astype(np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "obucket": pa.array(okey % n_buckets, pa.int64()),
+        })
+
+    OUT_SCHEMA = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("odate_us", pa.int64()), ("totalprice_c", pa.int64()),
+        ("sum_qty", pa.int64()),
+    ])
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        side = g.column("side").to_numpy()
+        lmask = side == 0
+        key = g.column("o_orderkey").to_numpy()[lmask]
+        if key.size == 0:
+            return OUT_SCHEMA.empty_table()
+        qp = g.column("qty_part").to_numpy()[lmask]
         order = np.argsort(key, kind="stable")
         key_s, qp_s = key[order], qp[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(key_s)) + 1])
         sums = np.add.reduceat(qp_s, starts)
         keep = sums > qty_threshold
+        hot_keys = key_s[starts][keep]          # sorted ascending
+        hot_sums = sums[keep]
+        if hot_keys.size == 0:
+            return OUT_SCHEMA.empty_table()
+        omask = ~lmask
+        okey = g.column("o_orderkey").to_numpy()[omask]
+        pos = np.searchsorted(hot_keys, okey)
+        pos_c = np.minimum(pos, hot_keys.size - 1)
+        hit = (pos < hot_keys.size) & (hot_keys[pos_c] == okey)
+        price = g.column("totalprice_c").to_numpy()[omask][hit]
+        okey_h = okey[hit]
+        cust = g.column("o_custkey").to_numpy()[omask][hit]
+        odate = g.column("odate_us").to_numpy()[omask][hit]
+        sq = hot_sums[pos_c[hit]]
+        # partial top-k inside the bucket
+        if len(price) > k:
+            thresh = np.partition(price, len(price) - k)[len(price) - k]
+            cand_i = np.flatnonzero(price >= thresh)
+            sel = cand_i[np.lexsort((okey_h[cand_i], -price[cand_i]))][:k]
+        else:
+            sel = np.lexsort((okey_h, -price))[:k]
         return pa.table({
-            "o_orderkey": pa.array(key_s[starts][keep], pa.int64()),
-            "sum_qty": pa.array(sums[keep], pa.int64()),
+            "o_orderkey": pa.array(okey_h[sel], pa.int64()),
+            "o_custkey": pa.array(cust[sel], pa.int64()),
+            "odate_us": pa.array(odate[sel], pa.int64()),
+            "totalprice_c": pa.array(price[sel], pa.int64()),
+            "sum_qty": pa.array(sq[sel], pa.int64()),
         })
 
-    hot = (
+    cand = (
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_orderkey", "l_quantity"])
         .map_batches(qty_partial, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"],
+        ).map_batches(orders_side, batch_format="pyarrow"))
         .groupby("obucket")
-        .map_groups(qty_merge, batch_format="pyarrow")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["obucket"])),
+                    batch_format="pyarrow")
     )
-
-    def orders_side(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": batch.column("o_orderkey"),
-            "o_custkey": batch.column("o_custkey"),
-            "odate_us": batch.column("o_orderdate").cast(pa.int64()),
-            "totalprice_c": pa.array(
-                np.round(batch.column("o_totalprice").to_numpy() * 100
-                         ).astype(np.int64), pa.int64()),
-        })
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    ).map_batches(orders_side, batch_format="pyarrow")
-    joined = hot.join(
-        orders, join_type="inner",
-        **join_args(size_hint_rows=pq.read_metadata(
-            f"{sf_dir}/orders.parquet").num_rows),
-        on=("o_orderkey",))
-
-    def partial_topk(batch: pa.Table) -> pa.Table:
-        price = batch.column("totalprice_c").to_numpy()
-        okey = batch.column("o_orderkey").to_numpy()
-        if len(price) > k:
-            thresh = np.partition(price, len(price) - k)[len(price) - k]
-            cand = np.flatnonzero(price >= thresh)
-            order = cand[np.lexsort((okey[cand], -price[cand]))][:k]
-        else:
-            order = np.lexsort((okey, -price))[:k]
-        return batch.take(pa.array(order))
-
-    cand = joined.map_batches(partial_topk, batch_format="pyarrow")
     top = (
         cand.sort(["totalprice_c", "o_orderkey"], descending=[True, False])
         .limit(k)
@@ -3696,10 +3820,11 @@ def q_props_stats(sf_dir: str):
 def q_tpch_q7(sf_dir: str):
     """TPC-H Q7-shaped (volume shipping): the full customer-nation x
     supplier-nation x ship-year revenue matrix.  Same broadcast-dims +
-    one-big-big-exchange discipline as :func:`q_tpch_q5`, but with the
-    pair-matrix output (625 x years cells) instead of the region filter —
-    the partial aggregation happens on the join output per batch, so the
-    final groupby moves only cell partials.
+    one-big-big-exchange discipline as :func:`q_tpch_q5` (side-tagged
+    union bucketed on orderkey; the group body fuses the probe join and
+    the cell partial, so the final groupby moves only <= n_buckets x 625
+    x years partial rows), with the pair-matrix output instead of the
+    region filter.
 
     Broadcast budget: custkey->nationkey ships as a sorted-key searchsorted
     pair today; as a DENSE int8 array it holds to ~10^10 customers (~10 GB
@@ -3719,13 +3844,22 @@ def q_tpch_q7(sf_dir: str):
     order_s = np.argsort(sk, kind="stable")
     s_keys, s_nat = sk[order_s], supp.column("s_nationkey").to_numpy()[order_s]
 
+    N_BUCKETS = 64
+
     def orders_side(batch: pa.Table) -> pa.Table:
         okey = batch.column("o_custkey").to_numpy()
         pos = np.searchsorted(c_keys, okey)
+        lkey = batch.column("o_orderkey").to_numpy()
+        m = len(lkey)
         return pa.table({
-            "l_orderkey": batch.column("o_orderkey"),
+            "l_orderkey": pa.array(lkey, pa.int64()),
             "c_nation": pa.array(
                 c_nat[np.minimum(pos, len(c_keys) - 1)], pa.int64()),
+            "s_nation": pa.nulls(m, pa.int64()),
+            "ship_year": pa.nulls(m, pa.int64()),
+            "rev": pa.nulls(m, pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
         })
 
     def line_side(batch: pa.Table) -> pa.Table:
@@ -3737,33 +3871,48 @@ def q_tpch_q7(sf_dir: str):
         year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
         skey = batch.column("l_suppkey").to_numpy()
         pos = np.searchsorted(s_keys, skey)
+        lkey = batch.column("l_orderkey").to_numpy()
+        m = len(lkey)
         return pa.table({
-            "l_orderkey": batch.column("l_orderkey"),
+            "l_orderkey": pa.array(lkey, pa.int64()),
+            "c_nation": pa.nulls(m, pa.int64()),
             "s_nation": pa.array(
                 s_nat[np.minimum(pos, len(s_keys) - 1)], pa.int64()),
             "ship_year": pa.array(year, pa.int64()),
             "rev": pa.array(price_c * (100 - disc), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
         })
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(orders_side, batch_format="pyarrow")
-    lines = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
-                 "l_discount"],
-    ).map_batches(line_side, batch_format="pyarrow")
-    joined = lines.join(
-        orders, join_type="inner",
-        **join_args(size_hint_rows=pq.read_metadata(
-            f"{sf_dir}/lineitem.parquet").num_rows),
-        on=("l_orderkey",))
-
-    def cell_partial(batch: pa.Table) -> pa.Table:
-        cn = batch.column("c_nation").to_numpy()
-        sn = batch.column("s_nation").to_numpy()
-        yr = batch.column("ship_year").to_numpy()
-        rev = batch.column("rev").to_numpy()
+    def bucket_body(g: pa.Table) -> pa.Table:
+        # fused probe join + cell partial (see q_tpch_q5.bucket_body)
+        empty = pa.table({
+            "c_nation": pa.array([], pa.int64()),
+            "s_nation": pa.array([], pa.int64()),
+            "ship_year": pa.array([], pa.int64()),
+            "rev_p": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        om = side == 0
+        okeys = g.column("l_orderkey").to_numpy()[om]
+        if okeys.size == 0:
+            return empty
+        order = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[order]
+        cnat_s = g.column("c_nation").to_numpy()[om][order]
+        lm = ~om
+        lkey = g.column("l_orderkey").to_numpy()[lm]
+        pos = np.searchsorted(okeys_s, lkey)
+        posc = np.minimum(pos, okeys_s.size - 1)
+        hit = (pos < okeys_s.size) & (okeys_s[posc] == lkey)
+        if not hit.any():
+            return empty
+        cn = cnat_s[posc[hit]]
+        sn = g.column("s_nation").to_numpy()[lm][hit]
+        yr = g.column("ship_year").to_numpy()[lm][hit]
+        rev = g.column("rev").to_numpy()[lm][hit]
         key = (cn * 25 + sn) * 10000 + yr
         u, inv = np.unique(key, return_inverse=True)
         return pa.table({
@@ -3775,7 +3924,17 @@ def q_tpch_q7(sf_dir: str):
         })
 
     return (
-        joined.map_batches(cell_partial, batch_format="pyarrow")
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(orders_side, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(line_side, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["obucket"])),
+                    batch_format="pyarrow")
         .groupby(["c_nation", "s_nation", "ship_year"])
         .aggregate(Sum("rev_p", alias_name="revenue"))
     )
