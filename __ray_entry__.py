@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs": training.q_canonical_docs,
         "corpus_diff": training.q_corpus_diff,
         "tile_invalidate": training.q_tile_invalidate,
+        "tile_diff": training.q_tile_diff,
+        "late_data": training.q_late_data,
+        "dsir_weights": training.q_dsir_weights,
+        "gopher_rules": training.q_gopher_rules,
         "delta_dedup": training.q_delta_dedup,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
@@ -199,6 +203,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": training.q_props_stats,
         "lone_returner": training.q_lone_returner,
         "tpch_q14": training.q_tpch_q14,
+        "tpch_q4": training.q_tpch_q4,
+        "tpch_q13": training.q_tpch_q13,
+        "tpch_q15": training.q_tpch_q15,
+        "tpch_q17": training.q_tpch_q17,
+        "tpch_q8": training.q_tpch_q8,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
         "distinct_langs": training.q_distinct_langs,
@@ -625,6 +634,11 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": oracle.sql_props_stats(),
         "lone_returner": oracle.sql_lone_returner(),
         "tpch_q14": oracle.sql_tpch_q14(),
+        "tpch_q4": oracle.sql_tpch_q4(),
+        "tpch_q13": oracle.sql_tpch_q13(),
+        "tpch_q15": oracle.sql_tpch_q15(),
+        "tpch_q17": oracle.sql_tpch_q17(),
+        "tpch_q8": oracle.sql_tpch_q8(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),
@@ -635,6 +649,10 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": oracle.sql_canonical_docs(),
         "corpus_diff": oracle.sql_corpus_diff(),
         "tile_invalidate": oracle.sql_tile_invalidate(),
+        "tile_diff": oracle.sql_tile_diff(),
+        "late_data": oracle.sql_late_data(),
+        "dsir_weights": oracle.sql_dsir_weights(),
+        "gopher_rules": oracle.sql_gopher_rules(),
         "delta_dedup": oracle.sql_delta_dedup(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),

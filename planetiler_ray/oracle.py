@@ -3923,3 +3923,253 @@ JOIN s USING (source)
 CROSS JOIN t
 ORDER BY 1, 2
 """
+
+
+def sql_tpch_q4() -> str:
+    """Mirror of ``training.q_tpch_q4`` (EXISTS semi-join priority census)."""
+    return """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_tpch_q13() -> str:
+    """Mirror of ``training.q_tpch_q13`` (order-count distribution incl.
+    zero-order customers; urgent orders excluded)."""
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY 1
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_tpch_q15() -> str:
+    """Mirror of ``training.q_tpch_q15`` (argmax-over-aggregate top
+    supplier, revenue in exact integer cents x basis-points)."""
+    return """
+WITH rev AS (
+    SELECT l_suppkey AS s_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_rev_cbp
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    GROUP BY 1
+)
+SELECT r.s_suppkey, s.s_name, r.total_rev_cbp
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_rev_cbp = (SELECT max(total_rev_cbp) FROM rev)
+ORDER BY 1
+"""
+
+
+def sql_tpch_q17(brand: str = "Brand#23") -> str:
+    """Mirror of ``training.q_tpch_q17`` — the 20%-of-average quantity
+    test cross-multiplied to exact integers (5 * qty * n < sum_qty)."""
+    return f"""
+WITH lines AS (
+    SELECT l.l_partkey,
+           CAST(round(l.l_quantity) AS BIGINT) AS qty,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{brand}'
+),
+agg AS (
+    SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lines GROUP BY 1
+)
+SELECT 0 AS grp,
+       CAST(coalesce(sum(CASE WHEN 5 * l.qty * a.n < a.s
+                               THEN l.price_c END), 0) AS BIGINT)
+           AS sum_price_cents,
+       CAST(coalesce(sum(CASE WHEN 5 * l.qty * a.n < a.s
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_small_lines
+FROM lines l JOIN agg a USING (l_partkey)
+GROUP BY 1
+"""
+
+
+def _mentions_over(src: str, name: str) -> str:
+    """MENTIONS_CTE parameterized over the id-providing relation ``src``
+    (same integer arithmetic; used for v2-snapshot mirrors)."""
+    return f"""
+{name} AS (
+    SELECT d.doc_id,
+           j.j AS mention_idx,
+           (d.doc_id * {P.LAT_MULT} + j.j * {P.LAT_STEP}) % {P.LAT_MOD} - {P.LAT_OFF} AS lat_mdeg,
+           (d.doc_id * {P.LON_MULT} + j.j * {P.LON_STEP}) % {P.LON_MOD} - {P.LON_OFF} AS lon_mdeg
+    FROM {src} d
+    CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+    WHERE j.j < d.doc_id % 4
+    UNION ALL
+    SELECT d.doc_id,
+           d.doc_id % 4 AS mention_idx,
+           {P.HOT_LAT_BASE} + d.doc_id % {P.HOT_LAT_MOD} AS lat_mdeg,
+           {P.HOT_LON_BASE} + d.doc_id % {P.HOT_LON_MOD} AS lon_mdeg
+    FROM {src} d
+    WHERE d.doc_id % {P.HOT_EVERY} = 0
+)"""
+
+
+def sql_tile_diff(zooms=(2, 6)) -> str:
+    """Mirror of ``training.q_tile_diff``: the v2 snapshot's id set is
+    (old ids with doc_id % 10 <> 0) + (n + id for id % 13 = 0); mentions
+    re-derive from the SAME integer arithmetic over each id set, so the
+    per-tile old/new counts and status are exact."""
+    tx, ty = sql_tile_expr("m.lat_mdeg / 1000.0", "m.lon_mdeg / 1000.0",
+                           "z.z")
+    zl = ", ".join(str(z) for z in zooms)
+    count_cte = (
+        "SELECT z.z AS z, {tx} AS tile_x, {ty} AS tile_y, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM {m} m CROSS JOIN (SELECT UNNEST([{zl}]) AS z) z "
+        "GROUP BY 1, 2, 3"
+    )
+    return f"""
+WITH v2ids AS (
+    SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id
+    FROM documents WHERE doc_id % 13 = 0
+),
+{_mentions_over('documents', 'mold').lstrip()},
+{_mentions_over('v2ids', 'mnew').lstrip()},
+told AS ({count_cte.format(tx=tx, ty=ty, m='mold', zl=zl)}),
+tnew AS ({count_cte.format(tx=tx, ty=ty, m='mnew', zl=zl)})
+SELECT coalesce(o.z, w.z) AS z,
+       coalesce(o.tile_x, w.tile_x) AS tile_x,
+       coalesce(o.tile_y, w.tile_y) AS tile_y,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n_new,
+       CASE WHEN coalesce(o.n, 0) = 0 THEN 'added'
+            WHEN coalesce(w.n, 0) = 0 THEN 'removed'
+            WHEN o.n <> w.n THEN 'changed'
+            ELSE 'same' END AS status
+FROM told o FULL OUTER JOIN tnew w
+  ON o.z = w.z AND o.tile_x = w.tile_x AND o.tile_y = w.tile_y
+ORDER BY 1, 2, 3
+"""
+
+
+def sql_late_data(delay_us: int = 600_000_000) -> str:
+    """Mirror of ``training.q_late_data`` — watermark in exact integer
+    microseconds via a running-max window over arrival (event_id) order."""
+    return f"""
+WITH a AS (
+    SELECT event_type, epoch_us(ts) AS tu,
+           max(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN tu < wm - {delay_us}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_dsir_weights(vocab_k: int = 256, target_lang: str = "en") -> str:
+    """Mirror of ``text.dsir_weights`` — add-one-smoothed integer bit
+    log-ratio over the top-k raw vocabulary (same token grammar as
+    ``sql_unigram_surprisal``)."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS r_n,
+           CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t_n
+    FROM tok GROUP BY token
+),
+vocab AS (SELECT token, r_n, t_n FROM c ORDER BY r_n DESC, token
+          LIMIT {vocab_k}),
+scored AS (
+    SELECT t.doc_id,
+           CASE WHEN v.token IS NULL THEN 0
+                ELSE length(bin(v.t_n + 1)) - length(bin(v.r_n + 1))
+           END AS cost,
+           CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS inv
+    FROM tok t LEFT JOIN vocab v USING (token)
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_tokens, sum(inv) AS n_vocab,
+           sum(cost) AS dsir_bits
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_vocab, 0) AS BIGINT) AS n_vocab,
+       CAST(coalesce(a.dsir_bits, 0) AS BIGINT) AS dsir_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def sql_gopher_rules() -> str:
+    """Mirror of ``training.q_gopher_rules`` — same RE2 grammars as
+    ``sql_text_stats``, ratios cross-multiplied to exact integers."""
+    return r"""
+WITH f AS (
+    SELECT len(regexp_extract_all(text, '\S+')) AS n_w,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_p,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               w -> w IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_s,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS n_a
+    FROM documents
+),
+g AS (
+    SELECT (n_w >= 8 AND n_w <= 1024) AS ok_w,
+           (2 * n_w <= n_a AND n_a <= 12 * n_w) AS ok_m,
+           (n_p * 5 <= n_w) AS ok_p,
+           (n_s >= 2) AS ok_s
+    FROM f
+)
+SELECT 'all_pass' AS rule, CAST(sum(CASE WHEN ok_w AND ok_m AND ok_p
+    AND ok_s THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM g
+UNION ALL SELECT 'mean_word_len', CAST(sum(CASE WHEN NOT ok_m
+    THEN 1 ELSE 0 END) AS BIGINT) FROM g
+UNION ALL SELECT 'punct_ratio', CAST(sum(CASE WHEN NOT ok_p
+    THEN 1 ELSE 0 END) AS BIGINT) FROM g
+UNION ALL SELECT 'stopwords', CAST(sum(CASE WHEN NOT ok_s
+    THEN 1 ELSE 0 END) AS BIGINT) FROM g
+UNION ALL SELECT 'words', CAST(sum(CASE WHEN NOT ok_w
+    THEN 1 ELSE 0 END) AS BIGINT) FROM g
+ORDER BY 1
+"""
+
+
+def sql_tpch_q8(region: str = "ASIA", nation_name: str = "NATION_7") -> str:
+    """Mirror of ``training.q_tpch_q8`` — market-share numerator and
+    denominator in exact integer cents x basis-points per order year."""
+    return f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = '{nation_name}'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS nation_rev_cbp,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_cbp
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = '{region}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -3938,3 +3938,709 @@ def q_tpch_q7(sf_dir: str):
         .groupby(["c_nation", "s_nation", "ship_year"])
         .aggregate(Sum("rev_p", alias_name="revenue"))
     )
+
+
+def q_tpch_q4(sf_dir: str,
+              lo_us: int = 836_179_200_000_000,   # 1996-07-01 epoch us
+              hi_us: int = 844_128_000_000_000):  # 1996-10-01
+    """TPC-H Q4-shaped (order priority checking) on the available columns:
+    orders placed in a quarter that EXISTS-match a returned lineitem
+    (l_returnflag = 'R' stands in for commitdate < receiptdate), counted
+    per o_orderpriority.
+
+    Scale plan: ONE side-tagged orderkey-hash bucket exchange — the line
+    side collapses per batch to DISTINCT returned orderkeys (bounded by
+    batch size), the orders side ships (orderkey, priority) for the
+    window only; each bucket probes membership with one sorted
+    searchsorted and emits per-priority count partials; the final
+    groupby-sum moves <= n_buckets x 5 rows."""
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 64
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        okey = batch.column("l_orderkey").to_numpy()[flag == "R"]
+        u = np.unique(okey)
+        m = len(u)
+        return pa.table({
+            "o_orderkey": pa.array(u, pa.int64()),
+            "o_orderpriority": pa.nulls(m, pa.string()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "obucket": pa.array(u % N_BUCKETS, pa.int64()),
+        })
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        odate = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (odate >= lo_us) & (odate < hi_us)
+        kept = batch.filter(pa.array(keep))
+        okey = kept.column("o_orderkey").to_numpy()
+        m = len(okey)
+        return pa.table({
+            "o_orderkey": pa.array(okey, pa.int64()),
+            "o_orderpriority": kept.column("o_orderpriority"),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "obucket": pa.array(okey % N_BUCKETS, pa.int64()),
+        })
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        lm = side == 0
+        ret_keys = np.unique(g.column("o_orderkey").to_numpy()[lm])
+        if ret_keys.size == 0:
+            return empty
+        om = ~lm
+        okey = g.column("o_orderkey").to_numpy()[om]
+        pos = np.searchsorted(ret_keys, okey)
+        posc = np.minimum(pos, ret_keys.size - 1)
+        hit = (pos < ret_keys.size) & (ret_keys[posc] == okey)
+        if not hit.any():
+            return empty
+        pri = g.column("o_orderpriority").filter(
+            pa.array(om)).filter(pa.array(hit))
+        enc = pri.combine_chunks().dictionary_encode()
+        counts = np.bincount(enc.indices.to_numpy(),
+                             minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": enc.dictionary,
+            "n_part": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_returnflag"])
+        .map_batches(line_side, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(orders_side, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["obucket"])),
+                    batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="order_count"))
+    )
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    orders-per-customer INCLUDING zero-order customers, with urgent
+    orders excluded (stands in for the reference's comment-pattern
+    exclusion).
+
+    Scale plan: ONE side-tagged custkey-hash bucket exchange — the orders
+    side collapses per batch to (custkey, count) partials, the customer
+    side ships bare keys; each bucket merges partials per key with one
+    lexsort + reduceat, assigns 0 to customers without orders, and emits
+    its own (c_count -> n) histogram partial (bounded by max orders per
+    customer); the final groupby-sum moves tiny histogram rows only."""
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 64
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy()[pri != "1-URGENT"]
+        u, cnt = np.unique(ck, return_counts=True)
+        m = len(u)
+        return pa.table({
+            "c_custkey": pa.array(u, pa.int64()),
+            "n_ord": pa.array(cnt.astype(np.int64), pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "cbucket": pa.array(u % N_BUCKETS, pa.int64()),
+        })
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        m = len(ck)
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "n_ord": pa.array(np.zeros(m, np.int64), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "cbucket": pa.array(ck % N_BUCKETS, pa.int64()),
+        })
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        empty = pa.table({"c_count": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        cm = side == 1
+        custs = g.column("c_custkey").to_numpy()[cm]  # distinct by source
+        if custs.size == 0:
+            return empty
+        custs_s = np.sort(custs)
+        ok = g.column("c_custkey").to_numpy()[~cm]
+        on = g.column("n_ord").to_numpy()[~cm]
+        per_cust = np.zeros(custs_s.size, np.int64)
+        if ok.size:
+            pos = np.searchsorted(custs_s, ok)
+            posc = np.minimum(pos, custs_s.size - 1)
+            hit = (pos < custs_s.size) & (custs_s[posc] == ok)
+            np.add.at(per_cust, posc[hit], on[hit])
+        cc, n = np.unique(per_cust, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(cc, pa.int64()),
+            "n_part": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+        .map_batches(orders_side, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        ).map_batches(cust_side, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["cbucket"])),
+                    batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("n_part", alias_name="custdist"))
+    )
+
+
+def q_tpch_q15(sf_dir: str,
+               lo_us: int = 820_454_400_000_000,   # 1996-01-01 epoch us
+               hi_us: int = 828_316_800_000_000):  # 1996-04-01
+    """TPC-H Q15 (top supplier): supplier(s) whose quarter revenue equals
+    the global maximum — the argmax-over-aggregate shape (the reference's
+    "top tiles" report is the same query over tile traffic).
+
+    Scale plan: per-batch (suppkey, rev) partials -> bucketed reduceat
+    merge (supplier cardinality is bounded); the global max is a scalar
+    aggregate over that SMALL table; names attach via a filtered parquet
+    read of exactly the winning keys.  Revenue in exact integer
+    cents x basis-points."""
+    from ..stages.bucketagg import bucketed_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= lo_us) & (ship < hi_us)
+        sk = batch.column("l_suppkey").to_numpy()[keep]
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        disc = np.round(
+            batch.column("l_discount").to_numpy()[keep] * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc)
+        u, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(u, pa.int64()),
+            "rev_p": pa.array(np.bincount(inv, rev).astype(np.int64),
+                              pa.int64()),
+        })
+
+    totals = bucketed_sum(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"], [("rev_p", "total_rev_cbp")],
+    )
+    mx = totals.max("total_rev_cbp")
+    top = totals.filter(expr=f"total_rev_cbp == {int(mx)}").to_pandas()
+    keys = sorted(int(k) for k in top["s_suppkey"])
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", keys)],
+    ).to_pandas().set_index("s_suppkey")["s_name"]
+    top = top.sort_values("s_suppkey", ignore_index=True)
+    top["s_name"] = top["s_suppkey"].map(names)
+    return top[["s_suppkey", "s_name", "total_rev_cbp"]]
+
+
+def q_tpch_q17(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H Q17 (small-quantity-order revenue): revenue of lineitems of
+    one brand's parts whose quantity is below 20% of that part's average
+    quantity — the per-group-average join-back shape, exact in integers
+    via cross-multiplication (qty < 0.2 * sum/n  <=>  5 * qty * n < sum).
+
+    Scale plan: the brand's partkeys broadcast as a sorted membership
+    array (parts are a bounded dimension); survivors take ONE side-tagged
+    partkey-hash bucket exchange shipping (partkey, qty partials) AND the
+    raw (partkey, qty, price) rows; each bucket computes per-part sum/n
+    with one lexsort + reduceat and filters its raw rows by the exact
+    integer test; output is a single global (sum_price_cents, n_lines)
+    row."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    bm = np.array(part.column("p_brand").to_pylist()) == brand
+    bkeys = np.sort(part.column("p_partkey").to_numpy()[bm])
+
+    N_BUCKETS = 64
+
+    def line_sides(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy()
+        pos = np.searchsorted(bkeys, pk)
+        posc = np.minimum(pos, max(bkeys.size - 1, 0))
+        hit = (bkeys.size > 0) & (pos < bkeys.size)
+        hit = hit & (bkeys[posc] == pk) if bkeys.size else \
+            np.zeros(len(pk), bool)
+        pk = pk[hit]
+        qty = np.round(batch.column("l_quantity").to_numpy()[hit]
+                       ).astype(np.int64)
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy()[hit] * 100
+        ).astype(np.int64)
+        # side 0: per-batch (part, sum qty, n) partials
+        u, inv = np.unique(pk, return_inverse=True)
+        m = len(u)
+        partials = pa.table({
+            "p_partkey": pa.array(u, pa.int64()),
+            "qty_sum": pa.array(np.bincount(inv, qty).astype(np.int64),
+                                pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "qty": pa.nulls(m, pa.int64()),
+            "price_c": pa.nulls(m, pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "pbucket": pa.array(u % N_BUCKETS, pa.int64()),
+        })
+        # side 1: raw qualifying rows
+        raw = pa.table({
+            "p_partkey": pa.array(pk, pa.int64()),
+            "qty_sum": pa.nulls(len(pk), pa.int64()),
+            "n": pa.nulls(len(pk), pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+            "side": pa.array(np.ones(len(pk), np.int8), pa.int8()),
+            "pbucket": pa.array(pk % N_BUCKETS, pa.int64()),
+        })
+        return pa.concat_tables([partials, raw])
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], pa.int64()),
+                          "sum_price_c": pa.array([], pa.int64()),
+                          "n_lines": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        pm = side == 0
+        pk = g.column("p_partkey").to_numpy()[pm]
+        if pk.size == 0:
+            return empty
+        order = np.argsort(pk, kind="stable")
+        pk_s = pk[order]
+        qs = g.column("qty_sum").to_numpy()[pm][order]
+        ns = g.column("n").to_numpy()[pm][order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(pk_s)) + 1])
+        keys = pk_s[starts]
+        sums = np.add.reduceat(qs, starts)
+        cnts = np.add.reduceat(ns, starts)
+        rm = ~pm
+        rk = g.column("p_partkey").to_numpy()[rm]
+        pos = np.searchsorted(keys, rk)  # every raw key has partials
+        qty = g.column("qty").to_numpy()[rm]
+        keep = 5 * qty * cnts[pos] < sums[pos]
+        price = g.column("price_c").to_numpy()[rm][keep]
+        return pa.table({
+            "grp": pa.array([0], pa.int64()),
+            "sum_price_c": pa.array([int(price.sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(line_sides, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["pbucket"])),
+                    batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("sum_price_c", alias_name="sum_price_cents"),
+                   Sum("n_lines", alias_name="n_small_lines"))
+    )
+
+
+def q_tile_diff(sf_dir: str, zooms=(2, 6)):
+    """Archive diff census (``util/CompareArchives.java`` shape over the
+    incremental-snapshot story): per (z, tile), mention counts from the
+    OLD corpus vs the deterministically-derived v2 snapshot, plus a
+    per-tile status (added / removed / changed / same) — the tile-level
+    companion of :func:`q_tile_invalidate` (which reports only the dirty
+    set).
+
+    Scale shape: BOTH snapshots run the full honest pages -> extract ->
+    geoparse chain (the v2 side re-synthesizes pages from the v2 docs
+    table — no shortcut through the oracle's collapsed predicate); each
+    side collapses per batch to per-tile count partials, and ONE bucketed
+    reduceat merge combines them.  Status is a vectorized post-map on the
+    merged (tile, n_old, n_new) rows."""
+    import pyarrow.compute as pc
+
+    from ..sources.pages import synthesize_pages, extract_stage
+    from ..stages.bucketagg import bucketed_sum
+    from ..stages.geoparse import geoparse_stage
+    from ..stages.tiling import assign_tiles
+    from .webgeo import mentions_ds
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def v2_docs_lang(batch: pa.Table) -> pa.Table:
+        # _v2_docs with lang carried through for the pages chain (changed
+        # docs keep their lang; fresh docs inherit the source doc's)
+        d = batch.column("doc_id").to_numpy()
+        keep = d % 10 != 0
+        kept = batch.filter(pa.array(keep))
+        kd = kept.column("doc_id").to_numpy()
+        changed = kd % 7 == 0
+        suffix = pa.array(np.where(changed, " v2", "").tolist(), pa.string())
+        text2 = pc.binary_join_element_wise(kept.column("text"), suffix, "")
+        if isinstance(text2, pa.ChunkedArray):
+            text2 = text2.combine_chunks()
+        fresh = batch.filter(pa.array(d % 13 == 0))
+        newd = fresh.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([kd, n + newd]), pa.int64()),
+            "text": pa.concat_arrays(
+                [text2, pa.array(["fresh doc " + str(x) for x in newd],
+                                 pa.string())]),
+            "lang": pa.concat_arrays(
+                [kept.column("lang").combine_chunks(),
+                 fresh.column("lang").combine_chunks()]),
+        })
+
+    new_mentions = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+        .repartition(64)
+        .map_batches(v2_docs_lang, batch_format="pyarrow")
+        .map_batches(synthesize_pages, batch_format="pyarrow")
+        .map_batches(extract_stage, batch_format="pyarrow")
+        .map_batches(geoparse_stage, batch_format="pyarrow")
+    )
+
+    def tile_partial(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = assign_tiles(batch.select(["lat", "lon"]), zooms=list(zooms))
+            z = t.column("z").to_numpy().astype(np.int64)
+            x = t.column("tile_x").to_numpy().astype(np.int64)
+            y = t.column("tile_y").to_numpy().astype(np.int64)
+            key = (z << 56) | (x << 28) | y
+            u, cnt = np.unique(key, return_counts=True)
+            cnt = cnt.astype(np.int64)
+            zero = np.zeros(len(u), np.int64)
+            return pa.table({
+                "z": pa.array(u >> 56, pa.int64()),
+                "tile_x": pa.array((u >> 28) & ((1 << 28) - 1), pa.int64()),
+                "tile_y": pa.array(u & ((1 << 28) - 1), pa.int64()),
+                "old_p": pa.array(cnt if side == 0 else zero, pa.int64()),
+                "new_p": pa.array(cnt if side == 1 else zero, pa.int64()),
+            })
+        return f
+
+    merged = bucketed_sum(
+        mentions_ds(sf_dir).map_batches(tile_partial(0),
+                                        batch_format="pyarrow")
+        .union(new_mentions.map_batches(tile_partial(1),
+                                        batch_format="pyarrow")),
+        ["z", "tile_x", "tile_y"],
+        [("old_p", "n_old"), ("new_p", "n_new")],
+    )
+
+    STATUS = np.array(["added", "removed", "changed", "same"], dtype=object)
+
+    def status_map(batch: pa.Table) -> pa.Table:
+        no = batch.column("n_old").to_numpy()
+        nn = batch.column("n_new").to_numpy()
+        code = np.where(no == 0, 0,
+                        np.where(nn == 0, 1, np.where(no != nn, 2, 3)))
+        return batch.append_column(
+            "status", pa.array(STATUS[code].tolist(), pa.string()))
+
+    return merged.map_batches(status_map, batch_format="pyarrow")
+
+
+def q_late_data(sf_dir: str, delay_us: int = 600_000_000,
+                n_buckets: int = 64):
+    """Watermark / late-data census (the Flink-style streaming semantics
+    the reference's batch engine doesn't have, §2.9): replaying events in
+    ARRIVAL order (event_id), an event is LATE if its timestamp is more
+    than ``delay_us`` behind the watermark = max event time seen so far.
+    Output: per event_type, total events and late events.
+
+    Scale shape — a global running max over a distributed stream, done
+    with the reference's own two-pass discipline (OsmReader pass1/pass2):
+    * pass 1: per-batch (arrival-range bucket, max ts) partials -> a
+      driver-side exclusive prefix max over the n_buckets maxima (a
+      TINY materialization: n_buckets rows, never event rows);
+    * pass 2: ONE exchange on the contiguous arrival-range bucket; each
+      bucket seeds numpy's running max with its carry-in watermark and
+      emits per-type (late, total) partials;
+    * final tiny groupby-sum.
+    Exact SQL twin: max(ts) OVER (ORDER BY event_id ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING) in integer microseconds."""
+    from ray.data.aggregate import Sum
+
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    FLOOR = -(2 ** 62)
+
+    def max_part(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        tu = batch.column("ts").cast(pa.int64()).to_numpy()
+        rb = eid * n_buckets // n_ev
+        u, inv = np.unique(rb, return_inverse=True)
+        mx = np.full(len(u), FLOOR, np.int64)
+        np.maximum.at(mx, inv, tu)
+        return pa.table({"rbucket": pa.array(u, pa.int64()),
+                         "mx": pa.array(mx, pa.int64())})
+
+    pre = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    ).map_batches(max_part, batch_format="pyarrow").to_pandas()
+    bmax = np.full(n_buckets, FLOOR, np.int64)
+    np.maximum.at(bmax, pre["rbucket"].to_numpy(), pre["mx"].to_numpy())
+    carry = np.full(n_buckets, FLOOR, np.int64)
+    carry[1:] = np.maximum.accumulate(bmax)[:-1]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "tu": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+            "rbucket": pa.array(eid * n_buckets // n_ev, pa.int64()),
+        })
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "late_p": pa.array([], pa.int64()),
+                          "tot_p": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        b = int(g.column("rbucket")[0].as_py())
+        eid = g.column("event_id").to_numpy()
+        tu = g.column("tu").to_numpy()
+        order = np.argsort(eid, kind="stable")
+        tu_s = tu[order]
+        wm = np.maximum.accumulate(
+            np.concatenate([[carry[b]], tu_s]))[:-1]
+        late = (tu_s < wm - delay_us).astype(np.int64)
+        typ = g.column("event_type").take(
+            pa.array(order)).combine_chunks().dictionary_encode()
+        idx = typ.indices.to_numpy()
+        k = len(typ.dictionary)
+        return pa.table({
+            "event_type": typ.dictionary,
+            "late_p": pa.array(np.bincount(idx, late, minlength=k)
+                               .astype(np.int64), pa.int64()),
+            "tot_p": pa.array(np.bincount(idx, minlength=k)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(bucket_body, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("tot_p", alias_name="n_events"),
+                   Sum("late_p", alias_name="n_late"))
+    )
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance-resampling weights (target = lang 'en') — see
+    ``stages.text.dsir_weights``."""
+    from ..stages.text import dsir_weights
+
+    return dsir_weights(docs_ds(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher/FineWeb-style multi-rule quality-filter census (Rae et al.
+    2021 repetition/format heuristics reduced to their integer-exact
+    core): per rule, how many documents FAIL it, plus the count passing
+    all four — the report every curation run prints before dropping data.
+
+    Rules (all exact integer comparisons, cross-multiplied where the
+    original uses a ratio):
+    * words:          8 <= n_ws_tokens <= 1024
+    * mean_word_len:  2 <= alnum_chars / n_words <= 12
+                      (as 2*n_words <= n_alnum AND n_alnum <= 12*n_words)
+    * punct_ratio:    n_punct * 5 <= n_words  (punct-to-word <= 0.2)
+    * stopwords:      n_stopwords >= 2
+
+    Scale shape: embarrassingly parallel per-batch counting (the
+    ``text_stats`` RE2 kernels + one extra alnum count) -> 5-row census
+    partials -> ONE tiny groupby-sum."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import text_stats
+
+    RULES = ["all_pass", "mean_word_len", "punct_ratio", "stopwords",
+             "words"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        st = text_stats(batch)
+        n_w = st.column("n_ws_tokens").to_numpy()
+        n_p = st.column("n_punct").to_numpy()
+        n_s = st.column("n_stopwords").to_numpy()
+        n_a = pc.cast(pc.count_substring_regex(s, r"[a-zA-Z0-9]"),
+                      pa.int64()).to_numpy()
+        ok_w = (n_w >= 8) & (n_w <= 1024)
+        ok_m = (2 * n_w <= n_a) & (n_a <= 12 * n_w)
+        ok_p = n_p * 5 <= n_w
+        ok_s = n_s >= 2
+        n = np.array([
+            int((ok_w & ok_m & ok_p & ok_s).sum()),   # all_pass
+            int((~ok_m).sum()),                        # mean_word_len fails
+            int((~ok_p).sum()),                        # punct_ratio fails
+            int((~ok_s).sum()),                        # stopwords fails
+            int((~ok_w).sum()),                        # words fails
+        ], np.int64)
+        return pa.table({"rule": pa.array(RULES, pa.string()),
+                         "n_part": pa.array(n, pa.int64())})
+
+    return (
+        docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
+def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
+    """TPC-H Q8-shaped (national market share): per order year, the
+    revenue supplied by one nation vs ALL revenue to customers in a
+    region — output as exact integer numerator/denominator cents x bp
+    per year (the share itself is a consumer division).
+
+    Completes the partsupp-free TPC-H family: q1/q3-q8/q10/q12-q15/
+    q17-q19/q21/q22 are all under the oracle gate (q2/q9/q11/q16/q20
+    need the partsupp table, which the sf dirs don't carry).
+
+    Scale plan: same fused one-exchange shape as :func:`q_tpch_q5` —
+    customer/supplier/nation/region collapse to broadcast lookups, the
+    side-tagged union buckets on orderkey, and each bucket emits per-year
+    (num, den) partials."""
+    from ray.data.aggregate import Sum
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rkey = {n: k for k, n in zip(reg["r_regionkey"], reg["r_name"])}[region]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    in_region = {int(k) for k, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(r) == rkey}
+    nkey = {str(n): int(k) for k, n in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist())}[nation_name]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy()
+    keep_c = np.isin(cn, np.array(sorted(in_region), np.int64))
+    cmap_keys = np.sort(ck[keep_c])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.sort(supp.column("s_suppkey").to_numpy())
+    sv = supp.column("s_nationkey").to_numpy()[
+        np.argsort(supp.column("s_suppkey").to_numpy(), kind="stable")]
+
+    N_BUCKETS = 64
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        okey = batch.column("o_custkey").to_numpy()
+        pos = np.searchsorted(cmap_keys, okey)
+        posc = np.minimum(pos, max(len(cmap_keys) - 1, 0))
+        hit = (len(cmap_keys) > 0) & (pos < len(cmap_keys))
+        hit = hit & (cmap_keys[posc] == okey) if len(cmap_keys) else \
+            np.zeros(len(okey), bool)
+        odate = batch.column("o_orderdate").to_numpy()
+        year = odate.astype("datetime64[Y]").astype(np.int64) + 1970
+        kept = batch.column("o_orderkey").to_numpy()[hit]
+        m = len(kept)
+        return pa.table({
+            "l_orderkey": pa.array(kept, pa.int64()),
+            "o_year": pa.array(year[hit], pa.int64()),
+            "s_nation": pa.nulls(m, pa.int64()),
+            "rev": pa.nulls(m, pa.int64()),
+            "side": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "obucket": pa.array(kept % N_BUCKETS, pa.int64()),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc = np.round(
+            batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        skey = batch.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(sk, skey)
+        lkey = batch.column("l_orderkey").to_numpy()
+        m = len(lkey)
+        return pa.table({
+            "l_orderkey": pa.array(lkey, pa.int64()),
+            "o_year": pa.nulls(m, pa.int64()),
+            "s_nation": pa.array(sv[np.minimum(pos, len(sk) - 1)],
+                                 pa.int64()),
+            "rev": pa.array(price_c * (100 - disc), pa.int64()),
+            "side": pa.array(np.ones(m, np.int8), pa.int8()),
+            "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
+        })
+
+    def bucket_body(g: pa.Table) -> pa.Table:
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "num_p": pa.array([], pa.int64()),
+                          "den_p": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy()
+        om = side == 0
+        okeys = g.column("l_orderkey").to_numpy()[om]
+        if okeys.size == 0:
+            return empty
+        order = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[order]
+        year_s = g.column("o_year").to_numpy()[om][order]
+        lm = ~om
+        lkey = g.column("l_orderkey").to_numpy()[lm]
+        pos = np.searchsorted(okeys_s, lkey)
+        posc = np.minimum(pos, okeys_s.size - 1)
+        hit = (pos < okeys_s.size) & (okeys_s[posc] == lkey)
+        if not hit.any():
+            return empty
+        yr = year_s[posc[hit]]
+        rev = g.column("rev").to_numpy()[lm][hit]
+        is_n = (g.column("s_nation").to_numpy()[lm][hit] == nkey)
+        u, inv = np.unique(yr, return_inverse=True)
+        return pa.table({
+            "o_year": pa.array(u, pa.int64()),
+            "num_p": pa.array(
+                np.bincount(inv, rev * is_n).astype(np.int64), pa.int64()),
+            "den_p": pa.array(np.bincount(inv, rev).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(orders_side, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(line_side, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(lambda g: bucket_body(g.drop_columns(["obucket"])),
+                    batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("num_p", alias_name="nation_rev_cbp"),
+                   Sum("den_p", alias_name="total_rev_cbp"))
+    )

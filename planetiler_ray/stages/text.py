@@ -1345,3 +1345,108 @@ def bigram_surprisal(ds, bigram_k: int = 512, unigram_k: int = 256,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(ds, vocab_k: int = 256, target_lang: str = "en",
+                 col: str = "text"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") reduced to the
+    oracle-expressible integer core: each document is scored by the
+    log-ratio of its unigram likelihood under the TARGET distribution
+    (docs with ``lang == target_lang``) vs the RAW corpus distribution,
+    in exact bits — ``sum over in-vocab tokens of
+    bitlen(count_target + 1) - bitlen(count_raw + 1)`` (add-one keeps the
+    bitlen defined when the target never saw a token; out-of-vocab tokens
+    contribute 0, mirroring DSIR's hashed-feature truncation).
+
+    Two passes, same scale shape as :func:`unigram_surprisal`:
+    1. ONE token-count shuffle carrying BOTH distributions (raw count and
+       target count per token as two partial columns) -> deterministic
+       top-``vocab_k`` vocabulary by raw count (count DESC, token ASC),
+       collected SMALL and broadcast;
+    2. per-doc vectorized scoring over hashed token lookups.
+    Output: doc_id, n_tokens, n_vocab, dsir_bits (positive = looks like
+    the target domain)."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_tokens
+    from ..functions.vhash import fnv64_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(col).to_pandas()
+        lang = batch.column("lang").to_pandas()
+        flat, lens = _flat_tokens(text)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "r_part": pa.array([], pa.int64()),
+                             "t_part": pa.array([], pa.int64())})
+        is_t = np.repeat((lang == target_lang).to_numpy(), lens)
+        tt = pa.table({"token": flat,
+                       "t": pa.array(is_t.astype(np.int64), pa.int64())})
+        g = tt.group_by("token").aggregate([("t", "count"), ("t", "sum")])
+        return pa.table({
+            "token": g.column("token"),
+            "r_part": g.column("t_count").cast(pa.int64()),
+            "t_part": g.column("t_sum").cast(pa.int64()),
+        })
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("r_n").to_numpy()
+        if len(n) > vocab_k:
+            tok = np.asarray(batch.column("token").to_pandas(), dtype=object)
+            thresh = np.partition(n, len(n) - vocab_k)[len(n) - vocab_k]
+            cand = np.flatnonzero(n >= thresh)
+            order = cand[np.lexsort((tok[cand], -n[cand]))][:vocab_k]
+            return batch.take(pa.array(order, pa.int64()))
+        return batch
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("r_part", alias_name="r_n"),
+                   Sum("t_part", alias_name="t_n"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["r_n", "token"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+
+    def _bitlen(a: np.ndarray) -> np.ndarray:
+        return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+    hraw = (fnv64_arrow(pa.array([r["token"] for r in rows], pa.string()))
+            if rows else np.empty(0, np.uint64))
+    vorder = np.argsort(hraw)
+    vh = hraw[vorder]
+    if rows:
+        rn = np.array([r["r_n"] for r in rows], np.int64)[vorder]
+        tn = np.array([r["t_n"] for r in rows], np.int64)[vorder]
+        vcost = _bitlen(tn + 1) - _bitlen(rn + 1)
+    else:
+        vcost = np.zeros(0, np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        if len(flat) and len(vh):
+            h = fnv64_arrow(flat)
+            idx_c = np.minimum(np.searchsorted(vh, h), len(vh) - 1)
+            found = vh[idx_c] == h
+            cost = np.where(found, vcost[np.where(found, idx_c, 0)], 0)
+            inv = found.astype(np.int64)
+            csum = np.concatenate([[0], np.cumsum(cost)])
+            isum = np.concatenate([[0], np.cumsum(inv)])
+            ends = starts + lens
+            bits = csum[ends] - csum[starts]
+            n_v = isum[ends] - isum[starts]
+        else:
+            bits = np.zeros(len(lens), np.int64)
+            n_v = np.zeros(len(lens), np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_vocab": pa.array(n_v, pa.int64()),
+            "dsir_bits": pa.array(bits, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
