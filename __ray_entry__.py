@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_data": training.q_late_data,
         "dsir_weights": training.q_dsir_weights,
         "gopher_rules": training.q_gopher_rules,
+        "ccnet_buckets": training.q_ccnet_buckets,
+        "bearing_octants": training.q_bearing_octants,
         "delta_dedup": training.q_delta_dedup,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
@@ -459,6 +461,12 @@ def _q_haversine_mileage(sf_dir: str):
     return osm.haversine_mileage(sf_dir)
 
 
+def _sql_bearing_octants() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_bearing_octants()
+
+
 def _sql_haversine_mileage() -> str:
     from planetiler_ray.pipelines import osm
 
@@ -653,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         "late_data": oracle.sql_late_data(),
         "dsir_weights": oracle.sql_dsir_weights(),
         "gopher_rules": oracle.sql_gopher_rules(),
+        "ccnet_buckets": oracle.sql_ccnet_buckets(),
+        "bearing_octants": _sql_bearing_octants(),
         "delta_dedup": oracle.sql_delta_dedup(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),

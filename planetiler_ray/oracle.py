@@ -4173,3 +4173,41 @@ JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation sn ON sn.n_nationkey = s.s_nationkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def sql_ccnet_buckets(vocab_k: int = 256) -> str:
+    """Mirror of ``training.q_ccnet_buckets`` — the sql_unigram_surprisal
+    scoring CTE, per-lang quantile_disc terciles (same 1/3, 2/3 doubles
+    as the engine), head/middle/tail census."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS nt FROM tok),
+vocab AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT {vocab_k}),
+scored AS (
+    SELECT t.doc_id,
+           length(bin((SELECT nt FROM tot)))
+             - length(bin(CAST(coalesce(v.n, 1) AS BIGINT))) AS cost
+    FROM tok t LEFT JOIN vocab v USING (token)
+),
+agg AS (SELECT doc_id, sum(cost) AS bits FROM scored GROUP BY doc_id),
+docs AS (
+    SELECT d.lang, CAST(coalesce(a.bits, 0) AS BIGINT) AS bits
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+th AS (
+    SELECT lang, quantile_disc(bits, 1.0/3) AS p33,
+           quantile_disc(bits, 2.0/3) AS p67
+    FROM docs GROUP BY lang
+)
+SELECT d.lang,
+       CASE WHEN d.bits <= t.p33 THEN 'head'
+            WHEN d.bits <= t.p67 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM docs d JOIN th t USING (lang)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

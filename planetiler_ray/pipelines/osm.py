@@ -1441,3 +1441,43 @@ SELECT admin_id, CAST(sum(area) AS BIGINT) AS overlap_mdeg2,
 FROM cells GROUP BY 1
 HAVING sum(area) > 0 OR count(*) FILTER (area > 0) > 0
 """
+
+
+def sql_bearing_octants() -> str:
+    """Twin of ``training.q_bearing_octants``: lag-window mdeg deltas with
+    the pure-integer octant classification (no trig anywhere)."""
+    return f"""
+WITH joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+deltas AS (
+    SELECT way_id,
+           lat_mdeg - lag(lat_mdeg) OVER w AS dlat,
+           lon_mdeg - lag(lon_mdeg) OVER w AS dlon,
+           lag(lat_mdeg) OVER w AS plat,
+           lag(lon_mdeg) OVER w AS plon
+    FROM joined
+    WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+),
+seg AS (
+    SELECT CAST(floor((plat / 1000.0 + 85.0005) / 34.0) AS BIGINT) * 5
+             + CAST(floor((plon / 1000.0 + 180.0005) / 72.0) AS BIGINT)
+             AS admin_id,
+           CASE WHEN abs(dlat) > 2 * abs(dlon)
+                  THEN CASE WHEN dlat > 0 THEN 'N' ELSE 'S' END
+                WHEN abs(dlon) > 2 * abs(dlat)
+                  THEN CASE WHEN dlon > 0 THEN 'E' ELSE 'W' END
+                WHEN dlat > 0
+                  THEN CASE WHEN dlon > 0 THEN 'NE' ELSE 'NW' END
+                ELSE CASE WHEN dlon > 0 THEN 'SE' ELSE 'SW' END
+           END AS octant
+    FROM deltas
+    WHERE plat IS NOT NULL AND (dlat <> 0 OR dlon <> 0)
+)
+SELECT admin_id, octant, CAST(count(*) AS BIGINT) AS n_segments
+FROM seg GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -4644,3 +4644,122 @@ def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
         .aggregate(Sum("num_p", alias_name="nation_rev_cbp"),
                    Sum("den_p", alias_name="total_rev_cbp"))
     )
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity buckets (Wenzek et al. 2020): per language, split
+    documents into head / middle / tail by unigram-LM surprisal terciles
+    — the signature curation step of the CCNet / RedPajama pipelines,
+    reduced to its integer-exact core (surprisal in exact bits, tercile
+    thresholds by the quantile_disc ceil convention).
+
+    Scale shape: the surprisal pass is :func:`stages.text.
+    unigram_surprisal` (one token-count shuffle + broadcast vocab); the
+    per-lang tercile thresholds come from the histogram-partial exact
+    quantile (state O(distinct bits values) per lang) and broadcast back;
+    the census is per-batch partials -> one tiny groupby-sum.  Output:
+    (lang, bucket, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import events as E
+    from ..stages.text import unigram_surprisal
+
+    scored = unigram_surprisal(
+        docs_ds(sf_dir, ["doc_id", "text", "lang"]), extra_cols=("lang",))
+    th = E.grouped_quantiles(scored, "lang", "bits",
+                             qs=(1.0 / 3, 2.0 / 3)).to_pandas()
+    lookup = {str(r["lang"]): (int(r["p33"]), int(r["p67"]))
+              for _, r in th.iterrows()}
+    handle = ray.put(lookup)
+    BUCKETS = np.array(["head", "middle", "tail"], dtype=object)
+
+    def census(batch: pa.Table) -> pa.Table:
+        lk = ray.get(handle)
+        lang = batch.column("lang").to_pandas()
+        bits = batch.column("bits").to_numpy()
+        p33 = lang.map(lambda s: lk[s][0]).to_numpy().astype(np.int64)
+        p67 = lang.map(lambda s: lk[s][1]).to_numpy().astype(np.int64)
+        code = np.where(bits <= p33, 0, np.where(bits <= p67, 1, 2))
+        key = pd.DataFrame({"lang": lang, "bucket": BUCKETS[code]})
+        out = key.groupby(["lang", "bucket"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(out["lang"]),
+            "bucket": pa.array(out["bucket"]),
+            "n_part": pa.array(out["size"].to_numpy().astype(np.int64),
+                               pa.int64()),
+        })
+
+    return (
+        scored.map_batches(census, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+
+def q_bearing_octants(sf_dir: str, n_buckets: int = 64):
+    """Road-orientation census (the street-grid-orientation analytic —
+    e.g. Boeing 2019 "Urban spatial order"): per admin zone, the 8-way
+    compass-octant histogram of way segments, classified by PURE INTEGER
+    comparisons on millidegree deltas (no trig — exactly SQL-mirrorable):
+
+    * |dlat| > 2|dlon|  -> N or S;   |dlon| > 2|dlat| -> E or W
+    * otherwise diagonal NE / SE / SW / NW by signs
+    * zero-length segments skipped.
+
+    Scale shape: the ONE bucketed way⋈node join shuffle (shared
+    ``join_way_nodes``), per-bucket lexsort + shifted-compare segment
+    deltas, (admin, octant) count partials, tiny final groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from .osm import join_way_nodes
+
+    OCT = np.array(["E", "N", "NE", "NW", "S", "SE", "SW", "W"],
+                   dtype=object)
+    # classification codes into the (alphabetically sorted) OCT above
+    E_, N_, NE_, NW_, S_, SE_, SW_, W_ = range(8)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "octant": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        wid = g.column("way_id").to_numpy()
+        seq = g.column("seq").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        lat = g.column("lat_mdeg").to_numpy()
+        lon = g.column("lon_mdeg").to_numpy()
+        order = np.lexsort((nid, seq, wid))
+        w, la, lo = wid[order], lat[order], lon[order]
+        same = w[1:] == w[:-1]
+        dlat = (la[1:] - la[:-1])[same]
+        dlon = (lo[1:] - lo[:-1])[same]
+        nz = (dlat != 0) | (dlon != 0)
+        dlat, dlon = dlat[nz], dlon[nz]
+        la1 = la[:-1][same][nz]
+        lo1 = lo[:-1][same][nz]
+        adx, ady = np.abs(dlon), np.abs(dlat)
+        code = np.where(
+            ady > 2 * adx, np.where(dlat > 0, N_, S_),
+            np.where(adx > 2 * ady, np.where(dlon > 0, E_, W_),
+                     np.where(dlat > 0, np.where(dlon > 0, NE_, NW_),
+                              np.where(dlon > 0, SE_, SW_))))
+        col = np.floor((lo1 / 1000.0 + 180.0005) / 72.0).astype(np.int64)
+        row = np.floor((la1 / 1000.0 + 85.0005) / 34.0).astype(np.int64)
+        admin = row * 5 + col
+        key = admin * 8 + code
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "admin_id": pa.array(u // 8, pa.int64()),
+            "octant": pa.array(OCT[u % 8].tolist(), pa.string()),
+            "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+        .groupby(["admin_id", "octant"])
+        .aggregate(Sum("n_part", alias_name="n_segments"))
+    )

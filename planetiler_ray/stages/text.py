@@ -1016,7 +1016,8 @@ def chunk_documents(ds, chunk_chars: int = 256, overlap: int = 64,
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
-def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text"):
+def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text",
+                      extra_cols: tuple = ()):
     """Unigram language-model quality scoring — the KenLM-perplexity-filter
     shape of CCNet/RefinedWeb (reference semantics: score each document by
     how surprising its tokens are under a corpus LM), reduced to its
@@ -1127,14 +1128,13 @@ def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text"):
         else:
             bits = np.zeros(len(lens), np.int64)
             n_oov = np.zeros(len(lens), np.int64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(lens, pa.int64()),
-                "n_oov": pa.array(n_oov, pa.int64()),
-                "bits": pa.array(bits, pa.int64()),
-            }
-        )
+        cols = {"doc_id": batch.column("doc_id")}
+        for c in extra_cols:  # passthrough (e.g. lang for ccnet_buckets)
+            cols[c] = batch.column(c)
+        cols["n_tokens"] = pa.array(lens, pa.int64())
+        cols["n_oov"] = pa.array(n_oov, pa.int64())
+        cols["bits"] = pa.array(bits, pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
