@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": training.q_gopher_rules,
         "ccnet_buckets": training.q_ccnet_buckets,
         "bearing_octants": training.q_bearing_octants,
+        "tile_compact": training.q_tile_compact,
         "delta_dedup": training.q_delta_dedup,
         "funnel": training.q_funnel,
         "window_ohlc": training.q_window_ohlc,
@@ -663,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": oracle.sql_gopher_rules(),
         "ccnet_buckets": oracle.sql_ccnet_buckets(),
         "bearing_octants": _sql_bearing_octants(),
+        "tile_compact": oracle.sql_tile_compact(),
         "delta_dedup": oracle.sql_delta_dedup(),
         "funnel": oracle.sql_funnel(),
         "window_ohlc": oracle.sql_window_ohlc(),

@@ -4211,3 +4211,35 @@ SELECT d.lang,
 FROM docs d JOIN th t USING (lang)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def sql_tile_compact(z: int = 4) -> str:
+    """Mirror of ``training.q_tile_compact`` — unrolled per-level
+    complete-sibling rollup (a parent is full iff its 4 children are
+    full), output = full cells whose parent is not full."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    lvl_ctes = []
+    prev = "occ"
+    for lvl in range(z - 1, -1, -1):
+        lvl_ctes.append(
+            f"f{lvl} AS (SELECT x // 2 AS x, y // 2 AS y FROM {'occ' if lvl == z - 1 else f'f{lvl + 1}'} "
+            f"GROUP BY 1, 2 HAVING count(*) = 4)")
+        prev = f"f{lvl}"
+    sels = [
+        f"SELECT {z} AS z, x AS tile_x, y AS tile_y FROM occ "
+        f"WHERE (x // 2, y // 2) NOT IN (SELECT (x, y) FROM f{z - 1})"
+    ]
+    for lvl in range(z - 1, 0, -1):
+        sels.append(
+            f"SELECT {lvl}, x, y FROM f{lvl} "
+            f"WHERE (x // 2, y // 2) NOT IN (SELECT (x, y) FROM f{lvl - 1})")
+    sels.append("SELECT 0, x, y FROM f0")
+    ctes = ",\n".join(lvl_ctes)
+    body = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH {POINTS_CTE},
+occ AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM points p),
+{ctes}
+{body}
+ORDER BY 1, 2, 3
+"""

@@ -4763,3 +4763,57 @@ def q_bearing_octants(sf_dir: str, n_buckets: int = 64):
         .groupby(["admin_id", "octant"])
         .aggregate(Sum("n_part", alias_name="n_segments"))
     )
+
+
+def q_tile_compact(sf_dir: str, z: int = 4, n_buckets: int = 64):
+    """Hierarchical tile-cover compaction (the H3 ``compact`` operation on
+    the quadtree, and the shape behind archive redundant-tile elimination
+    / PMTiles run collapsing): given the occupied zoom-``z`` tiles of the
+    mention raster, replace every complete 4-sibling group by its parent,
+    recursively — output the minimal multi-zoom cell cover (z, x, y).
+
+    Scale shape: the ONLY data-scale stage is the distinct-occupied-tile
+    aggregate (per-batch distinct partials -> one bucketed count merge);
+    the compaction itself runs on the post-aggregate set, which is
+    bounded by the GRID (4^z cells), not the corpus — the
+    same bounded-driver-closure argument as ``super_relations``.  For
+    z14-deep covers the per-level rollup distributes as log2(n) tiny
+    groupbys (each level 4x smaller); the driver path is the measured
+    sweet spot at query zooms."""
+    from ..stages.bucketagg import bucketed_sum
+    from ..stages.tiling import assign_tiles
+    from .webgeo import mentions_ds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = assign_tiles(batch.select(["lat", "lon"]), zooms=[z])
+        x = t.column("tile_x").to_numpy().astype(np.int64)
+        y = t.column("tile_y").to_numpy().astype(np.int64)
+        key = x << 28 | y
+        u = np.unique(key)
+        return pa.table({
+            "tile_x": pa.array(u >> 28, pa.int64()),
+            "tile_y": pa.array(u & ((1 << 28) - 1), pa.int64()),
+            "one": pa.array(np.ones(len(u), np.int64), pa.int64()),
+        })
+
+    occ = bucketed_sum(
+        mentions_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], [("one", "n")], n_buckets=n_buckets,
+    ).to_pandas()  # post-aggregation: bounded by 4^z cells
+
+    # bottom-up compaction over the bounded cover
+    full = {z: set(zip(occ["tile_x"].astype(int), occ["tile_y"].astype(int)))}
+    for lvl in range(z, 0, -1):
+        parents: dict[tuple[int, int], int] = {}
+        for (x, y) in full[lvl]:
+            p = (x // 2, y // 2)
+            parents[p] = parents.get(p, 0) + 1
+        full[lvl - 1] = {p for p, c in parents.items() if c == 4}
+    rows = []
+    for lvl in range(0, z + 1):
+        for (x, y) in full[lvl]:
+            if lvl == 0 or (x // 2, y // 2) not in full[lvl - 1]:
+                rows.append((lvl, x, y))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["z", "tile_x", "tile_y"]).astype(
+        np.int64)
