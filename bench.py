@@ -123,6 +123,16 @@ def run_bench() -> dict:
     ).haversine_mileage(SF_DIR).count())
     timed("tile_invalidate",
           lambda: training.q_tile_invalidate(SF_DIR).count())
+    # round-4 additions
+    timed("tile_diff", lambda: training.q_tile_diff(SF_DIR).count())
+    timed("ccnet_buckets", lambda: training.q_ccnet_buckets(SF_DIR).count())
+    timed("dsir_weights", lambda: training.q_dsir_weights(SF_DIR).count())
+    timed("gopher_rules", lambda: training.q_gopher_rules(SF_DIR).count())
+    timed("late_data", lambda: training.q_late_data(SF_DIR).count())
+    timed("tpch_q13", lambda: training.q_tpch_q13(SF_DIR).count())
+    timed("tpch_q17", lambda: training.q_tpch_q17(SF_DIR).count())
+    timed("bearing_octants",
+          lambda: training.q_bearing_octants(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",
