@@ -211,6 +211,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": training.q_tpch_q15,
         "tpch_q17": training.q_tpch_q17,
         "tpch_q8": training.q_tpch_q8,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
         "left_join_audit": training.q_left_join_audit,
         "anti_join": training.q_anti_join,
         "distinct_langs": training.q_distinct_langs,
@@ -248,6 +253,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tiles": _q_top_tiles,
         "layer_zoom_stats": _q_layer_zoom_stats,
     }
+
+
+def _q_tpch_q2(sf_dir: str):
+    from planetiler_ray.pipelines import partsupp
+
+    return partsupp.q_tpch_q2(sf_dir)
+
+
+def _q_tpch_q9(sf_dir: str):
+    from planetiler_ray.pipelines import partsupp
+
+    return partsupp.q_tpch_q9(sf_dir)
+
+
+def _q_tpch_q11(sf_dir: str):
+    from planetiler_ray.pipelines import partsupp
+
+    return partsupp.q_tpch_q11(sf_dir)
+
+
+def _q_tpch_q16(sf_dir: str):
+    from planetiler_ray.pipelines import partsupp
+
+    return partsupp.q_tpch_q16(sf_dir)
+
+
+def _q_tpch_q20(sf_dir: str):
+    from planetiler_ray.pipelines import partsupp
+
+    return partsupp.q_tpch_q20(sf_dir)
 
 
 def _q_chaikin_smooth(sf_dir: str):
@@ -648,6 +683,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": oracle.sql_tpch_q15(),
         "tpch_q17": oracle.sql_tpch_q17(),
         "tpch_q8": oracle.sql_tpch_q8(),
+        "tpch_q2": oracle.sql_tpch_q2(),
+        "tpch_q9": oracle.sql_tpch_q9(),
+        "tpch_q11": oracle.sql_tpch_q11(),
+        "tpch_q16": oracle.sql_tpch_q16(),
+        "tpch_q20": oracle.sql_tpch_q20(),
         "edit_distance": oracle.sql_edit_distance(),
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),

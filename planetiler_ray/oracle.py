@@ -4243,3 +4243,154 @@ occ AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM points p),
 {body}
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp (TPC-H Q2/Q9/Q11/Q16/Q20) — the sf dirs carry no
+# partsupp.parquet, so it is a deterministic integer function of part x
+# supplier (pipelines/partsupp.py holds the engine-side closed forms):
+# 4 suppliers per part by the 0-based dbgen quarter-stride rule, availqty
+# and supplycost as modular hashes of (partkey, suppkey).
+PARTSUPP_CTE = """
+sup AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+ps0 AS (
+    SELECT CAST(p.p_partkey AS BIGINT) AS ps_partkey,
+           (CAST(p.p_partkey AS BIGINT)
+            + (CAST(p.p_partkey AS BIGINT) // sup.s)
+              % greatest(sup.s // 4, 1)
+            + g.i * greatest(sup.s // 4, 1)) % sup.s AS ps_suppkey
+    FROM part p
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g
+    CROSS JOIN sup
+),
+partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 523 + ps_suppkey * 101) % 99900 + 100
+               AS ps_supplycost_c
+    FROM ps0
+)"""
+
+
+def sql_tpch_q2(region: str = "ASIA", max_size: int = 25,
+                ptype: str = "SMALL") -> str:
+    """Mirror of ``partsupp.q_tpch_q2`` — correlated min-cost supplier
+    over the derived partsupp, ties kept."""
+    return f"""
+WITH {PARTSUPP_CTE}
+SELECT s.s_acctbal, s.s_name, n.n_name,
+       CAST(p.p_partkey AS BIGINT) AS p_partkey,
+       CAST(ps.ps_supplycost_c AS BIGINT) AS ps_supplycost_c
+FROM part p
+JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{region}'
+WHERE p.p_size <= {max_size} AND p.p_type = '{ptype}'
+  AND ps.ps_supplycost_c = (
+      SELECT min(ps2.ps_supplycost_c)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+           AND r2.r_name = '{region}'
+      WHERE ps2.ps_partkey = p.p_partkey)
+"""
+
+
+def sql_tpch_q9(name_like: str = "red") -> str:
+    """Mirror of ``partsupp.q_tpch_q9`` — profit by (supplier nation,
+    order year) in exact integer cents x (100 - disc_pct) minus
+    supplycost_c x qty x 100."""
+    return f"""
+WITH {PARTSUPP_CTE}
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - ps.ps_supplycost_c
+                  * CAST(round(l.l_quantity) AS BIGINT) * 100)
+            AS BIGINT) AS profit_cbp
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{name_like}%'
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+     AND ps.ps_suppkey = l.l_suppkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def sql_tpch_q11(frac_div: int = 2000) -> str:
+    """Mirror of ``partsupp.q_tpch_q11`` — per-part stock value over the
+    modal supplier nation (most suppliers, ties to smallest nationkey),
+    HAVING value > total // frac_div (exact integer threshold)."""
+    return f"""
+WITH {PARTSUPP_CTE},
+modal AS (
+    SELECT s_nationkey AS nk FROM supplier
+    GROUP BY 1 ORDER BY count(*) DESC, s_nationkey LIMIT 1
+),
+natps AS (
+    SELECT ps.ps_partkey,
+           CAST(ps.ps_supplycost_c * ps.ps_availqty AS BIGINT) AS v
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN modal m ON m.nk = s.s_nationkey
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM natps)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+FROM natps
+GROUP BY 1
+HAVING sum(v) > (SELECT t // {frac_div} FROM tot)
+"""
+
+
+def sql_tpch_q16(excl_brand: str = "Brand#13", excl_type: str = "ECONOMY",
+                 sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22)) -> str:
+    """Mirror of ``partsupp.q_tpch_q16`` — distinct-supplier census by
+    (brand, type, size); negative acctbal stands in for the spec's
+    complaint-comment scan."""
+    in_list = ", ".join(str(s) for s in sizes)
+    return f"""
+WITH {PARTSUPP_CTE}
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> '{excl_brand}' AND p.p_type <> '{excl_type}'
+  AND p.p_size IN ({in_list})
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def sql_tpch_q20(name_prefix: str = "red ",
+                 nation_name: str = "NATION_3") -> str:
+    """Mirror of ``partsupp.q_tpch_q20`` — suppliers of one nation whose
+    availqty exceeds half the 1996 shipped quantity of prefix-matched
+    parts (2*availqty > qty_sum, exact integers; pairs with no 1996
+    shipments drop out via the inner join, like the spec's NULL
+    comparison)."""
+    return f"""
+WITH {PARTSUPP_CTE},
+shipped AS (
+    SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty_sum
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+         AND p.p_name LIKE '{name_prefix}%'
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+)
+SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+FROM partsupp ps
+JOIN shipped sh ON sh.pk = ps.ps_partkey AND sh.sk = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+     AND n.n_name = '{nation_name}'
+WHERE 2 * ps.ps_availqty > sh.qty_sum
+"""
