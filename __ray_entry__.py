@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": training.q_tpch_q15,
         "tpch_q17": training.q_tpch_q17,
         "tpch_q8": training.q_tpch_q8,
+        "kmeans_lloyd": training.q_kmeans_lloyd,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -683,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": oracle.sql_tpch_q15(),
         "tpch_q17": oracle.sql_tpch_q17(),
         "tpch_q8": oracle.sql_tpch_q8(),
+        "kmeans_lloyd": oracle.sql_kmeans_lloyd(),
         "tpch_q2": oracle.sql_tpch_q2(),
         "tpch_q9": oracle.sql_tpch_q9(),
         "tpch_q11": oracle.sql_tpch_q11(),

@@ -4394,3 +4394,53 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
      AND n.n_name = '{nation_name}'
 WHERE 2 * ps.ps_availqty > sh.qty_sum
 """
+
+
+def sql_kmeans_lloyd(k: int = 8, iters: int = 2) -> str:
+    """Mirror of ``training.q_kmeans_lloyd`` — the Lloyd loop unrolled as
+    a CTE chain over exploded (vec_id, dim, qv) fixed-point rows: per
+    iteration an assignment (min integer d2, ties to smallest cluster)
+    and a centroid update (``sum // count`` — DuckDB truncating integer
+    division, matched by the engine's adjusted numpy floordiv); the final
+    SELECT is the per-vector assignment under the last centroids."""
+    parts = ["""
+qvec AS (
+    SELECT vec_id,
+           unnest(generate_series(1, len(embedding))) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384.0)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+cent0 AS (SELECT CAST(vec_id AS BIGINT) AS c, dim, qv
+          FROM qvec WHERE vec_id < %d)""" % k]
+    for i in range(iters):
+        parts.append(f"""
+d{i} AS (
+    SELECT v.vec_id, c.c,
+           CAST(sum((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS d2
+    FROM qvec v JOIN cent{i} c USING (dim) GROUP BY 1, 2
+),
+a{i} AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM d{i}) WHERE rn = 1
+),
+cent{i + 1} AS (
+    SELECT a.c, v.dim,
+           CAST(CAST(sum(v.qv) AS BIGINT) // count(*) AS BIGINT) AS qv
+    FROM a{i} a JOIN qvec v USING (vec_id) GROUP BY 1, 2
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
+    SELECT vec_id, c, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM (
+        SELECT v.vec_id, c.c,
+               CAST(sum((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS d2
+        FROM qvec v JOIN cent{iters} c USING (dim)
+        GROUP BY 1, 2))
+WHERE rn = 1
+"""

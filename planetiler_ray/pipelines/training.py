@@ -2392,6 +2392,99 @@ def q_stratified_sample(sf_dir: str, k: int = 20):
     ).select_columns(["event_id", "event_type", "hv"])
 
 
+def q_kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 2):
+    """Distributed Lloyd k-means — the ITERATIVE-algorithm demonstrator,
+    in exact fixed-point integers so even the per-vector output of a
+    2-iteration run has a bitwise DuckDB twin.
+
+    Semantics: centroids init to the k lowest-vec_id embeddings
+    (quantized floor(x * 2^14) like :func:`q_cluster_assign`); each
+    iteration assigns every vector to the argmin integer squared-L2
+    centroid (ties -> smallest cluster id) and recomputes centroids as
+    TRUNCATING integer division sum//n (DuckDB ``//`` parity; numpy's
+    floor division is adjusted for negative sums); empty clusters drop,
+    mirroring the SQL GROUP BY.  Output: final per-vector
+    (vec_id, cluster, dist2).
+
+    Scale plan: each Lloyd iteration is ONE streaming pass — centroids
+    (k x d int64) are a tiny closure broadcast; each batch emits at most
+    k x d (cluster, dim, sum, n) partial rows regardless of batch size;
+    a k*d-row groupby-sum comes back to the driver (bounded small).  The
+    input is RE-SCANNED per iteration rather than cached — at 100 TB a
+    re-read beats pinning the corpus in the object store, and the partial
+    rows are the only shuffle traffic."""
+    from ray.data.aggregate import Sum
+
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cids = cent_tbl.column("vec_id").to_numpy().astype(np.int64)
+    cq = ann.quantize_embedding(
+        np.stack(cent_tbl.column("embedding").to_numpy(zero_copy_only=False)))
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        return ann.quantize_embedding(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+
+    def _assign(q: np.ndarray, ids: np.ndarray, cent: np.ndarray):
+        d2 = ((q * q).sum(axis=1, keepdims=True) - 2 * (q @ cent.T)
+              + (cent * cent).sum(axis=1)[None, :])
+        pos = d2.argmin(axis=1)  # first occurrence = smallest cluster id
+        return ids[pos], d2[np.arange(len(pos)), pos]
+
+    for _ in range(iters):
+        ids_it, cq_it = cids, cq
+
+        def partial(batch: pa.Table, ids=ids_it, cent=cq_it) -> pa.Table:
+            q = _quant(batch)
+            cl, _ = _assign(q, ids, cent)
+            d = q.shape[1]
+            u, inv = np.unique(cl, return_inverse=True)
+            sums = np.zeros((len(u), d), np.int64)
+            np.add.at(sums, inv, q)  # scatter over <= k rows — cheap
+            cnt = np.bincount(inv).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(u, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                        len(u)), pa.int64()),
+                "s_part": pa.array(sums.reshape(-1), pa.int64()),
+                "n_part": pa.array(np.repeat(cnt, d), pa.int64()),
+            })
+
+        rows = (read().map_batches(partial, batch_format="pyarrow")
+                .groupby(["cluster", "dim"])
+                .aggregate(Sum("s_part", alias_name="s"),
+                           Sum("n_part", alias_name="n"))
+                .to_pandas())  # bounded: <= k x d rows
+        rows = rows.sort_values(["cluster", "dim"], ignore_index=True)
+        d = int(rows["dim"].max())
+        cids = rows["cluster"].to_numpy()[::d].astype(np.int64)
+        s = rows["s"].to_numpy().astype(np.int64).reshape(-1, d)
+        n = rows["n"].to_numpy().astype(np.int64).reshape(-1, d)
+        q_ = s // n  # floor; adjust to DuckDB's truncation for negatives
+        r = s - q_ * n
+        cq = q_ + ((r != 0) & (s < 0)).astype(np.int64)
+
+    ids_f, cq_f = cids, cq
+
+    def final(batch: pa.Table) -> pa.Table:
+        q = _quant(batch)
+        cl, d2 = _assign(q, ids_f, cq_f)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(cl, pa.int64()),
+            "dist2": pa.array(d2, pa.int64()),
+        })
+
+    return read().map_batches(final, batch_format="pyarrow")
+
+
 def q_cluster_assign(sf_dir: str, k: int = 8):
     """Exact nearest-centroid assignment (Lloyd map step / IVF routing) in
     fixed-point integers: centroids are the k lowest-vec_id embeddings
