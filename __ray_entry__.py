@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": webgeo.q_tile_counts,
         "tile_counts_buffered": webgeo.q_tile_counts_buffered,
         "labelgrid_counts": webgeo.q_labelgrid_counts,
+        "tile_size_budget": webgeo.q_tile_size_budget,
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
@@ -596,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": oracle.sql_tile_counts(),
         "tile_counts_buffered": oracle.sql_tile_counts_buffered(),
         "labelgrid_counts": oracle.sql_labelgrid_counts(),
+        "tile_size_budget": oracle.sql_tile_size_budget(),
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),

@@ -133,6 +133,15 @@ def run_bench() -> dict:
     timed("tpch_q17", lambda: training.q_tpch_q17(SF_DIR).count())
     timed("bearing_octants",
           lambda: training.q_bearing_octants(SF_DIR).count())
+    # round-4 continuation: derived-partsupp TPC-H family + iterative Lloyd
+    from planetiler_ray.pipelines import partsupp
+
+    timed("tpch_q2", lambda: partsupp.q_tpch_q2(SF_DIR).count())
+    timed("tpch_q9", lambda: partsupp.q_tpch_q9(SF_DIR).count())
+    timed("tpch_q11", lambda: partsupp.q_tpch_q11(SF_DIR).count())
+    timed("tpch_q16", lambda: partsupp.q_tpch_q16(SF_DIR).count())
+    timed("tpch_q20", lambda: partsupp.q_tpch_q20(SF_DIR).count())
+    timed("kmeans_lloyd", lambda: training.q_kmeans_lloyd(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",

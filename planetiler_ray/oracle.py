@@ -4444,3 +4444,34 @@ SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
         GROUP BY 1, 2))
 WHERE rn = 1
 """
+
+
+def sql_tile_size_budget(zooms=(4, 8), budget: int = 2048) -> str:
+    """Mirror of ``webgeo.q_tile_size_budget`` — the per-tile budget
+    prefix as a windowed cumulative sum over the same deterministic cost
+    and priority, with the (prio, doc, mention) total order."""
+    tx, ty = sql_tile_expr("p.lat", "p.lon", "z.z")
+    zl = ", ".join(str(z) for z in zooms)
+    return f"""
+WITH {POINTS_CTE},
+feats AS (
+    SELECT z.z AS z, {tx} AS tile_x, {ty} AS tile_y,
+           p.doc_id, p.mention_idx,
+           16 + p.doc_id % 64 AS cost,
+           (p.doc_id * 31 + p.mention_idx * 7) % 1024 AS prio
+    FROM points p CROSS JOIN (SELECT UNNEST([{zl}]) AS z) z
+),
+ranked AS (
+    SELECT z, tile_x, tile_y, cost,
+           sum(cost) OVER (PARTITION BY z, tile_x, tile_y
+                           ORDER BY prio, doc_id, mention_idx
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM feats
+)
+SELECT z, tile_x, tile_y,
+       CAST(count(*) FILTER (WHERE cum <= {budget}) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE cum > {budget}) AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(cost) FILTER (WHERE cum <= {budget}), 0)
+            AS BIGINT) AS bytes_kept
+FROM ranked GROUP BY 1, 2, 3
+"""

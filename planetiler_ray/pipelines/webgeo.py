@@ -1862,3 +1862,101 @@ def q_convex_hull(sf_dir: str, n_zones: int = 8):
         .groupby("zone")
         .map_groups(final_hull, batch_format="pyarrow")
     )
+
+
+def q_tile_size_budget(sf_dir: str, zooms=(4, 8), budget: int = 2048
+                       ) -> ray.data.Dataset:
+    """Per-tile byte-budget enforcement — the reference's max-tile-bytes
+    discipline (``util/TileSizeStats.java`` per-tile/per-layer byte
+    census; ``archive/TileArchiveWriter.java`` big-tile accounting) as a
+    first-class operator: every feature carries a deterministic encoded
+    cost (``16 + doc_id % 64`` bytes stands in for its MVT wire size —
+    SQL-expressible so the cut is exact-oracle checkable), features rank
+    within their tile by a deterministic priority (then doc, mention for
+    total order), and the tile keeps the maximal PREFIX whose cumulative
+    cost fits the budget.  Output per (z, tile): kept/dropped feature
+    counts and kept bytes.
+
+    Scale shape: this is an order-dependent per-tile prefix, so raw
+    feature rows must co-locate — ONE hash-bucket exchange on the tile
+    key (the flagship's own shuffle discipline; volume = the feature
+    stream, same as any real archive write).  The bucket body is fully
+    vectorized: one lexsort over (tile, priority, doc, mention), a
+    segment-offset cumulative sum (global cumsum minus its value at each
+    tile's start), a <= budget mask, and reduceat censuses."""
+    from ..stages.tiling import assign_tiles
+
+    N_BUCKETS = 64
+
+    def feats(batch: pa.Table) -> pa.Table:
+        t = assign_tiles(batch, zooms=list(zooms))
+        doc = t.column("doc_id").to_numpy()
+        mid = t.column("mention_idx").to_numpy()
+        cost = 16 + doc % 64
+        prio = (doc * 31 + mid * 7) % 1024
+        z = t.column("z").to_numpy()
+        tx = t.column("tile_x").to_numpy()
+        ty = t.column("tile_y").to_numpy()
+        return pa.table({
+            "z": pa.array(z, pa.int64()),
+            "tile_x": pa.array(tx, pa.int64()),
+            "tile_y": pa.array(ty, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "mention_idx": pa.array(mid, pa.int64()),
+            "cost": pa.array(cost, pa.int64()),
+            "prio": pa.array(prio, pa.int64()),
+            "tbucket": pa.array(
+                ((z * 1_000_003 + tx * 7919 + ty) % N_BUCKETS + N_BUCKETS)
+                % N_BUCKETS, pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "z": pa.array([], pa.int64()),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+            "bytes_kept": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        z = g.column("z").to_numpy()
+        tx = g.column("tile_x").to_numpy()
+        ty = g.column("tile_y").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        mid = g.column("mention_idx").to_numpy()
+        cost = g.column("cost").to_numpy()
+        prio = g.column("prio").to_numpy()
+        order = np.lexsort((mid, doc, prio, ty, tx, z))
+        z, tx, ty = z[order], tx[order], ty[order]
+        cost = cost[order]
+        n = len(order)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = (z[1:] != z[:-1]) | (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.flatnonzero(new)
+        cs = np.cumsum(cost)
+        base = (cs[starts] - cost[starts])  # cumsum just before each tile
+        lens = np.diff(np.append(starts, n))
+        cum = cs - np.repeat(base, lens)
+        keep = cum <= budget
+        kept = np.add.reduceat(keep.astype(np.int64), starts)
+        total = lens.astype(np.int64)
+        bkept = np.add.reduceat(np.where(keep, cost, 0), starts)
+        return pa.table({
+            "z": pa.array(z[starts], pa.int64()),
+            "tile_x": pa.array(tx[starts], pa.int64()),
+            "tile_y": pa.array(ty[starts], pa.int64()),
+            "n_kept": pa.array(kept, pa.int64()),
+            "n_dropped": pa.array(total - kept, pa.int64()),
+            "bytes_kept": pa.array(bkept, pa.int64()),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(feats, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["tbucket"])),
+                    batch_format="pyarrow")
+    )
