@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_buffered": webgeo.q_tile_counts_buffered,
         "labelgrid_counts": webgeo.q_labelgrid_counts,
         "tile_size_budget": webgeo.q_tile_size_budget,
+        "shard_plan": webgeo.q_shard_plan,
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
         "zonal_stats": webgeo.q_zonal_stats,
@@ -598,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_buffered": oracle.sql_tile_counts_buffered(),
         "labelgrid_counts": oracle.sql_labelgrid_counts(),
         "tile_size_budget": oracle.sql_tile_size_budget(),
+        "shard_plan": oracle.sql_shard_plan(),
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
         "zonal_stats": oracle.sql_zonal_stats(),

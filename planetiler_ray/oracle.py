@@ -4475,3 +4475,37 @@ SELECT z, tile_x, tile_y,
             AS BIGINT) AS bytes_kept
 FROM ranked GROUP BY 1, 2, 3
 """
+
+
+def sql_shard_plan(zooms=(2, 6), n_shards: int = 8) -> str:
+    """Mirror of ``webgeo.q_shard_plan`` — the balanced contiguous-range
+    shard assignment as a plain windowed prefix sum over the
+    (z, x, y)-lexicographic tile key."""
+    zmax = max(zooms)
+    tx, ty = sql_tile_expr("p.lat", "p.lon", "z.z")
+    zl = ", ".join(str(z) for z in zooms)
+    return f"""
+WITH {POINTS_CTE},
+feats AS (
+    SELECT (CAST(z.z AS BIGINT) << {2 * zmax}) + ({tx} << {zmax}) + {ty}
+               AS key,
+           16 + p.doc_id % 64 AS cost
+    FROM points p CROSS JOIN (SELECT UNNEST([{zl}]) AS z) z
+),
+tiles AS (SELECT key, CAST(sum(cost) AS BIGINT) AS bytes
+          FROM feats GROUP BY 1),
+cum AS (
+    SELECT key, bytes,
+           CAST(sum(bytes) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cume
+    FROM tiles
+),
+tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS t FROM tiles)
+SELECT CAST(((cume - bytes) * {n_shards}) // t AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(min(key) AS BIGINT) AS key_min,
+       CAST(max(key) AS BIGINT) AS key_max
+FROM cum, tot
+GROUP BY 1
+"""

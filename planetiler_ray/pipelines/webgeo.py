@@ -1960,3 +1960,133 @@ def q_tile_size_budget(sf_dir: str, zooms=(4, 8), budget: int = 2048
         .map_groups(lambda g: per_bucket(g.drop_columns(["tbucket"])),
                     batch_format="pyarrow")
     )
+
+
+def q_shard_plan(sf_dir: str, zooms=(2, 6), n_shards: int = 8,
+                 n_ranges: int = 32) -> ray.data.Dataset:
+    """Balanced archive-shard planning — assign every tile to one of
+    ``n_shards`` output shards so that shards carry ~equal BYTES and each
+    shard is a CONTIGUOUS tile-key range (what the reference's writer
+    needs to split a planet archive across workers while keeping the
+    tile-id-clustered layout: ``archive/TileArchiveWriter.java`` write
+    order, PMTiles clustering).  shard(tile) = floor(bytes_before *
+    n_shards / total_bytes) over the (z, tile_x, tile_y)-lexicographic
+    order.
+
+    Scale shape — a GLOBAL ordered prefix sum with NO global sort (the
+    ExternalMergeSort-avoidance story, same discipline as url_lcp's
+    bucketed contiguity): the tile keyspace splits into ``n_ranges``
+    CONTIGUOUS key ranges by pure arithmetic (key // div — no sampling
+    pass needed because the key domain is closed-form);
+    pass A streams the feature scan into per-batch (range, bytes)
+    partials -> an n_ranges-row groupby -> driver-side exclusive prefix
+    -> broadcast offsets (tiny);
+    pass B streams the same scan into ONE range-bucket exchange of
+    per-batch per-tile partials, and each range body does a lexsort +
+    reduceat per-tile sum, a local cumsum PLUS the broadcast offset
+    (exact global prefix), the shard assignment, and a per-shard census
+    partial (shards are non-decreasing in key order, so the census is a
+    run-boundary reduceat).  A final <= n_shards x n_ranges row
+    groupby finishes.  Output: (shard, n_tiles, bytes, key_min, key_max).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.tiling import assign_tiles
+
+    zmax = max(zooms)
+    keyspan = (zmax + 1) << (2 * zmax)
+    div = -(-keyspan // n_ranges)  # ceil — contiguous, order-preserving
+
+    def feat_keys(batch: pa.Table):
+        t = assign_tiles(batch, zooms=list(zooms))
+        doc = t.column("doc_id").to_numpy()
+        cost = 16 + doc % 64
+        z = t.column("z").to_numpy()
+        tx = t.column("tile_x").to_numpy()
+        ty = t.column("tile_y").to_numpy()
+        key = (z << (2 * zmax)) + (tx << zmax) + ty
+        return key, cost
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        key, cost = feat_keys(batch)
+        rb = key // div
+        u, inv = np.unique(rb, return_inverse=True)
+        return pa.table({
+            "rb": pa.array(u, pa.int64()),
+            "b_part": pa.array(np.bincount(inv, cost).astype(np.int64),
+                               pa.int64()),
+        })
+
+    totals = (
+        mentions_ds(sf_dir)
+        .map_batches(range_partial, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("b_part", alias_name="bytes"))
+        .to_pandas()  # bounded: <= n_ranges rows
+        .sort_values("rb", ignore_index=True)
+    )
+    per_rb = np.zeros(n_ranges, np.int64)
+    per_rb[totals["rb"].to_numpy()] = totals["bytes"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per_rb)[:-1]])
+    total = int(per_rb.sum())
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        key, cost = feat_keys(batch)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "b_part": pa.array(np.bincount(inv, cost).astype(np.int64),
+                               pa.int64()),
+            "rb": pa.array(u // div, pa.int64()),
+        })
+
+    def per_range(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "shard": pa.array([], pa.int64()),
+            "n_tiles_p": pa.array([], pa.int64()),
+            "bytes_p": pa.array([], pa.int64()),
+            "kmin_p": pa.array([], pa.int64()),
+            "kmax_p": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        key = g.column("key").to_numpy()
+        bp = g.column("b_part").to_numpy()
+        rb = int(key[0] // div)
+        order = np.argsort(key, kind="stable")
+        k_s, b_s = key[order], bp[order]
+        new = np.zeros(len(k_s), dtype=bool)
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        tk = k_s[starts]
+        tb = np.add.reduceat(b_s, starts)
+        cum_before = int(offsets[rb]) + np.concatenate(
+            [[0], np.cumsum(tb)[:-1]])
+        shard = (cum_before * n_shards) // total
+        # shards non-decreasing in key order -> run-boundary census
+        snew = np.zeros(len(tk), dtype=bool)
+        snew[0] = True
+        snew[1:] = shard[1:] != shard[:-1]
+        ss = np.flatnonzero(snew)
+        se = np.append(ss[1:], len(tk))
+        return pa.table({
+            "shard": pa.array(shard[ss], pa.int64()),
+            "n_tiles_p": pa.array((se - ss).astype(np.int64), pa.int64()),
+            "bytes_p": pa.array(np.add.reduceat(tb, ss), pa.int64()),
+            "kmin_p": pa.array(tk[ss], pa.int64()),
+            "kmax_p": pa.array(tk[se - 1], pa.int64()),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(tile_partial, batch_format="pyarrow")
+        .groupby("rb")
+        .map_groups(lambda g: per_range(g.drop_columns(["rb"])),
+                    batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_tiles_p", alias_name="n_tiles"),
+                   Sum("bytes_p", alias_name="bytes"),
+                   Min("kmin_p", alias_name="key_min"),
+                   Max("kmax_p", alias_name="key_max"))
+    )
