@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": training.q_tpch_q17,
         "tpch_q8": training.q_tpch_q8,
         "kmeans_lloyd": training.q_kmeans_lloyd,
+        "semdedup": training.q_semdedup,
         "tpch_q2": _q_tpch_q2,
         "tpch_q9": _q_tpch_q9,
         "tpch_q11": _q_tpch_q11,
@@ -689,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17": oracle.sql_tpch_q17(),
         "tpch_q8": oracle.sql_tpch_q8(),
         "kmeans_lloyd": oracle.sql_kmeans_lloyd(),
+        "semdedup": oracle.sql_semdedup(),
         "tpch_q2": oracle.sql_tpch_q2(),
         "tpch_q9": oracle.sql_tpch_q9(),
         "tpch_q11": oracle.sql_tpch_q11(),

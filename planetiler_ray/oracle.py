@@ -4509,3 +4509,61 @@ SELECT CAST(((cume - bytes) * {n_shards}) // t AS BIGINT) AS shard,
 FROM cum, tot
 GROUP BY 1
 """
+
+
+def sql_semdedup(k: int = 16, dim: int = 64) -> str:
+    """Mirror of ``training.q_semdedup``: SEM_SCALE (512) fixed-point
+    quantize, planted graded siblings (+1e6, amplitude 8*(id%8),
+    alternating sign per dim), integer-L2 nearest-centroid assignment
+    (ties -> smaller cid), then the pure-integer within-cluster cosine
+    census dot>0 AND dot^2*625 >= 529*na*nb (tau = 0.92)."""
+    return f"""
+WITH q0 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 512.0) AS BIGINT)) AS qv
+    FROM embeddings
+),
+planted AS (
+    SELECT vec_id, qv FROM q0
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(range(1, {dim + 1}),
+               i -> qv[i] + 8 * (vec_id % 8) *
+                    (CASE WHEN (i - 1 + vec_id) % 2 = 0 THEN 1 ELSE -1 END))
+    FROM q0
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q0 WHERE vec_id < {k}),
+dists AS (
+    SELECT p.vec_id, c.cid,
+           CAST(SUM((p.qv[r.i] - c.cv[r.i]) * (p.qv[r.i] - c.cv[r.i])) AS BIGINT) AS dist2
+    FROM planted p CROSS JOIN cent c CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT vec_id, cid AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM dists
+),
+asg AS (
+    SELECT b.vec_id, b.cluster, p.qv
+    FROM best b JOIN planted p USING (vec_id) WHERE rn = 1
+),
+dots AS (
+    SELECT a.vec_id AS x,
+           CAST(SUM(a.qv[r.i] * b.qv[r.i]) AS BIGINT) AS dot,
+           CAST(SUM(a.qv[r.i] * a.qv[r.i]) AS BIGINT) AS na,
+           CAST(SUM(b.qv[r.i] * b.qv[r.i]) AS BIGINT) AS nb
+    FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY a.vec_id, b.vec_id
+),
+dups AS (
+    SELECT x, CAST(count(*) AS BIGINT) AS n_dups FROM dots
+    WHERE dot > 0 AND dot * dot * 625 >= 529 * na * nb
+    GROUP BY 1
+)
+SELECT a.vec_id, a.cluster, COALESCE(d.n_dups, 0) AS n_dups
+FROM asg a LEFT JOIN dups d ON a.vec_id = d.x
+ORDER BY a.vec_id
+"""

@@ -4910,3 +4910,53 @@ def q_tile_compact(sf_dir: str, z: int = 4, n_buckets: int = 64):
     rows.sort()
     return pd.DataFrame(rows, columns=["z", "tile_x", "tile_y"]).astype(
         np.int64)
+
+
+def _plant_sem_siblings(batch: pa.Table) -> pa.Table:
+    """Quantize (SEM_SCALE fixed point) and plant one sibling per vector at
+    vec_id + 1_000_000 whose quantized vector is perturbed by an integer
+    pattern of amplitude 8 * (vec_id % 8) with alternating sign per dim
+    ((dim + vec_id) % 2) — so sibling cosine sweeps from exactly 1.0
+    (vec_id % 8 == 0) down through the tau boundary, forcing the oracle to
+    genuinely evaluate the integer cosine test rather than shortcut to the
+    planted pair list.  Pure integer arithmetic after the one floor-
+    quantize -> the DuckDB twin reproduces every value bitwise."""
+    ids = batch.column("vec_id").to_numpy().astype(np.int64)
+    q = ann.sem_quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+    d = q.shape[1]
+    amp = (8 * (ids % 8))[:, None]
+    sign = np.where((np.arange(d, dtype=np.int64)[None, :] + ids[:, None]) % 2 == 0, 1, -1)
+    sib = q + amp * sign
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "qv": pa.array(list(np.concatenate([q, sib])), pa.list_(pa.int64())),
+        }
+    )
+
+
+def q_semdedup(sf_dir: str, k: int = 16):
+    """SemDeDup (cluster-then-prune semantic dedup) with an exact integer
+    oracle: embeddings + planted graded-perturbation siblings
+    (:func:`_plant_sem_siblings`), k-means-free centroid init (the k
+    lowest-vec_id quantized vectors, the same convention as
+    :func:`q_cluster_assign`), then :func:`stages.ann.semdedup_census` —
+    per-vector (cluster, count of earlier same-cluster vectors with
+    cos >= 0.92).  The SemDeDup keep set is ``n_dups == 0``; emitting the
+    census makes the hash pin the full pairwise logic.
+
+    Reference parity: the reference's tile-content dedup keeps one
+    representative per identical tile (``TileArchiveWriter``); SemDeDup is
+    the embedding-space generalization used by LLM curation pipelines.
+    """
+    cent_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).sort_by("vec_id")
+    cq = ann.sem_quantize(
+        np.stack(cent_tbl.column("embedding").to_numpy(zero_copy_only=False)))
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_plant_sem_siblings, batch_format="pyarrow")
+    return ann.semdedup_census(embs, cq)

@@ -648,3 +648,84 @@ def ivf_exact_topk(ds, centroids_q: np.ndarray, query_ids, queries_q: np.ndarray
         .groupby("query_id")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------ SemDeDup --
+
+SEM_SCALE = 512  # power-of-two fixed point for the integer cosine test
+
+
+def sem_quantize(m: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 fixed point at the SEMDEDUP scale (floor of an
+    exact power-of-two float64 multiply, like :func:`quantize_embedding`
+    but coarse enough that the *squared* integer cosine comparison
+    ``dot^2 * den >= num * na * nb`` stays inside int64: for unit-norm
+    inputs perturbed by <= +-56/dim, |q| <= 568 so dot <= 64 * 568^2 ~
+    2^24.3 and dot^2 * 625 ~ 2^57.9 < 2^63."""
+    return np.floor(m.astype(np.float64) * float(SEM_SCALE)).astype(np.int64)
+
+
+def semdedup_census(ds, centroids_q: np.ndarray, tau_num: int = 529,
+                    tau_den: int = 625, id_col: str = "vec_id",
+                    col: str = "qv"):
+    """SemDeDup (Abbas et al. 2023) as an EXACT integer census: assign each
+    quantized vector to its nearest centroid (integer L2 argmin, ties ->
+    smaller centroid id), then within each cluster count, for every vector
+    ``x``, the earlier-id vectors ``y`` with cos(x, y) >= tau — the
+    SemDeDup keep rule is ``n_dups == 0``.  tau is the rational
+    sqrt(tau_num/tau_den) (defaults: 23^2/25^2 -> tau = 0.92) so the test
+    is the pure-integer ``dot > 0 AND dot^2*tau_den >= tau_num*na*nb`` —
+    no float division, bit-identical to the DuckDB twin.
+
+    Scale design: centroids are a tiny (k x d int64) broadcast closure;
+    assignment is one vectorized distance reduction per batch (no
+    shuffle); the per-cluster pairwise census runs inside ONE
+    groupby(cluster) exchange of narrow (id, qv) rows.  k is the SemDeDup
+    paper's knob — it grows with the corpus (N / target-cluster-size), so
+    the per-group GEMM is O(target^2 * d) regardless of N; pairs
+    straddling clusters are invisible BY DESIGN (the paper's semantics,
+    not an approximation we add).  The in-group matmul runs in float64,
+    which is exact here: every product < 2^53 by the sem_quantize bound.
+
+    Output: (vec_id, cluster, n_dups) per input row.
+    """
+    cq = np.ascontiguousarray(np.asarray(centroids_q, dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        q = np.stack(batch.column(col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cq.T)
+            + (cq * cq).sum(axis=1)[None, :]
+        )
+        best = d2.argmin(axis=1)  # first occurrence = smallest centroid id
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                col: batch.column(col),
+            }
+        )
+
+    def census(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, ignore_index=True)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        q = np.stack(g[col].to_numpy()).astype(np.float64)
+        dots = np.rint(q @ q.T).astype(np.int64)  # exact: products < 2^53
+        n = np.diag(dots).copy()
+        cond = (dots > 0) & (dots * dots * tau_den >= tau_num * np.outer(n, n))
+        # count strictly-earlier matches per row (ids sorted ascending)
+        n_dups = np.tril(cond, k=-1).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.full(len(ids), int(g["cluster"].iloc[0]), np.int64),
+                "n_dups": n_dups,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(census, batch_format="pandas")
+    )
