@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_mentions": webgeo.q_co_mentions,
         "prefix_filter": webgeo.q_prefix_filter,
         "url_parse": webgeo.q_url_parse,
+        "url_canon_dedup": webgeo.q_url_canon_dedup,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": training.q_jaccard_pairs,
         "jaccard_rare": training.q_jaccard_rare,
         "ngram_jaccard": training.q_ngram_jaccard,
+        "containment_pairs": training.q_containment_pairs,
         "edit_distance": training.q_edit_distance,
         "corpus_clean": training.q_corpus_clean,
         "minhash_lsh": training.q_minhash_lsh,
@@ -629,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "co_mentions": oracle.sql_co_mentions(),
         "prefix_filter": oracle.sql_prefix_filter(),
         "url_parse": oracle.sql_url_parse(),
+        "url_canon_dedup": oracle.sql_url_canon_dedup(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "mutual_nn": oracle.sql_mutual_nn(),
@@ -639,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracle.sql_jaccard_pairs(),
         "jaccard_rare": oracle.sql_jaccard_rare(),
         "ngram_jaccard": oracle.sql_ngram_jaccard(),
+        "containment_pairs": oracle.sql_containment_pairs(),
         "corpus_clean": oracle.sql_corpus_clean(),
         "ann_brute": oracle.sql_ann_brute(),
         "neardup_planted": oracle.sql_neardup_planted(),

@@ -4567,3 +4567,86 @@ SELECT a.vec_id, a.cluster, COALESCE(d.n_dups, 0) AS n_dups
 FROM asg a LEFT JOIN dups d ON a.vec_id = d.x
 ORDER BY a.vec_id
 """
+
+
+def sql_containment_pairs(threshold: float = 0.7, df_cap: int = 80) -> str:
+    """Mirror of ``dedup.jaccard_pairs(metric="containment")``: set
+    containment shared / least(na, nb) over rare tokens (df <= df_cap) on
+    the 1/5 sample — same CTE chain as ``sql_jaccard_rare`` with the
+    asymmetric final formula."""
+    t = int(threshold * 1000)
+    return f"""
+WITH ws AS (
+    SELECT doc_id, list_distinct({TOKENS_EXPR}) AS toks
+    FROM documents WHERE doc_id % 5 = 0
+),
+alltoks AS (
+    SELECT doc_id, UNNEST(toks) AS token FROM ws
+),
+df AS (SELECT token, count(*) AS df FROM alltoks GROUP BY 1),
+rare AS (
+    SELECT a.doc_id, a.token FROM alltoks a JOIN df USING (token)
+    WHERE df.df <= {df_cap}
+),
+n AS (SELECT doc_id, count(*) AS n_tok FROM rare GROUP BY 1),
+toks AS (SELECT r.doc_id, nn.n_tok, r.token FROM rare r JOIN n nn USING (doc_id)),
+pairs AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, t1.n_tok AS na, t2.n_tok AS nb,
+           count(*) AS shared
+    FROM toks t1 JOIN toks t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, (shared * 1000) // least(na, nb) AS c1000
+FROM pairs WHERE (shared * 1000) // least(na, nb) >= {t}
+"""
+
+
+def sql_url_canon_dedup() -> str:
+    """Mirror of ``webgeo.q_url_canon_dedup``: the same messy-variant
+    synthesis and the same RE2 regex chain, in the same order, as
+    ``webgeo.canonicalize_urls`` (DuckDB's regexp engine is also RE2, and
+    its regexp_replace is first-match-only unless 'g' — matching Arrow's
+    max_replacements semantics step for step)."""
+    pre = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    return rf"""
+WITH ids AS (SELECT doc_id FROM documents),
+variants AS (
+    SELECT doc_id,
+           'https://example' || (doc_id % 997) || '.com/p/' || doc_id AS url
+    FROM ids
+    UNION ALL
+    SELECT doc_id,
+           'HTTPS://EXAMPLE' || (doc_id % 997) || '.COM:443/p/' || doc_id ||
+           '/?utm_source=feed&utm_campaign=c' || (doc_id % 5) ||
+           '#frag' || (doc_id % 7)
+    FROM ids
+    UNION ALL
+    SELECT doc_id,
+           'https://example' || (doc_id % 997) || '.com/p/' || doc_id ||
+           '?utm_ref=only'
+    FROM ids WHERE doc_id % 3 = 0
+),
+canon AS (
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(url, '{pre}'))
+                      || regexp_replace(url, '{pre}', ''),
+                    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+                  '^(http://[^/:?#]+):80([/?#]|$)', '\1\2'),
+                '#.*$', ''),
+              '&utm_[^&]*', '', 'g'),
+            '\?utm_[^&]*&', '?'),
+          '\?utm_[^&]*$', ''),
+        '([^/])/$', '\1') AS url
+    FROM variants
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(max(doc_id) AS BIGINT) AS doc_id
+FROM canon GROUP BY 1
+"""

@@ -90,6 +90,25 @@ def q_jaccard_rare(sf_dir: str, df_cap: int = 80):
     return dedup.jaccard_pairs(ds, threshold=0.5, df_cap=df_cap)
 
 
+def q_containment_pairs(sf_dir: str, df_cap: int = 80, threshold: float = 0.7):
+    """Set-CONTAINMENT near-dup pairs (quote / boilerplate detection):
+    shared / min(|A|, |B|) >= threshold over rare tokens (df <= df_cap on
+    the same deterministic 1/5 sample as the Jaccard family) — the
+    asymmetric metric that catches a short doc embedded verbatim in a long
+    one, which Jaccard misses.  Same inverted-index + df-cap machinery as
+    :func:`q_jaccard_rare` (the 100-TB-bounded path); only the finish
+    arithmetic differs."""
+    import pyarrow as pa
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = batch.column("doc_id").to_numpy() % 5 == 0
+        return batch.filter(pa.array(keep))
+
+    ds = docs_ds(sf_dir, ["doc_id", "text"]).map_batches(sample, batch_format="pyarrow")
+    return dedup.jaccard_pairs(ds, threshold=threshold, df_cap=df_cap,
+                               metric="containment")
+
+
 def q_minhash_lsh(sf_dir: str):
     """Probabilistic near-dup candidates (rows-only check)."""
     sigs = dedup.minhash_signatures(docs_ds(sf_dir, ["doc_id", "text"]))

@@ -2090,3 +2090,104 @@ def q_shard_plan(sf_dir: str, zooms=(2, 6), n_shards: int = 8,
                    Min("kmin_p", alias_name="key_min"),
                    Max("kmax_p", alias_name="key_max"))
     )
+
+
+# ------------------------------------------------- URL canonicalization --
+
+_URL_PREFIX_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_urls(url: pa.Array) -> pa.Array:
+    """General vectorized URL canonicalizer (the CC-pipeline revisit-dedup
+    normalize step).  Fixed rule sequence, every step a single RE2 kernel
+    so the DuckDB twin (also RE2) applies the IDENTICAL regexes in the
+    IDENTICAL order:
+
+    1. lowercase scheme+authority (path/query case preserved),
+    2. drop default ports (https :443, http :80),
+    3. strip the #fragment,
+    4. drop utm_* tracking params (mid-query, leading, and lone),
+    5. strip one trailing slash (never the ``scheme://`` slashes).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    # 1. lowercase the scheme://host[:port] prefix
+    pre = pc.struct_field(
+        pc.extract_regex(url, f"(?P<pre>{_URL_PREFIX_RE})"), "pre")
+    rest = pc.replace_substring_regex(url, _URL_PREFIX_RE, "",
+                                      max_replacements=1)
+    u = pc.if_else(pc.is_valid(pre),
+                   pc.binary_join_element_wise(pc.utf8_lower(pre), rest, ""),
+                   url)
+    # 2. default ports
+    u = pc.replace_substring_regex(
+        u, r"^(https://[^/:?#]+):443([/?#]|$)", r"\1\2", max_replacements=1)
+    u = pc.replace_substring_regex(
+        u, r"^(http://[^/:?#]+):80([/?#]|$)", r"\1\2", max_replacements=1)
+    # 3. fragment
+    u = pc.replace_substring_regex(u, "#.*$", "", max_replacements=1)
+    # 4. utm params: trailing-& form globally, then the leading-? forms
+    u = pc.replace_substring_regex(u, "&utm_[^&]*", "")
+    u = pc.replace_substring_regex(u, r"\?utm_[^&]*&", "?",
+                                   max_replacements=1)
+    u = pc.replace_substring_regex(u, r"\?utm_[^&]*$", "",
+                                   max_replacements=1)
+    # 5. trailing slash (the ([^/]) guard keeps "scheme://" intact)
+    u = pc.replace_substring_regex(u, "([^/])/$", r"\1", max_replacements=1)
+    return u
+
+
+def _messy_url_variants(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-variant synthesis (SQL-mirrorable): every doc
+    emits its clean url plus an everything-wrong variant (uppercase
+    authority, explicit :443, trailing slash, two utm params, fragment);
+    every third doc adds a lone-"?utm_ref" variant to exercise the
+    strip-to-empty-query branch."""
+    import pyarrow.compute as pc
+
+    from ..sources.pages import urls_from_ids
+
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    clean = urls_from_ids(ids)
+    host = pc.cast(pa.array(ids % 997), pa.string())
+    id_s = pc.cast(pa.array(ids), pa.string())
+    messy = pc.binary_join_element_wise(
+        "HTTPS://EXAMPLE", host, ".COM:443/p/", id_s,
+        "/?utm_source=feed&utm_campaign=c",
+        pc.cast(pa.array(ids % 5), pa.string()),
+        "#frag", pc.cast(pa.array(ids % 7), pa.string()), "")
+    lone = pc.binary_join_element_wise(clean, "?utm_ref=only", "")
+    third = ids % 3 == 0
+    out_id = np.concatenate([ids, ids, ids[third]])
+    out_url = pa.concat_arrays([
+        clean.combine_chunks() if isinstance(clean, pa.ChunkedArray) else clean,
+        messy, lone.filter(pa.array(third))])
+    return pa.table({"doc_id": pa.array(out_id, pa.int64()), "url": out_url})
+
+
+def q_url_canon_dedup(sf_dir: str) -> ray.data.Dataset:
+    """URL-canonicalization dedup census (the crawl revisit-collapse step):
+    canonicalize every variant url (:func:`canonicalize_urls`), then ONE
+    groupby over canonical urls -> (url, n_variants, doc_id).  Per-batch
+    count partials mean only distinct (url, doc) partials cross the
+    exchange; at crawl scale the groupby key is the canonical url hash."""
+    from ray.data.aggregate import Max, Sum
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"url": canonicalize_urls(batch.column("url")),
+                      "doc_id": batch.column("doc_id")})
+        df = t.to_pandas().groupby("url", sort=False).agg(
+            n_part=("doc_id", "size"), doc_id=("doc_id", "max")).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        docs.map_batches(_messy_url_variants, batch_format="pyarrow")
+        .map_batches(canon_partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("n_part", alias_name="n_variants"),
+                   Max("doc_id", alias_name="doc_id"))
+    )

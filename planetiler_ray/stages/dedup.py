@@ -524,12 +524,20 @@ def simhash_candidates(ds, max_hamming: int = 3, col: str = "text",
 # -------------------------------------------------- exact jaccard (oracle) --
 
 def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
-                  df_cap: int | None = None, tokenize=None):
-    """EXACT distinct-word-set Jaccard >= threshold pairs (a < b).
+                  df_cap: int | None = None, tokenize=None,
+                  metric: str = "jaccard"):
+    """EXACT distinct-word-set similarity >= threshold pairs (a < b).
 
     Inverted-index blocking: token -> docs groupby, pairwise counts summed,
     then J = shared / (na + nb - shared).  Output: a, b, j1000 (Jaccard in
     integer permille, floored to stay float-free).
+
+    ``metric="containment"`` switches the final formula to set CONTAINMENT
+    of the smaller side, shared / min(na, nb) — the quote/boilerplate-
+    detection metric (a short doc fully embedded in a long one scores 1.0
+    where Jaccard is tiny).  Everything upstream (explode, inverted index,
+    pair partials) is shared; only the finish arithmetic differs, and the
+    output column becomes ``c1000``.
 
     ``df_cap`` (the 100-TB scale knob): tokens present in more than
     ``df_cap`` docs are EXCLUDED from the similarity universe — Jaccard is
@@ -608,18 +616,23 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
                    Sum("na", alias_name="na_sum"), Sum("nb", alias_name="nb_sum"))
     )
 
+    out_col = "c1000" if metric == "containment" else "j1000"
+
     def finish(batch: pa.Table) -> pa.Table:
         sh = batch.column("shared").to_numpy()
         na = batch.column("na_sum").to_numpy() // np.maximum(sh, 1)
         nb = batch.column("nb_sum").to_numpy() // np.maximum(sh, 1)
-        union = na + nb - sh
-        j1000 = (sh * 1000) // np.maximum(union, 1)
-        m = j1000 >= int(threshold * 1000)
+        if metric == "containment":
+            denom = np.minimum(na, nb)
+        else:
+            denom = na + nb - sh
+        v1000 = (sh * 1000) // np.maximum(denom, 1)
+        m = v1000 >= int(threshold * 1000)
         return pa.table(
             {
                 "a": batch.column("a").filter(pa.array(m)),
                 "b": batch.column("b").filter(pa.array(m)),
-                "j1000": pa.array(j1000[m], pa.int64()),
+                out_col: pa.array(v1000[m], pa.int64()),
             }
         )
 
