@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_filter": webgeo.q_prefix_filter,
         "url_parse": webgeo.q_url_parse,
         "url_canon_dedup": webgeo.q_url_canon_dedup,
+        "warc_pages": webgeo.q_warc_pages,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
@@ -632,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_filter": oracle.sql_prefix_filter(),
         "url_parse": oracle.sql_url_parse(),
         "url_canon_dedup": oracle.sql_url_canon_dedup(),
+        "warc_pages": oracle.sql_pages_meta(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "mutual_nn": oracle.sql_mutual_nn(),

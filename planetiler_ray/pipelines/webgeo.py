@@ -2191,3 +2191,58 @@ def q_url_canon_dedup(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_part", alias_name="n_variants"),
                    Max("doc_id", alias_name="doc_id"))
     )
+
+
+def q_warc_pages(sf_dir: str) -> ray.data.Dataset:
+    """The ``pages_meta`` byte-identity invariant THROUGH the Common-Crawl
+    container: synthesize pages -> write sharded ``.warc.gz`` + CDX under
+    /tmp (one shard per block: the resumable crawl layout) -> read the
+    shards back through :mod:`sources.warc` -> frozen extractor -> (url,
+    warc_ts, lang, text_md5).  The oracle is ``sql_pages_meta`` VERBATIM,
+    so any byte lost or reordered anywhere in the WARC round trip fails
+    the hash."""
+    import os
+    import tempfile
+
+    from ..functions.vmd5 import md5_hex_arrow
+    from ..sources import warc as warcmod
+    from ..sources.pages import extract_text_pa
+
+    out_dir = tempfile.mkdtemp(prefix="planetiler_warc_")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        ids = batch.column("doc_id").to_numpy()
+        path = os.path.join(out_dir, f"shard-{int(ids.min()):012d}.warc.gz")
+        n = warcmod.write_warc_shard(
+            path,
+            batch.column("url").to_pylist(),
+            batch.column("warc_ts").cast(pa.int64()).to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("html").to_pylist(),
+        )
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([n], pa.int64())})
+
+    # bounded driver pull: one row per shard (the write itself streamed)
+    shards = (pages_ds(sf_dir).map_batches(write_shard, batch_format="pyarrow")
+              .to_pandas())
+    ds = warcmod.warc_pages_ds(sorted(shards["path"].tolist()))
+
+    def meta(batch: pa.Table) -> pa.Table:
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        text = extract_text_pa(html.cast(pa.string()))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "text_md5": md5_hex_arrow(text),
+            }
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow")
