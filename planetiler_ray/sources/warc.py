@@ -196,3 +196,102 @@ def warc_pages_ds(paths: list[str], slab_records: int = 512):
     return ray.data.from_items(items).map_batches(
         decode, batch_format="pyarrow", batch_size=1
     )
+
+
+# ------------------------------------------------------------- WET side --
+
+def build_conversion_record(url: str, ts_us: int, lang: str,
+                            text: str) -> bytes:
+    """WET-style ``conversion`` record: the extracted plain text of a page
+    (what Common Crawl publishes as ``.warc.wet.gz``)."""
+    body = text.encode()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_iso8601(ts_us)}\r\n"
+        f"WARC-Identified-Content-Language: {lang}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def parse_conversion_record(raw: bytes) -> tuple[str, int, str, str]:
+    hdr_end = raw.index(b"\r\n\r\n")
+    headers: dict[str, str] = {}
+    for line in raw[:hdr_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b": ")
+        headers[k.decode().lower()] = v.decode()
+    clen = int(headers["content-length"])
+    return (
+        headers["warc-target-uri"],
+        _parse_iso8601_us(headers["warc-date"]),
+        headers.get("warc-identified-content-language", ""),
+        raw[hdr_end + 4 : hdr_end + 4 + clen].decode(),
+    )
+
+
+def write_wet_shard(path: str, urls, ts_us, langs, texts) -> int:
+    """CC-layout WET shard: per-record gzip members + ``.cdx`` sidecar."""
+    cdx_lines = []
+    off = 0
+    with open(path, "wb") as f:
+        for url, ts, lang, text in zip(urls, ts_us, langs, texts):
+            member = gzip.compress(
+                build_conversion_record(str(url), int(ts), str(lang),
+                                        str(text)), mtime=0)
+            f.write(member)
+            cdx_lines.append(f"{url}\t{off}\t{len(member)}\t{int(ts)}\t{lang}")
+            off += len(member)
+    with open(path + ".cdx", "w") as f:
+        f.write("\n".join(cdx_lines) + ("\n" if cdx_lines else ""))
+    return len(cdx_lines)
+
+
+def wet_text_ds(paths: list[str], slab_records: int = 512):
+    """Sharded ``.wet.gz`` -> Dataset(url, warc_ts, lang, text)."""
+    import ray
+
+    items = []
+    for p in paths:
+        entries = read_cdx(p)
+        for i in range(0, len(entries), slab_records):
+            chunk = entries[i : i + slab_records]
+            start = chunk[0][1]
+            end = chunk[-1][1] + chunk[-1][2]
+            items.append({"path": p, "offset": start, "length": end - start})
+    if not items:
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "warc_ts": pa.array([], pa.timestamp("us")),
+             "lang": pa.array([], pa.string()),
+             "text": pa.array([], pa.string())}))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        urls, tss, langs, texts = [], [], [], []
+        for p, o, ln in zip(batch.column("path").to_pylist(),
+                            batch.column("offset").to_pylist(),
+                            batch.column("length").to_pylist()):
+            with open(p, "rb") as f:
+                f.seek(o)
+                buf = f.read(ln)
+            pos = 0
+            while pos < len(buf):
+                d = zlib.decompressobj(wbits=31)
+                raw = d.decompress(buf[pos:])
+                pos += len(buf) - pos - len(d.unused_data)
+                url, ts, lang, text = parse_conversion_record(raw)
+                urls.append(url)
+                tss.append(ts)
+                langs.append(lang)
+                texts.append(text)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "warc_ts": pa.array(np.array(tss, dtype="datetime64[us]"),
+                                 pa.timestamp("us")),
+             "lang": pa.array(langs, pa.string()),
+             "text": pa.array(texts, pa.string())})
+
+    return ray.data.from_items(items).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)

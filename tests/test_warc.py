@@ -56,3 +56,21 @@ def test_warc_pages_ds_empty(ray_session, tmp_path):
     warc.write_warc_shard(path, [], [], [], [])
     ds = warc.warc_pages_ds([path])
     assert ds.count() == 0
+
+
+def test_wet_roundtrip(ray_session, tmp_path):
+    path = str(tmp_path / "s.wet.gz")
+    urls = [f"https://h.com/{i}" for i in range(9)]
+    texts = [f"doc {i} — café ☃\nline2" for i in range(9)]
+    n = warc.write_wet_shard(path, urls, [42_000_000] * 9, ["fr"] * 9, texts)
+    assert n == 9
+    df = warc.wet_text_ds([path], slab_records=4).to_pandas().sort_values(
+        "url", ignore_index=True)
+    assert df["text"].tolist() == [t for _, t in sorted(zip(urls, texts))]
+    assert (df["lang"] == "fr").all()
+
+
+def test_wet_record_codec():
+    raw = warc.build_conversion_record("https://x.com/a", 7, "de", "hällo\n")
+    url, ts, lang, text = warc.parse_conversion_record(raw)
+    assert (url, ts, lang, text) == ("https://x.com/a", 7, "de", "hällo\n")
