@@ -81,32 +81,35 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
     decoded sources (e.g. the .osm.pbf reader) in the same column shapes.
     """
 
-    def tag(side: str):
-        def f(batch: pa.Table) -> pa.Table:
-            b = batch.column("node_id").to_numpy() % n_buckets
-            out = batch.append_column("bucket", pa.array(b, pa.int64()))
-            return out.append_column("side", pa.array([side] * batch.num_rows))
+    # Narrow overloaded exchange schema (node_id, p, q, bucket, side):
+    # refs carry (p=way_id, q=seq), nodes carry (p=lat_mdeg, q=lon_mdeg) —
+    # no null-padded columns, side is one int8 — ~40% fewer bytes across
+    # the all-to-all than the naive 5-int64 + string-tag union.
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        b = batch.column("node_id").to_numpy() % n_buckets
+        return pa.table({
+            "node_id": batch.column("node_id"),
+            "p": batch.column("lat_mdeg"),
+            "q": batch.column("lon_mdeg"),
+            "bucket": pa.array(b, pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+        })
 
-        return f
+    def tag_refs(batch: pa.Table) -> pa.Table:
+        b = batch.column("node_id").to_numpy() % n_buckets
+        return pa.table({
+            "node_id": batch.column("node_id"),
+            "p": batch.column("way_id"),
+            "q": batch.column("seq"),
+            "bucket": pa.array(b, pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+        })
 
     nodes = (nodes if nodes is not None else nodes_ds(sf_dir)).map_batches(
-        tag("n"), batch_format="pyarrow"
+        tag_nodes, batch_format="pyarrow"
     )
     refs = (refs if refs is not None else way_refs_ds(sf_dir)).map_batches(
-        tag("w"), batch_format="pyarrow"
-    )
-    # align schemas for union
-    refs = refs.map_batches(
-        lambda b: b.append_column("lat_mdeg", pa.nulls(b.num_rows, pa.int64()))
-        .append_column("lon_mdeg", pa.nulls(b.num_rows, pa.int64()))
-        .select(["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg", "bucket", "side"]),
-        batch_format="pyarrow",
-    )
-    nodes = nodes.map_batches(
-        lambda b: b.append_column("way_id", pa.nulls(b.num_rows, pa.int64()))
-        .append_column("seq", pa.nulls(b.num_rows, pa.int64()))
-        .select(["way_id", "seq", "node_id", "lat_mdeg", "lon_mdeg", "bucket", "side"]),
-        batch_format="pyarrow",
+        tag_refs, batch_format="pyarrow"
     )
 
     def join_bucket(g: pa.Table) -> pa.Table:
@@ -114,7 +117,7 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
         # so the inner join is one sort + searchsorted probe
         import pyarrow.compute as pc
 
-        m_n = pc.equal(g.column("side"), "n")
+        m_n = pc.equal(g.column("side"), 0)
         nodes_t = g.filter(m_n)
         ways_t = g.filter(pc.invert(m_n))
         nid = nodes_t.column("node_id").to_numpy()
@@ -125,8 +128,8 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
             return pa.table({c: pa.array([], pa.int64()) for c in cols})
         order = np.argsort(nid, kind="stable")
         nid_s = nid[order]
-        lat_s = nodes_t.column("lat_mdeg").to_numpy()[order]
-        lon_s = nodes_t.column("lon_mdeg").to_numpy()[order]
+        lat_s = nodes_t.column("p").to_numpy()[order]
+        lon_s = nodes_t.column("q").to_numpy()[order]
         wnid = ways_t.column("node_id").to_numpy()
         pos = np.searchsorted(nid_s, wnid)
         pos_c = np.minimum(pos, len(nid_s) - 1)
@@ -134,8 +137,8 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
         hit = np.flatnonzero(ok)
         out = pa.table(
             {
-                "way_id": ways_t.column("way_id").take(pa.array(hit)),
-                "seq": ways_t.column("seq").take(pa.array(hit)),
+                "way_id": ways_t.column("p").take(pa.array(hit)),
+                "seq": ways_t.column("q").take(pa.array(hit)),
                 "node_id": pa.array(wnid[hit], pa.int64()),
                 "lat_mdeg": pa.array(lat_s[pos[hit]], pa.int64()),
                 "lon_mdeg": pa.array(lon_s[pos[hit]], pa.int64()),
