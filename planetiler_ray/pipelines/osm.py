@@ -813,31 +813,37 @@ def split_ways_summary(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     all exact ints for the oracle.  Shared-node flags reach the refs via the
     same hash-bucket shuffle join as the node-location join."""
 
-    def tag(side: str):
-        def f(batch: pa.Table) -> pa.Table:
-            b = batch.column("node_id").to_numpy() % n_buckets
-            out = batch.append_column("jbucket", pa.array(b, pa.int64()))
-            return out.append_column("side", pa.array([side] * batch.num_rows))
+    # narrow overloaded exchange (same discipline as join_way_nodes): the
+    # shared-node side ships only node_id; way_id/seq carry 0 placeholders
+    # on that side rather than null-padded columns; side is int8
+    def tag_refs(batch: pa.Table) -> pa.Table:
+        b = batch.column("node_id").to_numpy() % n_buckets
+        return pa.table({
+            "way_id": batch.column("way_id"),
+            "seq": batch.column("seq"),
+            "node_id": batch.column("node_id"),
+            "jbucket": pa.array(b, pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+        })
 
-        return f
+    def tag_shared(batch: pa.Table) -> pa.Table:
+        b = batch.column("node_id").to_numpy() % n_buckets
+        z = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        return pa.table({
+            "way_id": z, "seq": z,
+            "node_id": batch.column("node_id"),
+            "jbucket": pa.array(b, pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+        })
 
-    refs = way_refs_ds(sf_dir).map_batches(tag("w"), batch_format="pyarrow")
-    shared = shared_nodes_ds(sf_dir).map_batches(tag("s"), batch_format="pyarrow")
-    refs = refs.map_batches(
-        lambda b: b.select(["way_id", "seq", "node_id", "jbucket", "side"]),
-        batch_format="pyarrow",
-    )
-    shared = shared.map_batches(
-        lambda b: b.append_column("way_id", pa.nulls(b.num_rows, pa.int64()))
-        .append_column("seq", pa.nulls(b.num_rows, pa.int64()))
-        .select(["way_id", "seq", "node_id", "jbucket", "side"]),
-        batch_format="pyarrow",
-    )
+    refs = way_refs_ds(sf_dir).map_batches(tag_refs, batch_format="pyarrow")
+    shared = shared_nodes_ds(sf_dir).map_batches(tag_shared,
+                                                 batch_format="pyarrow")
 
     def flag_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        m_s = pc.equal(g.column("side"), "s")
+        m_s = pc.equal(g.column("side"), 1)
         shared_ids = np.unique(g.filter(m_s).column("node_id").to_numpy())
         w = g.filter(pc.invert(m_s))
         nid = w.column("node_id").to_numpy()

@@ -763,23 +763,37 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         .materialize()
     )
 
-    def tag(col):
-        def f(batch: pa.Table) -> pa.Table:
-            bk = batch.column(col).to_numpy() % n_buckets
-            return batch.append_column("bkt", pa.array(bk, pa.int64()))
+    # narrow overloaded exchange (the join_way_nodes discipline): label
+    # rows carry (a=node, b=label, side=0), edge rows (a=u, b=v, side=1) —
+    # two int64 key columns instead of four null-padded ones
+    def tag_lab(batch: pa.Table) -> pa.Table:
+        a = batch.column("node").to_numpy()
+        return pa.table({
+            "a": batch.column("node"), "b": batch.column("label"),
+            "bkt": pa.array(a % n_buckets, pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+        })
 
-        return f
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        a = batch.column("u").to_numpy()
+        return pa.table({
+            "a": batch.column("u"), "b": batch.column("v"),
+            "bkt": pa.array(a % n_buckets, pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+        })
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # rows: label side (node, label) + edge side (u, v); emit (v, label[u])
-        is_lab = g.column("node").is_valid().to_numpy(zero_copy_only=False)
-        lab_t = g.filter(pa.array(is_lab))
-        edge_t = g.filter(pa.array(~is_lab))
-        nodes = lab_t.column("node").to_numpy()
-        labs = lab_t.column("label").to_numpy()
+        import pyarrow.compute as pc
+
+        is_lab = pc.equal(g.column("side"), 0)
+        lab_t = g.filter(is_lab)
+        edge_t = g.filter(pc.invert(is_lab))
+        nodes = lab_t.column("a").to_numpy()
+        labs = lab_t.column("b").to_numpy()
         order = np.argsort(nodes, kind="stable")
         nodes_s, labs_s = nodes[order], labs[order]
-        u = edge_t.column("u").to_numpy()
+        u = edge_t.column("a").to_numpy()
         pos = np.searchsorted(nodes_s, u)
         pos_c = np.minimum(pos, max(len(nodes_s) - 1, 0))
         ok = (len(nodes_s) > 0) & (pos < len(nodes_s))
@@ -788,7 +802,7 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         return pa.table(
             {
                 "node": pa.array(
-                    np.concatenate([edge_t.column("v").to_numpy()[hit], nodes]),
+                    np.concatenate([edge_t.column("b").to_numpy()[hit], nodes]),
                     pa.int64(),
                 ),
                 "cand": pa.array(np.concatenate([labs_s[pos[hit]], labs]), pa.int64()),
@@ -797,18 +811,8 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
 
     prev_sum = None
     for _ in range(max_rounds):
-        lab_side = labels.map_batches(tag("node"), batch_format="pyarrow").map_batches(
-            lambda b: b.append_column("u", pa.nulls(b.num_rows, pa.int64()))
-            .append_column("v", pa.nulls(b.num_rows, pa.int64()))
-            .select(["node", "label", "u", "v", "bkt"]),
-            batch_format="pyarrow",
-        )
-        edge_side = edges.map_batches(tag("u"), batch_format="pyarrow").map_batches(
-            lambda b: b.append_column("node", pa.nulls(b.num_rows, pa.int64()))
-            .append_column("label", pa.nulls(b.num_rows, pa.int64()))
-            .select(["node", "label", "u", "v", "bkt"]),
-            batch_format="pyarrow",
-        )
+        lab_side = labels.map_batches(tag_lab, batch_format="pyarrow")
+        edge_side = edges.map_batches(tag_edge, batch_format="pyarrow")
         labels = (
             lab_side.union(edge_side)
             .groupby("bkt")
