@@ -405,12 +405,13 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
             hi, lo = fnv128_arrow(s)
             ids = batch.column("doc_id").to_numpy()
             m = len(ids)
+            # overloaded narrow exchange: a/b carry the 128-bit content
+            # hash on doc sides and BIT-CAST lat/lon float64s on the
+            # mention side (view-cast, exact round trip)
             return pa.table({
                 "doc_id": pa.array(ids, pa.int64()),
-                "h_hi": pa.array(hi.astype(np.int64), pa.int64()),
-                "h_lo": pa.array(lo.astype(np.int64), pa.int64()),
-                "lat": pa.nulls(m, pa.float64()),
-                "lon": pa.nulls(m, pa.float64()),
+                "a": pa.array(hi.astype(np.int64), pa.int64()),
+                "b": pa.array(lo.astype(np.int64), pa.int64()),
                 "side": pa.array(np.full(m, side, np.int8), pa.int8()),
                 "jbucket": pa.array(_jbucket(ids), pa.int64()),
             })
@@ -419,12 +420,12 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
     def tag_mentions(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         m = len(ids)
+        lat = batch.column("lat").to_numpy().astype(np.float64)
+        lon = batch.column("lon").to_numpy().astype(np.float64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "h_hi": pa.array(np.zeros(m, np.int64), pa.int64()),
-            "h_lo": pa.array(np.zeros(m, np.int64), pa.int64()),
-            "lat": batch.column("lat").cast(pa.float64()),
-            "lon": batch.column("lon").cast(pa.float64()),
+            "a": pa.array(lat.view(np.int64), pa.int64()),
+            "b": pa.array(lon.view(np.int64), pa.int64()),
             "side": pa.array(np.full(m, 2, np.int8), pa.int8()),
             "jbucket": pa.array(_jbucket(ids), pa.int64()),
         })
@@ -442,8 +443,8 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
         ids = g.column("doc_id").to_numpy()
         docs = side < 2
         di, ds_, dhi, dlo = (ids[docs], side[docs],
-                             g.column("h_hi").to_numpy()[docs],
-                             g.column("h_lo").to_numpy()[docs])
+                             g.column("a").to_numpy()[docs],
+                             g.column("b").to_numpy()[docs])
         order = np.lexsort((ds_, di))
         i, s = di[order], ds_[order]
         h1, h2 = dhi[order], dlo[order]
@@ -468,9 +469,11 @@ def q_tile_invalidate(sf_dir: str, zooms=(2, 6), n_buckets: int = 64):
         if not keep.any():
             return empty
         pts = pa.table({
-            "doc_id": g.column("doc_id").filter(pa.array(keep)),
-            "lat": g.column("lat").filter(pa.array(keep)),
-            "lon": g.column("lon").filter(pa.array(keep)),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lat": pa.array(g.column("a").to_numpy()[keep].view(np.float64),
+                            pa.float64()),
+            "lon": pa.array(g.column("b").to_numpy()[keep].view(np.float64),
+                            pa.float64()),
         })
         t = assign_tiles(pts, zooms=list(zooms))
         z = t.column("z").to_numpy().astype(np.int64)
@@ -2062,11 +2065,11 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
         keep = (odate >= lo_us) & (odate < hi_us) & hit
         kept = batch.column("o_orderkey").to_numpy()[keep]
         m = len(kept)
+        # overloaded narrow exchange: p = c_nation on this side
         return pa.table({
             "l_orderkey": pa.array(kept, pa.int64()),
-            "c_nation": pa.array(cmap_vals[pos[keep]], pa.int64()),
-            "s_nation": pa.nulls(m, pa.int64()),
-            "rev": pa.nulls(m, pa.int64()),
+            "p": pa.array(cmap_vals[pos[keep]], pa.int64()),
+            "q": pa.array(np.zeros(m, np.int64), pa.int64()),
             "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "obucket": pa.array(kept % N_BUCKETS, pa.int64()),
         })
@@ -2080,11 +2083,11 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
         pos = np.searchsorted(sk, skey)
         okey = batch.column("l_orderkey").to_numpy()
         m = len(okey)
+        # overloaded narrow exchange: p = s_nation, q = rev on this side
         return pa.table({
             "l_orderkey": pa.array(okey, pa.int64()),
-            "c_nation": pa.nulls(m, pa.int64()),
-            "s_nation": pa.array(sv[np.minimum(pos, len(sk) - 1)], pa.int64()),
-            "rev": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            "p": pa.array(sv[np.minimum(pos, len(sk) - 1)], pa.int64()),
+            "q": pa.array(price_c * (100 - disc_pct), pa.int64()),
             "side": pa.array(np.ones(m, np.int8), pa.int8()),
             "obucket": pa.array(okey % N_BUCKETS, pa.int64()),
         })
@@ -2107,17 +2110,17 @@ def q_tpch_q5(sf_dir: str, region: str = "ASIA",
             return empty
         order = np.argsort(okeys, kind="stable")
         okeys_s = okeys[order]
-        cnat_s = g.column("c_nation").to_numpy()[om][order]
+        cnat_s = g.column("p").to_numpy()[om][order]
         lm = ~om
         lkey = g.column("l_orderkey").to_numpy()[lm]
         pos = np.searchsorted(okeys_s, lkey)
         posc = np.minimum(pos, okeys_s.size - 1)
         hit = (pos < okeys_s.size) & (okeys_s[posc] == lkey)
-        snat = g.column("s_nation").to_numpy()[lm]
+        snat = g.column("p").to_numpy()[lm]
         match = hit & (cnat_s[posc] == snat)
         if not match.any():
             return empty
-        rev = g.column("rev").to_numpy()[lm][match]
+        rev = g.column("q").to_numpy()[lm][match]
         nat = snat[match]
         u, inv = np.unique(nat, return_inverse=True)
         return pa.table({
@@ -3265,13 +3268,12 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
         qty = np.round(batch.column("l_quantity").to_numpy()).astype(np.int64)
         u, inv = np.unique(key, return_inverse=True)
         m = len(u)
+        # overloaded narrow exchange: p = qty_part on this side
+        z = pa.array(np.zeros(m, np.int64), pa.int64())
         return pa.table({
             "o_orderkey": pa.array(u, pa.int64()),
-            "qty_part": pa.array(np.bincount(inv, qty).astype(np.int64),
-                                 pa.int64()),
-            "o_custkey": pa.nulls(m, pa.int64()),
-            "odate_us": pa.nulls(m, pa.int64()),
-            "totalprice_c": pa.nulls(m, pa.int64()),
+            "p": pa.array(np.bincount(inv, qty).astype(np.int64), pa.int64()),
+            "q": z, "r": z,
             "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "obucket": pa.array(u % n_buckets, pa.int64()),
         })
@@ -3279,12 +3281,12 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
     def orders_side(batch: pa.Table) -> pa.Table:
         okey = batch.column("o_orderkey").to_numpy()
         m = len(okey)
+        # overloaded: p = o_custkey, q = odate_us, r = totalprice_c
         return pa.table({
             "o_orderkey": pa.array(okey, pa.int64()),
-            "qty_part": pa.nulls(m, pa.int64()),
-            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
-            "odate_us": batch.column("o_orderdate").cast(pa.int64()),
-            "totalprice_c": pa.array(
+            "p": batch.column("o_custkey").cast(pa.int64()),
+            "q": batch.column("o_orderdate").cast(pa.int64()),
+            "r": pa.array(
                 np.round(batch.column("o_totalprice").to_numpy() * 100
                          ).astype(np.int64), pa.int64()),
             "side": pa.array(np.ones(m, np.int8), pa.int8()),
@@ -3305,7 +3307,7 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
         key = g.column("o_orderkey").to_numpy()[lmask]
         if key.size == 0:
             return OUT_SCHEMA.empty_table()
-        qp = g.column("qty_part").to_numpy()[lmask]
+        qp = g.column("p").to_numpy()[lmask]
         order = np.argsort(key, kind="stable")
         key_s, qp_s = key[order], qp[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(key_s)) + 1])
@@ -3320,10 +3322,10 @@ def q_tpch_q18(sf_dir: str, qty_threshold: int = 300, k: int = 100):
         pos = np.searchsorted(hot_keys, okey)
         pos_c = np.minimum(pos, hot_keys.size - 1)
         hit = (pos < hot_keys.size) & (hot_keys[pos_c] == okey)
-        price = g.column("totalprice_c").to_numpy()[omask][hit]
+        price = g.column("r").to_numpy()[omask][hit]
         okey_h = okey[hit]
-        cust = g.column("o_custkey").to_numpy()[omask][hit]
-        odate = g.column("odate_us").to_numpy()[omask][hit]
+        cust = g.column("p").to_numpy()[omask][hit]
+        odate = g.column("q").to_numpy()[omask][hit]
         sq = hot_sums[pos_c[hit]]
         # partial top-k inside the bucket
         if len(price) > k:
@@ -3963,13 +3965,13 @@ def q_tpch_q7(sf_dir: str):
         pos = np.searchsorted(c_keys, okey)
         lkey = batch.column("o_orderkey").to_numpy()
         m = len(lkey)
+        # overloaded narrow exchange: p = c_nation on this side
+        z = pa.array(np.zeros(m, np.int64), pa.int64())
         return pa.table({
             "l_orderkey": pa.array(lkey, pa.int64()),
-            "c_nation": pa.array(
+            "p": pa.array(
                 c_nat[np.minimum(pos, len(c_keys) - 1)], pa.int64()),
-            "s_nation": pa.nulls(m, pa.int64()),
-            "ship_year": pa.nulls(m, pa.int64()),
-            "rev": pa.nulls(m, pa.int64()),
+            "q": z, "r": z,
             "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
         })
@@ -3985,13 +3987,13 @@ def q_tpch_q7(sf_dir: str):
         pos = np.searchsorted(s_keys, skey)
         lkey = batch.column("l_orderkey").to_numpy()
         m = len(lkey)
+        # overloaded: p = s_nation, q = ship_year, r = rev
         return pa.table({
             "l_orderkey": pa.array(lkey, pa.int64()),
-            "c_nation": pa.nulls(m, pa.int64()),
-            "s_nation": pa.array(
+            "p": pa.array(
                 s_nat[np.minimum(pos, len(s_keys) - 1)], pa.int64()),
-            "ship_year": pa.array(year, pa.int64()),
-            "rev": pa.array(price_c * (100 - disc), pa.int64()),
+            "q": pa.array(year, pa.int64()),
+            "r": pa.array(price_c * (100 - disc), pa.int64()),
             "side": pa.array(np.ones(m, np.int8), pa.int8()),
             "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
         })
@@ -4013,7 +4015,7 @@ def q_tpch_q7(sf_dir: str):
             return empty
         order = np.argsort(okeys, kind="stable")
         okeys_s = okeys[order]
-        cnat_s = g.column("c_nation").to_numpy()[om][order]
+        cnat_s = g.column("p").to_numpy()[om][order]
         lm = ~om
         lkey = g.column("l_orderkey").to_numpy()[lm]
         pos = np.searchsorted(okeys_s, lkey)
@@ -4022,9 +4024,9 @@ def q_tpch_q7(sf_dir: str):
         if not hit.any():
             return empty
         cn = cnat_s[posc[hit]]
-        sn = g.column("s_nation").to_numpy()[lm][hit]
-        yr = g.column("ship_year").to_numpy()[lm][hit]
-        rev = g.column("rev").to_numpy()[lm][hit]
+        sn = g.column("p").to_numpy()[lm][hit]
+        yr = g.column("q").to_numpy()[lm][hit]
+        rev = g.column("r").to_numpy()[lm][hit]
         key = (cn * 25 + sn) * 10000 + yr
         u, inv = np.unique(key, return_inverse=True)
         return pa.table({
@@ -4304,23 +4306,21 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#23"):
         # side 0: per-batch (part, sum qty, n) partials
         u, inv = np.unique(pk, return_inverse=True)
         m = len(u)
+        # overloaded narrow exchange: a/b = (qty_sum, n) on the partial
+        # side and (qty, price_c) on the raw side
         partials = pa.table({
             "p_partkey": pa.array(u, pa.int64()),
-            "qty_sum": pa.array(np.bincount(inv, qty).astype(np.int64),
-                                pa.int64()),
-            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
-            "qty": pa.nulls(m, pa.int64()),
-            "price_c": pa.nulls(m, pa.int64()),
+            "a": pa.array(np.bincount(inv, qty).astype(np.int64),
+                          pa.int64()),
+            "b": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
             "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "pbucket": pa.array(u % N_BUCKETS, pa.int64()),
         })
         # side 1: raw qualifying rows
         raw = pa.table({
             "p_partkey": pa.array(pk, pa.int64()),
-            "qty_sum": pa.nulls(len(pk), pa.int64()),
-            "n": pa.nulls(len(pk), pa.int64()),
-            "qty": pa.array(qty, pa.int64()),
-            "price_c": pa.array(price_c, pa.int64()),
+            "a": pa.array(qty, pa.int64()),
+            "b": pa.array(price_c, pa.int64()),
             "side": pa.array(np.ones(len(pk), np.int8), pa.int8()),
             "pbucket": pa.array(pk % N_BUCKETS, pa.int64()),
         })
@@ -4339,8 +4339,8 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#23"):
             return empty
         order = np.argsort(pk, kind="stable")
         pk_s = pk[order]
-        qs = g.column("qty_sum").to_numpy()[pm][order]
-        ns = g.column("n").to_numpy()[pm][order]
+        qs = g.column("a").to_numpy()[pm][order]
+        ns = g.column("b").to_numpy()[pm][order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(pk_s)) + 1])
         keys = pk_s[starts]
         sums = np.add.reduceat(qs, starts)
@@ -4348,9 +4348,9 @@ def q_tpch_q17(sf_dir: str, brand: str = "Brand#23"):
         rm = ~pm
         rk = g.column("p_partkey").to_numpy()[rm]
         pos = np.searchsorted(keys, rk)  # every raw key has partials
-        qty = g.column("qty").to_numpy()[rm]
+        qty = g.column("a").to_numpy()[rm]
         keep = 5 * qty * cnts[pos] < sums[pos]
-        price = g.column("price_c").to_numpy()[rm][keep]
+        price = g.column("b").to_numpy()[rm][keep]
         return pa.table({
             "grp": pa.array([0], pa.int64()),
             "sum_price_c": pa.array([int(price.sum())], pa.int64()),
@@ -4678,11 +4678,11 @@ def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
         year = odate.astype("datetime64[Y]").astype(np.int64) + 1970
         kept = batch.column("o_orderkey").to_numpy()[hit]
         m = len(kept)
+        # overloaded narrow exchange: a = o_year on this side
         return pa.table({
             "l_orderkey": pa.array(kept, pa.int64()),
-            "o_year": pa.array(year[hit], pa.int64()),
-            "s_nation": pa.nulls(m, pa.int64()),
-            "rev": pa.nulls(m, pa.int64()),
+            "a": pa.array(year[hit], pa.int64()),
+            "b": pa.array(np.zeros(m, np.int64), pa.int64()),
             "side": pa.array(np.zeros(m, np.int8), pa.int8()),
             "obucket": pa.array(kept % N_BUCKETS, pa.int64()),
         })
@@ -4698,10 +4698,8 @@ def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
         m = len(lkey)
         return pa.table({
             "l_orderkey": pa.array(lkey, pa.int64()),
-            "o_year": pa.nulls(m, pa.int64()),
-            "s_nation": pa.array(sv[np.minimum(pos, len(sk) - 1)],
-                                 pa.int64()),
-            "rev": pa.array(price_c * (100 - disc), pa.int64()),
+            "a": pa.array(sv[np.minimum(pos, len(sk) - 1)], pa.int64()),
+            "b": pa.array(price_c * (100 - disc), pa.int64()),
             "side": pa.array(np.ones(m, np.int8), pa.int8()),
             "obucket": pa.array(lkey % N_BUCKETS, pa.int64()),
         })
@@ -4719,7 +4717,7 @@ def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
             return empty
         order = np.argsort(okeys, kind="stable")
         okeys_s = okeys[order]
-        year_s = g.column("o_year").to_numpy()[om][order]
+        year_s = g.column("a").to_numpy()[om][order]
         lm = ~om
         lkey = g.column("l_orderkey").to_numpy()[lm]
         pos = np.searchsorted(okeys_s, lkey)
@@ -4728,8 +4726,8 @@ def q_tpch_q8(sf_dir: str, region: str = "ASIA", nation_name: str = "NATION_7"):
         if not hit.any():
             return empty
         yr = year_s[posc[hit]]
-        rev = g.column("rev").to_numpy()[lm][hit]
-        is_n = (g.column("s_nation").to_numpy()[lm][hit] == nkey)
+        rev = g.column("b").to_numpy()[lm][hit]
+        is_n = (g.column("a").to_numpy()[lm][hit] == nkey)
         u, inv = np.unique(yr, return_inverse=True)
         return pa.table({
             "o_year": pa.array(u, pa.int64()),
