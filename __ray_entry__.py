@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": webgeo.q_pip,
         "pip_complex": webgeo.q_pip_complex,
         "doc_geo_extent": webgeo.q_doc_geo_extent,
+        "extent_area": webgeo.q_extent_area,
         "admin_centroid": webgeo.q_admin_centroid,
         "rasterize_polygons": webgeo.q_rasterize_polygons,
         "pip_nearest": webgeo.q_pip_nearest,
@@ -624,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": oracle.sql_admin_join(),
         "pip_complex": oracle.sql_pip_complex(),
         "doc_geo_extent": oracle.sql_doc_geo_extent(),
+        "extent_area": oracle.sql_extent_area(),
         "admin_centroid": oracle.sql_admin_centroid(),
         "rasterize_polygons": oracle.sql_rasterize_polygons(),
         "pip_nearest": oracle.sql_pip_nearest(),

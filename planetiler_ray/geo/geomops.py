@@ -261,3 +261,43 @@ def innermost_point(rings: list[np.ndarray], tolerance: float = 0.1) -> np.ndarr
             if pot - best[0] > precision:
                 heapq.heappush(heap, (-pot, nd[i], nx[i], ny[i], q))
     return np.array([best[1], best[2]])
+
+
+# ----------------------------------------------- spherical ring area --
+
+AVERAGE_WORLD_RADIUS_METERS = 6_371_008.8
+_AREA_FACTOR = AVERAGE_WORLD_RADIUS_METERS * AVERAGE_WORLD_RADIUS_METERS / 2
+
+
+def ring_area_meters(lon_deg: np.ndarray, lat_deg: np.ndarray) -> float:
+    """Spherical ring area in m² — operand-for-operand the reference's
+    ``GeoUtils.ringAreaMeters`` (``GeoUtils.java:665-675``, the turf.js
+    formula): sum over edges of (x[i+2] - x[i]) * sin(y[i+1]) with the
+    reference's exact wrap-around indexing, times R²/2.  The ring arrays
+    INCLUDE the closing point (numEdges = len - 1)."""
+    x = np.radians(np.asarray(lon_deg, np.float64))
+    y = np.radians(np.asarray(lat_deg, np.float64))
+    n = len(x) - 1
+    if n < 3:
+        return 0.0
+    total = 0.0
+    for i in range(n):
+        mid = 0 if i + 1 == n else i + 1
+        upper = (i + 2) % n if i + 2 >= n else i + 2
+        total += (x[upper] - x[i]) * np.sin(y[mid])
+    return abs(total) * _AREA_FACTOR
+
+
+def bbox_area_meters_vec(lon_min_deg, lat_min_deg, lon_max_deg,
+                         lat_max_deg) -> np.ndarray:
+    """Vectorized :func:`ring_area_meters` for axis-aligned boxes (ring
+    [(x1,y1),(x2,y1),(x2,y2),(x1,y2),(x1,y1)]): the reference's four
+    edge terms written out in the SAME left-associated order as the SQL
+    twin, so floor(area) agrees bitwise."""
+    x1 = np.radians(np.asarray(lon_min_deg, np.float64))
+    x2 = np.radians(np.asarray(lon_max_deg, np.float64))
+    ry1 = np.radians(np.asarray(lat_min_deg, np.float64))
+    ry2 = np.radians(np.asarray(lat_max_deg, np.float64))
+    t = ((x2 - x1) * np.sin(ry1) + (x1 - x2) * np.sin(ry2)
+         + (x1 - x2) * np.sin(ry2) + (x2 - x1) * np.sin(ry1))
+    return np.abs(t) * _AREA_FACTOR

@@ -4650,3 +4650,31 @@ SELECT url, CAST(count(*) AS BIGINT) AS n_variants,
        CAST(max(doc_id) AS BIGINT) AS doc_id
 FROM canon GROUP BY 1
 """
+
+
+def sql_extent_area() -> str:
+    """Mirror of ``webgeo.q_extent_area``: the reference's turf-style
+    spherical ring area (``GeoUtils.ringAreaMeters``) applied to each
+    doc's mention bbox — the four edge terms in the same left-associated
+    order as ``geo.geomops.bbox_area_meters_vec``."""
+    factor = repr(6_371_008.8 * 6_371_008.8 / 2)
+    return f"""
+WITH {POINTS_CTE},
+e AS (
+    SELECT doc_id, count(*) AS n_mentions,
+           min(lat_mdeg) AS lat_min, max(lat_mdeg) AS lat_max,
+           min(lon_mdeg) AS lon_min, max(lon_mdeg) AS lon_max
+    FROM points GROUP BY 1
+),
+r AS (
+    SELECT doc_id, n_mentions,
+           radians(lon_min / 1000.0) AS x1, radians(lon_max / 1000.0) AS x2,
+           radians(lat_min / 1000.0) AS ry1, radians(lat_max / 1000.0) AS ry2
+    FROM e
+)
+SELECT doc_id, CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(floor(abs((x2 - x1) * sin(ry1) + (x1 - x2) * sin(ry2)
+                      + (x1 - x2) * sin(ry2) + (x2 - x1) * sin(ry1))
+                  * {factor}) AS BIGINT) AS area_m2
+FROM r ORDER BY doc_id
+"""

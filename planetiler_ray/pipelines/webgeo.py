@@ -2246,3 +2246,30 @@ def q_warc_pages(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(meta, batch_format="pyarrow")
+
+
+def q_extent_area(sf_dir: str) -> ray.data.Dataset:
+    """Spherical bbox area per document — the query-level parity surface
+    for the reference's ``WithGeometry.areaMeters`` (``GeoUtils.java:
+    665-699``, the turf.js ring formula with R = 6371008.8): per-doc
+    mention bbox (the ``doc_geo_extent`` aggregate) -> floor(ringAreaMeters
+    of the box ring) as exact int64.  The four edge terms are written in
+    the same left-associated order on both sides, and sin/radians are
+    bit-equal between numpy and DuckDB libm (the tile-oracle finding), so
+    the floored areas agree bitwise."""
+    from ..geo.geomops import bbox_area_meters_vec
+
+    def area(batch: pa.Table) -> pa.Table:
+        a = bbox_area_meters_vec(
+            batch.column("lon_min").to_numpy() / 1000.0,
+            batch.column("lat_min").to_numpy() / 1000.0,
+            batch.column("lon_max").to_numpy() / 1000.0,
+            batch.column("lat_max").to_numpy() / 1000.0,
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_mentions": batch.column("n_mentions"),
+            "area_m2": pa.array(np.floor(a).astype(np.int64), pa.int64()),
+        })
+
+    return q_doc_geo_extent(sf_dir).map_batches(area, batch_format="pyarrow")
