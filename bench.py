@@ -169,13 +169,26 @@ def run_scaling():
     # recorded in BASELINE.md.
     scaling_repl = os.environ.get("SCALING_REPL", "480")
 
+    def steal_jiffies() -> int:
+        # /proc/stat cpu line, 8th value: CPU stolen by the hypervisor for
+        # other tenants — the direct witness for degraded-window campaigns
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
+    steal_log: list[float] = []
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPL=scaling_repl)
+        s0 = steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
+        steal_log.append(round((steal_jiffies() - s0) / 100.0, 1))
         return json.loads(out.strip().splitlines()[-1])
 
     def runs_of(ncpu: int, reps: int) -> list[float]:
@@ -214,6 +227,7 @@ def run_scaling():
         "sec_lo_median": lo_med, "sec_hi_median": hi_med,
         "scaling_efficiency": round(eff_med, 3),
         "scaling_efficiency_best": round(eff_best, 3),
+        "steal_sec_per_run": steal_log,
         "sf": SF_DIR,
     }))
 
