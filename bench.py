@@ -28,6 +28,17 @@ BENCH_ZOOMS = [0, 2, 4, 6, 8, 10, 12, 14]
 BENCH_REPL = int(os.environ.get("BENCH_REPL", "240"))
 
 
+def _steal_jiffies() -> int:
+    """/proc/stat cpu line, 8th value: CPU stolen by the hypervisor for
+    co-tenants.  Published with every bench result so a contended window
+    is self-documenting."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -73,10 +84,12 @@ def run_bench() -> dict:
 
     out_dir = tempfile.mkdtemp(prefix="bench_tiles_")
     try:
+        steal0 = _steal_jiffies()
         t0 = time.time()
         df = flagship.build_archive(SF_DIR, out_dir, zooms=BENCH_ZOOMS,
                                     repl=BENCH_REPL, layout="shard")
         headline = time.time() - t0
+        steal_flagship = round((_steal_jiffies() - steal0) / 100.0, 1)
         n_tiles = int(df.n_tiles.sum())
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -154,6 +167,9 @@ def run_bench() -> dict:
         "n_tiles": n_tiles,
         "docs_per_sec": round(n_docs / headline, 1),
         "tiles_per_sec": round(n_tiles / headline, 1),
+        # co-tenant CPU stolen DURING the flagship timing (seconds summed
+        # across all host cpus; compare against value * num_cpus)
+        "steal_sec_flagship": steal_flagship,
     }
     ray.shutdown()
     return result
@@ -169,26 +185,17 @@ def run_scaling():
     # recorded in BASELINE.md.
     scaling_repl = os.environ.get("SCALING_REPL", "480")
 
-    def steal_jiffies() -> int:
-        # /proc/stat cpu line, 8th value: CPU stolen by the hypervisor for
-        # other tenants — the direct witness for degraded-window campaigns
-        try:
-            with open("/proc/stat") as f:
-                return int(f.readline().split()[8])
-        except Exception:
-            return 0
-
     steal_log: list[float] = []
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPL=scaling_repl)
-        s0 = steal_jiffies()
+        s0 = _steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        steal_log.append(round((steal_jiffies() - s0) / 100.0, 1))
+        steal_log.append(round((_steal_jiffies() - s0) / 100.0, 1))
         return json.loads(out.strip().splitlines()[-1])
 
     def runs_of(ncpu: int, reps: int) -> list[float]:
