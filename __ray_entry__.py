@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_plan": webgeo.q_shard_plan,
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
+        "dbscan_census": webgeo.q_dbscan_census,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": training.q_triangles,
         "kcore": training.q_kcore,
         "bfs_reach": training.q_bfs_reach,
+        "sssp_bounded": training.q_sssp_bounded,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -234,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "way_assembly": _q_way_assembly,
         "route_mileage": _q_route_mileage,
         "haversine_mileage": _q_haversine_mileage,
+        "segment_crossings": _q_segment_crossings,
+        "map_match": _q_map_match,
+        "vw_simplify": _q_vw_simplify,
         "overlay_area": _q_overlay_area,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
@@ -505,6 +510,48 @@ def _q_haversine_mileage(sf_dir: str):
     return osm.haversine_mileage(sf_dir)
 
 
+def _q_segment_crossings(sf_dir: str):
+    """Planar-overlay line-line crossing join (ST_Crosses): strict integer
+    orientation tests over grid-cell-bucketed local way segments."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.segment_crossings(sf_dir)
+
+
+def _sql_segment_crossings() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_segment_crossings()
+
+
+def _q_vw_simplify(sf_dir: str):
+    """One parallel Visvalingam-Whyatt round per assembled way — exact
+    integer doubled-triangle-area census (VisvalingamWhyatt.java parity)."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.vw_simplify_census(sf_dir)
+
+
+def _sql_vw_simplify() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_vw_simplify_census()
+
+
+def _q_map_match(sf_dir: str):
+    """GPS map matching: nearest-road-segment join within a search radius
+    (clamped-projection distance, exact cell-cover candidate join)."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.map_match(sf_dir)
+
+
+def _sql_map_match() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_map_match()
+
+
 def _sql_bearing_octants() -> str:
     from planetiler_ray.pipelines import osm
 
@@ -607,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": oracle.sql_shard_plan(),
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
+        "dbscan_census": oracle.sql_dbscan_census(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),
@@ -708,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),
         "bfs_reach": oracle.sql_bfs_reach(),
+        "sssp_bounded": oracle.sql_sssp_bounded(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),
@@ -814,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
         "way_assembly": _sql_way_assembly(),
         "route_mileage": _sql_route_mileage(),
         "haversine_mileage": _sql_haversine_mileage(),
+        "segment_crossings": _sql_segment_crossings(),
+        "map_match": _sql_map_match(),
+        "vw_simplify": _sql_vw_simplify(),
         "overlay_area": _sql_overlay_area(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

@@ -1165,6 +1165,68 @@ ORDER BY 1
 """
 
 
+def sql_dbscan_census(z: int = 6, minpts: int = 3) -> str:
+    """Twin of ``webgeo.q_dbscan_census``: rebuild the raster, 3x3 density
+    via a bounded self-join, clusters via the recursive transitive-closure
+    CTE, border = min adjacent cluster, plus the always-emitted noise row."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+cells0 AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells0),
+nb AS (
+    SELECT a.cell, CAST(sum(b.n) AS BIGINT) AS dens
+    FROM c a JOIN c b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+    GROUP BY 1),
+core AS (SELECT c.* FROM c JOIN nb USING (cell) WHERE nb.dens >= {minpts}),
+adj AS (
+    SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+        ON b.cell = a.cell + 1 AND a.x < {n} - 1
+    UNION ALL
+    SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+        ON b.cell = a.cell + {n}
+),
+bi AS (SELECT u, v FROM adj UNION ALL SELECT v AS u, u AS v FROM adj),
+reach(cell, lab) AS (
+    SELECT cell, cell AS lab FROM core
+    UNION
+    SELECT e.v AS cell, r.lab FROM reach r JOIN bi e ON e.u = r.cell
+),
+comp AS (SELECT cell, min(lab) AS cluster_id FROM reach GROUP BY cell),
+clusters AS (
+    SELECT comp.cluster_id, count(*) AS core_cells,
+           CAST(sum(core.n) AS BIGINT) AS core_points
+    FROM comp JOIN core USING (cell) GROUP BY 1),
+noncore AS (SELECT c.* FROM c WHERE c.cell NOT IN (SELECT cell FROM core)),
+border AS (
+    SELECT nc.cell, min(nc.n) AS n, min(comp.cluster_id) AS cluster_id
+    FROM noncore nc
+    JOIN core k ON abs(nc.x - k.x) + abs(nc.y - k.y) = 1
+    JOIN comp ON comp.cell = k.cell
+    GROUP BY nc.cell),
+bstats AS (
+    SELECT cluster_id, count(*) AS other_cells,
+           CAST(sum(n) AS BIGINT) AS other_points
+    FROM border GROUP BY 1),
+noise AS (
+    SELECT CAST(-1 AS BIGINT) AS cluster_id,
+           CAST(0 AS BIGINT) AS core_cells, CAST(0 AS BIGINT) AS core_points,
+           count(*) AS other_cells,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS other_points
+    FROM noncore WHERE cell NOT IN (SELECT cell FROM border))
+SELECT cl.cluster_id, cl.core_cells, cl.core_points,
+       CAST(coalesce(b.other_cells, 0) AS BIGINT) AS other_cells,
+       CAST(coalesce(b.other_points, 0) AS BIGINT) AS other_points
+FROM clusters cl LEFT JOIN bstats b USING (cluster_id)
+UNION ALL
+SELECT * FROM noise
+ORDER BY 1
+"""
+
+
 def sql_admin_top_terms(k: int = 3) -> str:
     """Twin of ``webgeo.q_admin_top_terms``: first-mention admin box join,
     token counts per admin, row_number top-k (ties token ASC)."""
@@ -3878,6 +3940,41 @@ r{h} AS (
         sel.append(f"SELECT node, CAST({h} AS BIGINT) FROM"
                    f" (SELECT node FROM r{h} EXCEPT SELECT node FROM r{h-1})")
     parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)
+
+
+def sql_sssp_bounded(seed_mod: int = 101, rounds: int = 3,
+                     w_lo: int = 1, w_span: int = 9) -> str:
+    """Mirror of ``training.q_sssp_bounded``: Bellman-Ford rounds unrolled
+    as min-plus joins (d_k = min(d_{k-1}, min over edges of d_{k-1} + w)),
+    edge weights derived from the canonical deduped pair."""
+    parts = [f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * doc_id + t.a) % n.nn AS dst
+    FROM documents CROSS JOIN (VALUES (7), (13), (29)) t(a) CROSS JOIN n
+),
+e AS (
+    SELECT a, b, {w_lo} + (a * 3 + b * 7) % {w_span} AS w FROM (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst)
+),
+d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+       FROM documents WHERE doc_id % {seed_mod} = 0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+d{k} AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{k-1}
+        UNION ALL
+        SELECT e.b AS node, d.dist + e.w FROM e JOIN d{k-1} d ON e.a = d.node
+        UNION ALL
+        SELECT e.a AS node, d.dist + e.w FROM e JOIN d{k-1} d ON e.b = d.node
+    ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node AS node_id, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+ORDER BY 1""")
     return "".join(parts)
 
 

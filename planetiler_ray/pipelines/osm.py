@@ -459,6 +459,514 @@ FROM deltas GROUP BY way_id
 """
 
 
+# --------------------------------------- planar overlay / map matching ------
+#
+# Both operators run over the LOCAL-world way segments (the road-scale
+# geometry of ``way_lines_ds``: per-way anchor + node offsets within
+# +-1000 mdeg, all integers) — raw node coords are world-scattered, which
+# would make every segment an intercontinental chord.  The grid exchange
+# key is a SEG_CELL-pitch cell: a segment is assigned to every cell its
+# bbox (expanded by the search radius, for map matching) touches, so any
+# geometrically-interacting pair is guaranteed to share a cell — the same
+# cover argument ``geo/pip.py`` uses, restated as data movement.
+
+SEG_CELL = 2000          # grid pitch (mdeg) == max per-axis segment span
+MATCH_R = 1000           # map-match search radius (mdeg)
+PROBE_X_MULT, PROBE_Y_MULT = 131, 173
+
+
+def _local_segments(g: pa.Table):
+    """Local-world segments from a way-bucket group: sort (way, seq, node),
+    consecutive same-way pairs; returns int64 arrays
+    (way_id, seq-of-first-endpoint, x1, y1, x2, y2), zero-length dropped."""
+    wid = g.column("way_id").to_numpy()
+    seq = g.column("seq").to_numpy()
+    nid = g.column("node_id").to_numpy()
+    lat = g.column("lat_mdeg").to_numpy()
+    lon = g.column("lon_mdeg").to_numpy()
+    order = np.lexsort((nid, seq, wid))
+    w, s = wid[order], seq[order]
+    base_y = (w * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+    base_x = (w * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+    y = base_y + (lat[order] % 2000) - 1000
+    x = base_x + (lon[order] % 2000) - 1000
+    same = w[1:] == w[:-1]
+    x1, y1 = x[:-1][same], y[:-1][same]
+    x2, y2 = x[1:][same], y[1:][same]
+    keep = (x1 != x2) | (y1 != y2)
+    return (w[:-1][same][keep], s[:-1][same][keep],
+            x1[keep], y1[keep], x2[keep], y2[keep])
+
+
+def _cell_ids(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return (cy + 64) * 512 + (cx + 256)
+
+
+def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Planar-overlay crossing detection (the ST_Intersects/ST_Crosses
+    line-line join — road crossings, conflation QA): every pair of
+    segments from DIFFERENT ways that properly cross (strict integer
+    orientation tests: ``o(p1,p2,q1)*o(p1,p2,q2) < 0`` both ways — exact,
+    no epsilon).
+
+    Scale shape: way⋈node join (ONE bucketed shuffle) -> per-bucket local
+    segments, each emitted to the <=4 SEG_CELL grid cells its bbox touches
+    -> ``groupby(cell)`` co-locates every potentially-crossing pair (a
+    crossing point lies in some cell; both bboxes cover it) -> vectorized
+    block-pairwise orientation tests inside the cell body -> one tiny
+    (way_a, seq_a, way_b, seq_b) groupby dedups multi-cell pairs.  Cross
+    products are bounded by the local span (<= 2e14) — exact int64.
+    Output: (way_a, seq_a, way_b, seq_b), way_a < way_b.
+    """
+
+    def emit_cells(g: pa.Table) -> pa.Table:
+        w, s, x1, y1, x2, y2 = _local_segments(g)
+        cx_lo = np.minimum(x1, x2) // SEG_CELL
+        cx_hi = np.maximum(x1, x2) // SEG_CELL
+        cy_lo = np.minimum(y1, y2) // SEG_CELL
+        cy_hi = np.maximum(y1, y2) // SEG_CELL
+        outs = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cx = cx_lo + dx
+                cy = cy_lo + dy
+                m = (cx <= cx_hi) & (cy <= cy_hi)
+                outs.append((_cell_ids(cx[m], cy[m]), w[m], s[m],
+                             x1[m], y1[m], x2[m], y2[m]))
+        cell = np.concatenate([o[0] for o in outs])
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "way_id": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+            "seq": pa.array(np.concatenate([o[2] for o in outs]), pa.int64()),
+            "x1": pa.array(np.concatenate([o[3] for o in outs]), pa.int64()),
+            "y1": pa.array(np.concatenate([o[4] for o in outs]), pa.int64()),
+            "x2": pa.array(np.concatenate([o[5] for o in outs]), pa.int64()),
+            "y2": pa.array(np.concatenate([o[6] for o in outs]), pa.int64()),
+        })
+
+    def cross_in_cell(g: pa.Table) -> pa.Table:
+        w = g.column("way_id").to_numpy()
+        s = g.column("seq").to_numpy()
+        x1 = g.column("x1").to_numpy()
+        y1 = g.column("y1").to_numpy()
+        x2 = g.column("x2").to_numpy()
+        y2 = g.column("y2").to_numpy()
+        n = len(w)
+        wa, sa, wb, sb = [], [], [], []
+        # block-pairwise: each 512-row block against all later rows
+        for lo in range(0, n, 512):
+            hi = min(lo + 512, n)
+            i = np.arange(lo, hi)[:, None]          # block rows
+            j = np.arange(lo + 1, n)[None, :]       # strictly-later rows
+            mask_ij = j > i                          # upper triangle only
+            # orientation of each endpoint of j against segment i and
+            # vice versa — strict proper crossing
+            dxi, dyi = (x2[i] - x1[i]), (y2[i] - y1[i])
+            o1 = dxi * (y1[j] - y1[i]) - dyi * (x1[j] - x1[i])
+            o2 = dxi * (y2[j] - y1[i]) - dyi * (x2[j] - x1[i])
+            dxj, dyj = (x2[j] - x1[j]), (y2[j] - y1[j])
+            o3 = dxj * (y1[i] - y1[j]) - dyj * (x1[i] - x1[j])
+            o4 = dxj * (y2[i] - y1[j]) - dyj * (x2[i] - x1[j])
+            hit = mask_ij & (w[i] != w[j]) & (o1 * o2 < 0) & (o3 * o4 < 0)
+            ii, jj = np.nonzero(hit)
+            ii = ii + lo
+            jj = jj + lo + 1
+            a_first = w[ii] < w[jj]
+            wa.append(np.where(a_first, w[ii], w[jj]))
+            sa.append(np.where(a_first, s[ii], s[jj]))
+            wb.append(np.where(a_first, w[jj], w[ii]))
+            sb.append(np.where(a_first, s[jj], s[ii]))
+        cat = (lambda xs: np.concatenate(xs) if xs else
+               np.array([], dtype=np.int64))
+        return pa.table({
+            "way_a": pa.array(cat(wa), pa.int64()),
+            "seq_a": pa.array(cat(sa), pa.int64()),
+            "way_b": pa.array(cat(wb), pa.int64()),
+            "seq_b": pa.array(cat(sb), pa.int64()),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        .groupby("wbucket")
+        .map_groups(lambda g: emit_cells(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: cross_in_cell(g.drop_columns(["cell"])),
+                    batch_format="pyarrow")
+        .groupby(["way_a", "seq_a", "way_b", "seq_b"])
+        .count()
+        .select_columns(["way_a", "seq_a", "way_b", "seq_b"])
+    )
+
+
+_SEG_CTE = f"""
+joined AS (
+    SELECT l.l_orderkey AS way_id, l.l_linenumber AS seq,
+           l.l_partkey AS node_id,
+           (l.l_partkey * {NODE_LAT_MULT}) % 170000 - 85000 AS lat_mdeg,
+           (l.l_partkey * {NODE_LON_MULT}) % 360000 - 180000 AS lon_mdeg
+    FROM lineitem l
+),
+pts AS (
+    SELECT way_id, seq, node_id,
+           CAST((way_id * {WAY_ANCHOR_LAT_MULT}) % 160000 - 80000
+             + ((lat_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS y,
+           CAST((way_id * {WAY_ANCHOR_LON_MULT}) % 350000 - 175000
+             + ((lon_mdeg % 2000) + 2000) % 2000 - 1000 AS BIGINT) AS x
+    FROM joined
+),
+seg AS (
+    SELECT * FROM (
+        SELECT way_id,
+               lag(seq) OVER w AS seq,
+               lag(x) OVER w AS x1, lag(y) OVER w AS y1,
+               x AS x2, y AS y2
+        FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+    ) WHERE x1 IS NOT NULL AND NOT (x1 = x2 AND y1 = y2)
+)"""
+
+
+def _fdiv(expr: str) -> str:
+    """Floor division by SEG_CELL mirroring numpy ``//`` (DuckDB's ``//``
+    truncates toward zero on negatives; floor(x/2000.0) is exact here —
+    |x| <= ~2e5, quotients never within an ulp of an integer boundary
+    unless exactly on it)."""
+    return f"CAST(floor(({expr}) / {SEG_CELL}.0) AS BIGINT)"
+
+
+def sql_segment_crossings() -> str:
+    """Twin of :func:`segment_crossings`: the same cell cover join with the
+    strict integer orientation predicates, DISTINCT over multi-cell pairs."""
+    return f"""
+WITH {_SEG_CTE},
+cells AS (
+    SELECT s.*, ({_fdiv('least(y1, y2)')} + gy.g + 64) * 512
+              + ({_fdiv('least(x1, x2)')} + gx.g + 256) AS cell
+    FROM seg s
+    CROSS JOIN (SELECT unnest([0, 1]) AS g) gx
+    CROSS JOIN (SELECT unnest([0, 1]) AS g) gy
+    WHERE {_fdiv('least(x1, x2)')} + gx.g <= {_fdiv('greatest(x1, x2)')}
+      AND {_fdiv('least(y1, y2)')} + gy.g <= {_fdiv('greatest(y1, y2)')}
+)
+SELECT DISTINCT
+    a.way_id AS way_a, a.seq AS seq_a, b.way_id AS way_b, b.seq AS seq_b
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.way_id < b.way_id
+WHERE ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+    * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+  AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+    * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+ORDER BY 1, 2, 3, 4
+"""
+
+
+VW_AREA2_MIN = 500000  # 2x-triangle-area keep threshold (mdeg^2)
+
+
+def vw_simplify_census(sf_dir: str, n_buckets: int = 64,
+                       area2_min: int = VW_AREA2_MIN) -> ray.data.Dataset:
+    """One PARALLEL Visvalingam-Whyatt simplification round over every
+    assembled local-world way (the reference's VW simplifier —
+    ``geo/VisvalingamWhyatt.java`` — restated as its data-parallel
+    variant: all interior vertices whose doubled effective triangle area
+    ``|cross(prev->v, prev->next)|`` falls below the threshold drop in one
+    pass, instead of one-at-a-time heap order; the shoelace stays in exact
+    int64, so the census has a bitwise SQL twin).
+
+    Scale shape: the ONE way⋈node bucketed join shuffle, then a purely
+    vectorized lag/lead pass per bucket (run boundaries via
+    ``np.flatnonzero(diff)``), partials are final (each way lives in one
+    bucket).  Output per way (>= 2 nodes):
+    (way_id, n_nodes, n_kept, removed_area2) — endpoints always kept.
+    """
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "way_id": pa.array([], pa.int64()),
+                "n_nodes": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "removed_area2": pa.array([], pa.int64()),
+            })
+        wid = g.column("way_id").to_numpy()
+        seq = g.column("seq").to_numpy()
+        nid = g.column("node_id").to_numpy()
+        lat = g.column("lat_mdeg").to_numpy()
+        lon = g.column("lon_mdeg").to_numpy()
+        order = np.lexsort((nid, seq, wid))
+        w = wid[order]
+        base_y = (w * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+        base_x = (w * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+        y = base_y + (lat[order] % 2000) - 1000
+        x = base_x + (lon[order] % 2000) - 1000
+        # interior vertices: previous and next row belong to the same way
+        interior = np.zeros(len(w), bool)
+        if len(w) >= 3:
+            interior[1:-1] = (w[2:] == w[1:-1]) & (w[:-2] == w[1:-1])
+        area2 = np.zeros(len(w), np.int64)
+        ii = np.flatnonzero(interior)
+        if len(ii):
+            px, py = x[ii - 1], y[ii - 1]
+            nx_, ny_ = x[ii + 1], y[ii + 1]
+            area2[ii] = np.abs((x[ii] - px) * (ny_ - py)
+                               - (nx_ - px) * (y[ii] - py))
+        removed = interior & (area2 < area2_min)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+        counts = np.diff(np.concatenate([starts, [len(w)]]))
+        ok = counts >= 2  # single-node ways dropped (no geometry)
+        rem_cnt = np.add.reduceat(removed.astype(np.int64), starts)
+        rem_a2 = np.add.reduceat(np.where(removed, area2, 0), starts)
+        return pa.table({
+            "way_id": pa.array(w[starts[ok]], pa.int64()),
+            "n_nodes": pa.array(counts[ok], pa.int64()),
+            "n_kept": pa.array(counts[ok] - rem_cnt[ok], pa.int64()),
+            "removed_area2": pa.array(rem_a2[ok], pa.int64()),
+        })
+
+    return (
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        .groupby("wbucket")
+        .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+    )
+
+
+def sql_vw_simplify_census(area2_min: int = VW_AREA2_MIN) -> str:
+    """Twin of :func:`vw_simplify_census`: lag/lead windows over the local
+    points, exact integer doubled triangle area."""
+    return f"""
+WITH {_SEG_CTE},
+tri AS (
+    SELECT way_id,
+           lag(x) OVER w AS px, lag(y) OVER w AS py,
+           x, y,
+           lead(x) OVER w AS nx, lead(y) OVER w AS ny
+    FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
+),
+marked AS (
+    SELECT way_id,
+           CASE WHEN px IS NULL OR nx IS NULL THEN NULL
+                ELSE abs((x - px) * (ny - py) - (nx - px) * (y - py))
+           END AS area2
+    FROM tri
+)
+SELECT way_id,
+       count(*) AS n_nodes,
+       CAST(count(*) - sum(CASE WHEN area2 IS NOT NULL
+                  AND area2 < {area2_min} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(coalesce(sum(CASE WHEN area2 IS NOT NULL
+                  AND area2 < {area2_min} THEN area2 END), 0) AS BIGINT)
+           AS removed_area2
+FROM marked GROUP BY way_id HAVING count(*) >= 2 ORDER BY 1
+"""
+
+
+def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """GPS map matching (nearest-road-segment join within a search radius
+    — the trajectory-snapping primitive): one deterministic probe point
+    per way (anchor + hash offset), matched to the nearest segment within
+    ``MATCH_R`` mdeg, ties broken by (way_id, seq).
+
+    Distance is the true point-to-segment distance: the clamped projection
+    ``t = clamp(dot/L2, 0, 1)`` chain runs in float64 mirrored
+    operand-for-operand in the SQL twin (ints in, one division, floor out
+    — the haversine-oracle discipline), compared on ``floor(d2)``.
+
+    Scale shape: segments go to every cell their R-expanded bbox touches
+    (<= 9 cells), probes to their own single cell, side-tagged on the SAME
+    cell exchange; the cell body does one (probes x candidates) vectorized
+    distance block + per-probe argmin.  Any segment within R of a probe
+    overlaps the probe's cell by construction, so the cell join is EXACT,
+    not approximate.  Output: (probe_id, way_id, seq, d2_floor).
+    """
+
+    def emit_seg_cells(g: pa.Table) -> pa.Table:
+        w, s, x1, y1, x2, y2 = _local_segments(g)
+        cx_lo = (np.minimum(x1, x2) - MATCH_R) // SEG_CELL
+        cx_hi = (np.maximum(x1, x2) + MATCH_R) // SEG_CELL
+        cy_lo = (np.minimum(y1, y2) - MATCH_R) // SEG_CELL
+        cy_hi = (np.maximum(y1, y2) + MATCH_R) // SEG_CELL
+        cols = [[] for _ in range(7)]
+        for dx in range(3):
+            for dy in range(3):
+                cx = cx_lo + dx
+                cy = cy_lo + dy
+                m = (cx <= cx_hi) & (cy <= cy_hi)
+                for k, arr in enumerate(
+                        (_cell_ids(cx[m], cy[m]), w[m], s[m],
+                         x1[m], y1[m], x2[m], y2[m])):
+                    cols[k].append(arr)
+        cat = [np.concatenate(c) if c else np.array([], dtype=np.int64)
+               for c in cols]
+        n = len(cat[0])
+        return pa.table({
+            "cell": pa.array(cat[0], pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "way_id": pa.array(cat[1], pa.int64()),
+            "seq": pa.array(cat[2], pa.int64()),
+            "x1": pa.array(cat[3], pa.int64()),
+            "y1": pa.array(cat[4], pa.int64()),
+            "x2": pa.array(cat[5], pa.int64()),
+            "y2": pa.array(cat[6], pa.int64()),
+        })
+
+    def emit_probes(batch: pa.Table) -> pa.Table:
+        wid = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        py = ((wid * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+              + (wid * PROBE_Y_MULT) % 1600 - 800)
+        px = ((wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+              + (wid * PROBE_X_MULT) % 1600 - 800)
+        n = len(wid)
+        return pa.table({
+            "cell": pa.array(_cell_ids(px // SEG_CELL, py // SEG_CELL),
+                             pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "way_id": pa.array(wid, pa.int64()),   # probe_id
+            "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "x1": pa.array(px, pa.int64()),
+            "y1": pa.array(py, pa.int64()),
+            "x2": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "y2": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def match_in_cell(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "probe_id": pa.array([], pa.int64()),
+            "way_id": pa.array([], pa.int64()),
+            "seq": pa.array([], pa.int64()),
+            "d2_floor": pa.array([], pa.int64()),
+        })
+        side = g.column("side").to_numpy()
+        is_p = side == 1
+        if not is_p.any() or is_p.all():
+            return empty
+        pid = g.column("way_id").to_numpy()[is_p]
+        px = g.column("x1").to_numpy()[is_p]
+        py = g.column("y1").to_numpy()[is_p]
+        w = g.column("way_id").to_numpy()[~is_p]
+        s = g.column("seq").to_numpy()[~is_p]
+        x1 = g.column("x1").to_numpy()[~is_p]
+        y1 = g.column("y1").to_numpy()[~is_p]
+        x2 = g.column("x2").to_numpy()[~is_p]
+        y2 = g.column("y2").to_numpy()[~is_p]
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        out = [[], [], [], []]
+        for lo in range(0, len(pid), 256):
+            hi = min(lo + 256, len(pid))
+            P = slice(lo, hi)
+            num = ((px[P, None] - x1[None, :]) * dx[None, :]
+                   + (py[P, None] - y1[None, :]) * dy[None, :])
+            t = num / l2[None, :]
+            tc = np.clip(t, 0.0, 1.0)
+            ex = px[P, None] - (x1[None, :] + tc * dx[None, :])
+            ey = py[P, None] - (y1[None, :] + tc * dy[None, :])
+            d2f = np.floor(ex * ex + ey * ey).astype(np.int64)
+            ok = d2f <= MATCH_R * MATCH_R
+            d2m = np.where(ok, d2f, np.int64(2**62))
+            # argmin with (d2f, way_id, seq) tie-break: lexsort columns
+            # per probe row — small candidate counts, one argsort pass
+            order = np.lexsort((np.broadcast_to(s, d2m.shape),
+                                np.broadcast_to(w, d2m.shape),
+                                d2m), axis=1)
+            best = order[:, 0]
+            rows = np.arange(hi - lo)
+            bok = ok[rows, best]
+            out[0].append(pid[P][bok])
+            out[1].append(w[best][bok])
+            out[2].append(s[best][bok])
+            out[3].append(d2m[rows, best][bok])
+        cat = [np.concatenate(c) if c else np.array([], dtype=np.int64)
+               for c in out]
+        return pa.table({
+            "probe_id": pa.array(cat[0], pa.int64()),
+            "way_id": pa.array(cat[1], pa.int64()),
+            "seq": pa.array(cat[2], pa.int64()),
+            "d2_floor": pa.array(cat[3], pa.int64()),
+        })
+
+    segs = (
+        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        .groupby("wbucket")
+        .map_groups(lambda g: emit_seg_cells(g.drop_columns(["wbucket"])),
+                    batch_format="pyarrow")
+    )
+    probes = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(emit_probes, batch_format="pyarrow")
+    return (
+        segs.union(probes)
+        .groupby("cell")
+        .map_groups(lambda g: match_in_cell(g.drop_columns(["cell"])),
+                    batch_format="pyarrow")
+    )
+
+
+def sql_map_match() -> str:
+    """Twin of :func:`map_match`: the same cell-cover candidate join, the
+    same clamped-projection float chain, row_number argmin."""
+    r2 = MATCH_R * MATCH_R
+    return f"""
+WITH {_SEG_CTE},
+scells AS (
+    SELECT s.*, ({_fdiv(f'least(y1, y2) - {MATCH_R}')} + gy.g + 64) * 512
+              + ({_fdiv(f'least(x1, x2) - {MATCH_R}')} + gx.g + 256) AS cell
+    FROM seg s
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS g) gx
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS g) gy
+    WHERE {_fdiv(f'least(x1, x2) - {MATCH_R}')} + gx.g
+            <= {_fdiv(f'greatest(x1, x2) + {MATCH_R}')}
+      AND {_fdiv(f'least(y1, y2) - {MATCH_R}')} + gy.g
+            <= {_fdiv(f'greatest(y1, y2) + {MATCH_R}')}
+),
+probes AS (
+    SELECT o_orderkey AS probe_id,
+           CAST((o_orderkey * {WAY_ANCHOR_LON_MULT}) % 350000 - 175000
+             + (o_orderkey * {PROBE_X_MULT}) % 1600 - 800 AS BIGINT) AS px,
+           CAST((o_orderkey * {WAY_ANCHOR_LAT_MULT}) % 160000 - 80000
+             + (o_orderkey * {PROBE_Y_MULT}) % 1600 - 800 AS BIGINT) AS py
+    FROM orders
+),
+cand AS (
+    SELECT p.probe_id, s.way_id, s.seq,
+           CAST(floor(
+             (p.px - (s.x1 + least(greatest(
+                 CAST((p.px - s.x1) * (s.x2 - s.x1)
+                    + (p.py - s.y1) * (s.y2 - s.y1) AS DOUBLE)
+                 / CAST((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1) AS DOUBLE),
+                 0.0), 1.0) * (s.x2 - s.x1)))
+           * (p.px - (s.x1 + least(greatest(
+                 CAST((p.px - s.x1) * (s.x2 - s.x1)
+                    + (p.py - s.y1) * (s.y2 - s.y1) AS DOUBLE)
+                 / CAST((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1) AS DOUBLE),
+                 0.0), 1.0) * (s.x2 - s.x1)))
+           + (p.py - (s.y1 + least(greatest(
+                 CAST((p.px - s.x1) * (s.x2 - s.x1)
+                    + (p.py - s.y1) * (s.y2 - s.y1) AS DOUBLE)
+                 / CAST((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1) AS DOUBLE),
+                 0.0), 1.0) * (s.y2 - s.y1)))
+           * (p.py - (s.y1 + least(greatest(
+                 CAST((p.px - s.x1) * (s.x2 - s.x1)
+                    + (p.py - s.y1) * (s.y2 - s.y1) AS DOUBLE)
+                 / CAST((s.x2 - s.x1) * (s.x2 - s.x1)
+                      + (s.y2 - s.y1) * (s.y2 - s.y1) AS DOUBLE),
+                 0.0), 1.0) * (s.y2 - s.y1)))
+           ) AS BIGINT) AS d2_floor
+    FROM probes p
+    JOIN scells s
+      ON s.cell = ({_fdiv('p.py')} + 64) * 512 + ({_fdiv('p.px')} + 256)
+)
+SELECT probe_id, way_id, seq, d2_floor FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY d2_floor, way_id, seq) AS rk
+    FROM cand WHERE d2_floor <= {r2}
+) WHERE rk = 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------------ relations / multipolygons --
 
 REL_X_MULT, REL_Y_MULT = 48611, 39829

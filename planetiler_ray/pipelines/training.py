@@ -3125,6 +3125,28 @@ def q_bfs_reach(sf_dir: str, hops: int = 3):
     return ray.data.from_pandas(graph.bfs_hops(e, n_nodes=n, hops=hops))
 
 
+def q_sssp_bounded(sf_dir: str, rounds: int = 3):
+    """Bounded-round WEIGHTED shortest paths (3 Bellman-Ford relaxations
+    from doc_id%101==0 seeds) over the pagerank link graph with
+    deterministic integer edge weights — the weighted companion of
+    :func:`q_bfs_reach`; fully-unrolled min-plus SQL twin."""
+    from ..stages import graph
+
+    import pyarrow.parquet as pq2
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return ray.data.from_pandas(graph.sssp_rounds(e, n_nodes=n, rounds=rounds))
+
+
 def q_ks_drift(sf_dir: str):
     """Two-sample Kolmogorov-Smirnov distribution-drift statistic between
     every source pair over doc length (``n_chars``) — integer-exact:

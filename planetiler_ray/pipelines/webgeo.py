@@ -165,6 +165,20 @@ def q_raster_regions(sf_dir: str, z: int = 6, threshold: int = 2) -> ray.data.Da
     return raster_regions(mentions_ds(sf_dir), z=z, threshold=threshold)
 
 
+def q_dbscan_census(sf_dir: str, z: int = 6, minpts: int = 3) -> ray.data.Dataset:
+    """Grid DBSCAN over the geoparsed mentions: zoom-``z`` cells are CORE
+    when their 3x3 neighborhood holds >= ``minpts`` points, clusters are
+    4-connected core components, adjacent occupied cells are BORDER,
+    the rest NOISE (``stages.tiling.dbscan_census``).  Exact oracle: the
+    SQL twin rebuilds the raster, takes the 3x3 density via a bounded
+    self-join, closes clusters with the same recursive transitive-closure
+    CTE as ``raster_regions``, and mirrors the min-label border
+    assignment."""
+    from ..stages.tiling import dbscan_census
+
+    return dbscan_census(mentions_ds(sf_dir), z=z, minpts=minpts)
+
+
 def q_admin_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Geo x text fusion: the top-k corpus tokens per admin region, where a
     document belongs to the region containing its FIRST mention — the

@@ -352,3 +352,86 @@ def bfs_hops(edges_ds, n_nodes: int, seed_mod: int = 101, hops: int = 3,
 
     reached = np.flatnonzero(hop >= 0)
     return pd.DataFrame({"node_id": reached, "hop": hop[reached]})
+
+
+def sssp_rounds(edges_ds, n_nodes: int, seed_mod: int = 101, rounds: int = 3,
+                w_lo: int = 1, w_span: int = 9,
+                src_col: str = "src", dst_col: str = "dst"):
+    """Bounded-round single-source-set shortest paths (Bellman-Ford with
+    simultaneous relaxation) — the WEIGHTED companion of :func:`bfs_hops`
+    (link-graph crawl cost, weighted contamination spread, road-network
+    reach with per-edge costs).
+
+    Edge weights are derived deterministically from the canonical endpoint
+    pair (``w = w_lo + (a*3 + b*7) % w_span``) AFTER dedup so both engine
+    and SQL twin see identical weights.  Each round relaxes every edge
+    against the PREVIOUS round's distance vector (Jacobi, not Gauss-Seidel
+    — that is what makes a fixed round count exactly unrollable in SQL).
+
+    Scale shape: identical to :func:`bfs_hops` — the loop-invariant edge
+    set is deduped once and cached; each round broadcasts the O(V) distance
+    vector (``ray.put``) and collects per-batch (node, min-candidate)
+    partials into one small groupby-min.  Returns pandas
+    (node_id, dist) for nodes reached within ``rounds`` relaxations.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy()
+        t = batch.column(dst_col).to_numpy()
+        m = s != t
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[m], t[m]), pa.int64()),
+                "b": pa.array(np.maximum(s[m], t[m]), pa.int64()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # loop-invariant, reused every round (spillable)
+    )
+
+    INF = np.int64(2**62)
+    dist = np.full(n_nodes, INF, dtype=np.int64)
+    dist[np.arange(n_nodes) % seed_mod == 0] = 0
+    for _ in range(rounds):
+        handle = ray.put(dist)
+
+        def relax(batch: pa.Table, handle=handle) -> pa.Table:
+            d = ray.get(handle)
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            w = w_lo + (a * 3 + b * 7) % w_span
+            # candidates in both directions where the source end is reached
+            ma = d[a] < INF
+            mb = d[b] < INF
+            node = np.concatenate([b[ma], a[mb]])
+            cand = np.concatenate([d[a][ma] + w[ma], d[b][mb] + w[mb]])
+            if not len(node):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d_cand": pa.array([], pa.int64())})
+            # per-batch partial min before the exchange
+            order = np.lexsort((cand, node))
+            node, cand = node[order], cand[order]
+            first = np.ones(len(node), dtype=bool)
+            first[1:] = node[1:] != node[:-1]
+            return pa.table({"node": pa.array(node[first], pa.int64()),
+                             "d_cand": pa.array(cand[first], pa.int64())})
+
+        mins = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("d_cand", alias_name="d"))
+            .to_pandas()
+        )
+        if len(mins):
+            idx = mins["node"].to_numpy()
+            dist[idx] = np.minimum(dist[idx], mins["d"].to_numpy())
+
+    reached = np.flatnonzero(dist < INF)
+    return pd.DataFrame({"node_id": reached, "dist": dist[reached]})

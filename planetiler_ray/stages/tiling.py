@@ -14,6 +14,7 @@ DuckDB-oracle-mirrored formulas: see ``planetiler_ray.oracle.sql_tile_expr``.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..geo import clip, hexgrid, mercator, s2, tile
@@ -571,3 +572,110 @@ def raster_regions(points_ds, z: int = 6, threshold: int = 2,
             Max("y", alias_name="max_y"),
         )
     )
+
+
+def dbscan_census(points_ds, z: int = 6, minpts: int = 3,
+                  lat_col: str = "lat", lon_col: str = "lon"):
+    """Grid DBSCAN (the cell-based DBSCAN variant every big-data system
+    ships — density clustering over a bounded raster): a zoom-``z`` cell
+    is CORE if its 3x3 neighborhood holds >= ``minpts`` points; clusters
+    are 4-connected components of core cells; an occupied non-core cell
+    4-adjacent to a core cell is BORDER (assigned to the min-labelled
+    adjacent cluster); everything else occupied is NOISE.
+
+    Scale shape: identical to :func:`raster_regions` — per-batch partial
+    cell counts -> ONE groupby-sum bounds state at 4**z cells (a constant
+    of the query, independent of row count); the density / labeling /
+    census passes then run vectorized on the materialized <=4**z-row cell
+    table (the documented bounded-raster fast path; past z~11 the
+    distributed neighbor-emission + min-label-propagation path of
+    ``raster_regions`` applies verbatim).
+
+    Output: one row per cluster (cluster_id = min core cell id,
+    core_cells, core_points, other_cells, other_points = border stats)
+    plus ONE noise row (cluster_id = -1, zeros, noise cells/points) —
+    always emitted, zero-filled when there is no noise.
+    """
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    n_side = 1 << z
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    df = (
+        points_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # <= 4**z rows by construction
+    )
+    order = np.argsort(df["cell"].to_numpy())
+    cells = df["cell"].to_numpy()[order]
+    n = df["n"].to_numpy()[order]
+    x = cells % n_side
+    y = cells // n_side
+    m = len(cells)
+
+    # 3x3 neighborhood density via sorted membership probes
+    dens = np.zeros(m, np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            valid = ((x + dx >= 0) & (x + dx < n_side)
+                     & (y + dy >= 0) & (y + dy < n_side))
+            tgt = cells + dy * n_side + dx
+            pos = np.searchsorted(cells, tgt)
+            ok = valid & (pos < m)
+            ok[ok] = cells[pos[ok]] == tgt[ok]
+            dens[ok] += n[pos[ok]]
+
+    is_core = dens >= minpts
+    core_cells = cells[is_core]
+    core_n = n[is_core]
+    region = _label_grid_components(core_cells, n_side)
+
+    # border: occupied non-core, 4-adjacent to a core cell; cluster =
+    # min region over adjacent cores (deterministic assignment)
+    nc_cells = cells[~is_core]
+    nc_n = n[~is_core]
+    nx, ny = nc_cells % n_side, nc_cells // n_side
+    INF = np.int64(2**62)
+    bcluster = np.full(len(nc_cells), INF, np.int64)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        valid = ((nx + dx >= 0) & (nx + dx < n_side)
+                 & (ny + dy >= 0) & (ny + dy < n_side))
+        tgt = nc_cells + dy * n_side + dx
+        pos = np.searchsorted(core_cells, tgt)
+        ok = valid & (pos < len(core_cells))
+        ok[ok] = core_cells[pos[ok]] == tgt[ok]
+        bcluster[ok] = np.minimum(bcluster[ok], region[pos[ok]])
+    is_border = bcluster < INF
+
+    # census
+    uniq, inv = np.unique(region, return_inverse=True)
+    core_cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    core_pts = np.zeros(len(uniq), np.int64)
+    np.add.at(core_pts, inv, core_n)
+    bc = np.zeros(len(uniq), np.int64)
+    bp = np.zeros(len(uniq), np.int64)
+    if is_border.any():
+        bu = np.searchsorted(uniq, bcluster[is_border])
+        np.add.at(bc, bu, 1)
+        np.add.at(bp, bu, nc_n[is_border])
+    noise_cells = int((~is_border).sum())
+    noise_pts = int(nc_n[~is_border].sum())
+    out = pd.DataFrame({
+        "cluster_id": np.concatenate([uniq, [np.int64(-1)]]),
+        "core_cells": np.concatenate([core_cnt, [0]]),
+        "core_points": np.concatenate([core_pts, [0]]),
+        "other_cells": np.concatenate([bc, [noise_cells]]),
+        "other_points": np.concatenate([bp, [noise_pts]]),
+    }).astype(np.int64)
+    return ray.data.from_pandas(out)
