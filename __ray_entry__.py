@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": _q_segment_crossings,
         "map_match": _q_map_match,
         "vw_simplify": _q_vw_simplify,
+        "rect_union_area": _q_rect_union_area,
         "overlay_area": _q_overlay_area,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
@@ -522,6 +523,21 @@ def _sql_segment_crossings() -> str:
     from planetiler_ray.pipelines import osm
 
     return osm.sql_segment_crossings()
+
+
+def _q_rect_union_area(sf_dir: str):
+    """Klee's 2-D measure: exact union area of the overlapping relation
+    rectangles via slab decomposition + per-slab compressed 2-D difference
+    arrays; SQL twin sweeps globally — decomposition-independent result."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.rect_union_area(sf_dir)
+
+
+def _sql_rect_union_area() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_rect_union_area()
 
 
 def _q_vw_simplify(sf_dir: str):
@@ -866,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_crossings": _sql_segment_crossings(),
         "map_match": _sql_map_match(),
         "vw_simplify": _sql_vw_simplify(),
+        "rect_union_area": _sql_rect_union_area(),
         "overlay_area": _sql_overlay_area(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

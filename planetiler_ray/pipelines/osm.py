@@ -982,6 +982,132 @@ def _rel_rect(custkey: np.ndarray):
     return x0, y0, w, h
 
 
+UNION_SLAB = 10000  # x-slab pitch (mdeg) for the rect-union exchange
+
+
+def rect_union_area(sf_dir: str, pitch: int = UNION_SLAB) -> ray.data.Dataset:
+    """Klee's measure in 2-D: the EXACT union area of all (overlapping)
+    relation rectangles — the dissolve/ST_Union-area primitive (coverage
+    analysis, footprint dedup).
+
+    Scale shape: slab decomposition — each rect is clipped to the <=3
+    fixed-pitch x-slabs it spans (union area is additive across disjoint
+    slabs), ONE ``groupby(slab)`` exchange co-locates each slab's pieces,
+    and the slab body computes its exact union via a coordinate-compressed
+    2-D difference array (+1/-1 at piece corners -> 2-D cumsum -> covered
+    sub-cells x sub-cell areas; all integer).  No global coordinate
+    compression, no driver-side sweep: per-slab state is bounded by the
+    rects overlapping that slab, and ``pitch`` tunes the slab population
+    at larger scales.  Output: ONE row (union_area, n_rects).
+    """
+    import pyarrow.parquet as pq2
+    from ray.data.aggregate import Sum
+
+    n_rects = pq2.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+
+    def emit_pieces(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_custkey").to_numpy().astype(np.int64)
+        x0, y0, w, h = _rel_rect(c)
+        x1, y1 = x0 + w, y0 + h
+        s_lo = x0 // pitch
+        s_hi = (x1 - 1) // pitch
+        outs = []
+        for d in range(3):
+            s = s_lo + d
+            m = s <= s_hi
+            px0 = np.maximum(x0[m], s[m] * pitch)
+            px1 = np.minimum(x1[m], (s[m] + 1) * pitch)
+            outs.append((s[m], px0, px1, y0[m], y1[m]))
+        return pa.table({
+            "slab": pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+            "x0": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+            "x1": pa.array(np.concatenate([o[2] for o in outs]), pa.int64()),
+            "y0": pa.array(np.concatenate([o[3] for o in outs]), pa.int64()),
+            "y1": pa.array(np.concatenate([o[4] for o in outs]), pa.int64()),
+        })
+
+    def slab_union(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"area_part": pa.array([], pa.int64())})
+        x0 = g.column("x0").to_numpy()
+        x1 = g.column("x1").to_numpy()
+        y0 = g.column("y0").to_numpy()
+        y1 = g.column("y1").to_numpy()
+        xs = np.unique(np.concatenate([x0, x1]))
+        ys = np.unique(np.concatenate([y0, y1]))
+        diff = np.zeros((len(xs), len(ys)), np.int32)
+        xi0 = np.searchsorted(xs, x0)
+        xi1 = np.searchsorted(xs, x1)
+        yi0 = np.searchsorted(ys, y0)
+        yi1 = np.searchsorted(ys, y1)
+        np.add.at(diff, (xi0, yi0), 1)
+        np.add.at(diff, (xi1, yi0), -1)
+        np.add.at(diff, (xi0, yi1), -1)
+        np.add.at(diff, (xi1, yi1), 1)
+        cov = diff.cumsum(axis=0).cumsum(axis=1)[:-1, :-1] > 0
+        wx = np.diff(xs)
+        wy = np.diff(ys)
+        area = int((wx[:, None] * wy[None, :] * cov).sum())
+        return pa.table({"area_part": pa.array([area], pa.int64())})
+
+    total = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+        .map_batches(emit_pieces, batch_format="pyarrow")
+        .groupby("slab")
+        .map_groups(lambda g: slab_union(g.drop_columns(["slab"])),
+                    batch_format="pyarrow")
+        .sum("area_part")
+    )
+    return ray.data.from_pandas(pd.DataFrame(
+        {"union_area": [int(total or 0)], "n_rects": [int(n_rects)]}
+    ).astype(np.int64))
+
+
+def sql_rect_union_area() -> str:
+    """Twin of :func:`rect_union_area` by a DIFFERENT exact algorithm (the
+    classic global x-boundary sweep with a running-max y-interval union) —
+    union area is decomposition-independent, so the two derivations must
+    agree to the integer."""
+    return f"""
+WITH rects AS (
+    SELECT (c_custkey * {REL_X_MULT}) % 300000 - 150000 AS x0,
+           (c_custkey * {REL_Y_MULT}) % 140000 - 70000 AS y0,
+           (c_custkey * {REL_X_MULT}) % 300000 - 150000
+             + 5000 + (c_custkey % 7) * 1000 AS x1,
+           (c_custkey * {REL_Y_MULT}) % 140000 - 70000
+             + 4000 + (c_custkey % 5) * 1000 AS y1
+    FROM customer
+),
+xs AS (SELECT DISTINCT x FROM (SELECT x0 AS x FROM rects
+                               UNION SELECT x1 FROM rects)),
+slabs AS (SELECT x AS xa, lead(x) OVER (ORDER BY x) AS xb FROM xs),
+cover AS (
+    SELECT s.xa, s.xb, r.y0, r.y1
+    FROM slabs s JOIN rects r ON r.x0 <= s.xa AND r.x1 >= s.xb
+    WHERE s.xb IS NOT NULL
+),
+m AS (
+    SELECT xa, xb, y0, y1,
+           max(y1) OVER (PARTITION BY xa ORDER BY y0, y1
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prevmax
+    FROM cover
+),
+seg AS (
+    SELECT xa, xb,
+           CASE WHEN prevmax IS NULL THEN y1 - y0
+                WHEN prevmax >= y1 THEN 0
+                WHEN prevmax >= y0 THEN y1 - prevmax
+                ELSE y1 - y0 END AS ylen
+    FROM m
+)
+SELECT CAST(coalesce(sum(ylen * (xb - xa)), 0) AS BIGINT) AS union_area,
+       (SELECT count(*) FROM rects) AS n_rects
+FROM seg
+"""
+
+
 def relation_members_ds(sf_dir: str) -> ray.data.Dataset:
     """Member ways per relation: each relation's outer ring arrives as TWO
     open way segments (the second reversed); every third relation adds a hole

@@ -151,3 +151,21 @@ def test_sssp_jacobi_round_bound(ray_session):
         {"src": [0, 1, 2], "dst": [1, 2, 3]}))
     out = graph.sssp_rounds(e, n_nodes=4, seed_mod=101, rounds=1)
     assert set(out["node_id"]) == {0, 1}
+
+
+def test_rect_union_area_decomposition_independent(ray_session, sf_dir):
+    from planetiler_ray.pipelines import osm
+
+    a = osm.rect_union_area(sf_dir, pitch=10000).to_pandas()
+    b = osm.rect_union_area(sf_dir, pitch=6500).to_pandas()
+    assert a["union_area"].iloc[0] == b["union_area"].iloc[0]
+    # bounded by the sum of areas and at least the largest single rect
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    c = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey"])["c_custkey"].to_numpy()
+    x0, y0, w, h = osm._rel_rect(c)
+    assert a["union_area"].iloc[0] <= int((w.astype(np.int64) * h).sum())
+    assert a["union_area"].iloc[0] >= int((w.astype(np.int64) * h).max())
+    assert a["n_rects"].iloc[0] == len(c)
