@@ -167,6 +167,15 @@ def run_bench() -> dict:
     timed("tpch_q16", lambda: partsupp.q_tpch_q16(SF_DIR).count())
     timed("tpch_q20", lambda: partsupp.q_tpch_q20(SF_DIR).count())
     timed("kmeans_lloyd", lambda: training.q_kmeans_lloyd(SF_DIR).count())
+    timed("segment_crossings", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["segment_crossings"]
+    ).segment_crossings(SF_DIR).count())
+    timed("map_match", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["map_match"]
+    ).map_match(SF_DIR).count())
+    timed("rect_union_area", lambda: __import__(
+        "planetiler_ray.pipelines.osm", fromlist=["rect_union_area"]
+    ).rect_union_area(SF_DIR).count())
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",

@@ -478,14 +478,20 @@ PROBE_X_MULT, PROBE_Y_MULT = 131, 173
 def _local_segments(g: pa.Table):
     """Local-world segments from a way-bucket group: sort (way, seq, node),
     consecutive same-way pairs; returns int64 arrays
-    (way_id, seq-of-first-endpoint, x1, y1, x2, y2), zero-length dropped."""
+    (way_id, rank-of-first-endpoint, x1, y1, x2, y2), zero-length dropped.
+    The segment key is the 0-based ROW RANK within the way (not the raw
+    seq — l_linenumber can repeat per order), so keys are unique by
+    construction; the SQL twin mirrors it as ``row_number() OVER w``."""
     wid = g.column("way_id").to_numpy()
     seq = g.column("seq").to_numpy()
     nid = g.column("node_id").to_numpy()
     lat = g.column("lat_mdeg").to_numpy()
     lon = g.column("lon_mdeg").to_numpy()
     order = np.lexsort((nid, seq, wid))
-    w, s = wid[order], seq[order]
+    w = wid[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(w)]]))
+    s = np.arange(len(w), dtype=np.int64) - np.repeat(starts, counts)
     base_y = (w * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
     base_x = (w * WAY_ANCHOR_LON_MULT) % 350000 - 175000
     y = base_y + (lat[order] % 2000) - 1000
@@ -519,6 +525,8 @@ def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     Output: (way_a, seq_a, way_b, seq_b), way_a < way_b.
     """
 
+    n_cbuckets = max(n_buckets, 1)
+
     def emit_cells(g: pa.Table) -> pa.Table:
         w, s, x1, y1, x2, y2 = _local_segments(g)
         cx_lo = np.minimum(x1, x2) // SEG_CELL
@@ -535,6 +543,10 @@ def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
                              x1[m], y1[m], x2[m], y2[m]))
         cell = np.concatenate([o[0] for o in outs])
         return pa.table({
+            # cells hash-bucketed so each exchange partition carries
+            # THOUSANDS of cells (one group call per bucket, not per cell
+            # — the repo's standard tiny-group fix)
+            "cb": pa.array(cell % n_cbuckets, pa.int64()),
             "cell": pa.array(cell, pa.int64()),
             "way_id": pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
             "seq": pa.array(np.concatenate([o[2] for o in outs]), pa.int64()),
@@ -544,45 +556,80 @@ def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "y2": pa.array(np.concatenate([o[6] for o in outs]), pa.int64()),
         })
 
-    def cross_in_cell(g: pa.Table) -> pa.Table:
-        w = g.column("way_id").to_numpy()
-        s = g.column("seq").to_numpy()
-        x1 = g.column("x1").to_numpy()
-        y1 = g.column("y1").to_numpy()
-        x2 = g.column("x2").to_numpy()
-        y2 = g.column("y2").to_numpy()
-        n = len(w)
+    def cross_in_bucket(g: pa.Table) -> pa.Table:
+        empty = {
+            "way_a": pa.array([], pa.int64()),
+            "seq_a": pa.array([], pa.int64()),
+            "way_b": pa.array([], pa.int64()),
+            "seq_b": pa.array([], pa.int64()),
+        }
+        if g.num_rows == 0:
+            return pa.table(empty)
+        cell = g.column("cell").to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell = cell[order]
+        w = g.column("way_id").to_numpy()[order]
+        s = g.column("seq").to_numpy()[order]
+        x1 = g.column("x1").to_numpy()[order]
+        y1 = g.column("y1").to_numpy()[order]
+        x2 = g.column("x2").to_numpy()[order]
+        y2 = g.column("y2").to_numpy()[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1,
+                                 [len(cell)]])
         wa, sa, wb, sb = [], [], [], []
-        # block-pairwise: each 512-row block against all later rows
-        for lo in range(0, n, 512):
-            hi = min(lo + 512, n)
-            i = np.arange(lo, hi)[:, None]          # block rows
-            j = np.arange(lo + 1, n)[None, :]       # strictly-later rows
-            mask_ij = j > i                          # upper triangle only
-            # orientation of each endpoint of j against segment i and
-            # vice versa — strict proper crossing
-            dxi, dyi = (x2[i] - x1[i]), (y2[i] - y1[i])
-            o1 = dxi * (y1[j] - y1[i]) - dyi * (x1[j] - x1[i])
-            o2 = dxi * (y2[j] - y1[i]) - dyi * (x2[j] - x1[i])
-            dxj, dyj = (x2[j] - x1[j]), (y2[j] - y1[j])
-            o3 = dxj * (y1[i] - y1[j]) - dyj * (x1[i] - x1[j])
-            o4 = dxj * (y2[i] - y1[j]) - dyj * (x2[i] - x1[j])
-            hit = mask_ij & (w[i] != w[j]) & (o1 * o2 < 0) & (o3 * o4 < 0)
-            ii, jj = np.nonzero(hit)
-            ii = ii + lo
-            jj = jj + lo + 1
-            a_first = w[ii] < w[jj]
-            wa.append(np.where(a_first, w[ii], w[jj]))
-            sa.append(np.where(a_first, s[ii], s[jj]))
-            wb.append(np.where(a_first, w[jj], w[ii]))
-            sb.append(np.where(a_first, s[jj], s[ii]))
-        cat = (lambda xs: np.concatenate(xs) if xs else
-               np.array([], dtype=np.int64))
+        for k in range(len(starts) - 1):
+            lo, hi = starts[k], starts[k + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            # bounded-memory: pair blocks of rows against all later rows
+            # (one vectorized orientation pass per block; a hot cell never
+            # materializes its full n^2 upper triangle at once)
+            for blo in range(lo, hi - 1, 512):
+                bhi = min(blo + 512, hi - 1)
+                i = np.arange(blo, bhi)[:, None]
+                j = np.arange(blo + 1, hi)[None, :]
+                dxi, dyi = x2[i] - x1[i], y2[i] - y1[i]
+                o1 = dxi * (y1[j] - y1[i]) - dyi * (x1[j] - x1[i])
+                o2 = dxi * (y2[j] - y1[i]) - dyi * (x2[j] - x1[i])
+                dxj, dyj = x2[j] - x1[j], y2[j] - y1[j]
+                o3 = dxj * (y1[i] - y1[j]) - dyj * (x1[i] - x1[j])
+                o4 = dxj * (y2[i] - y1[j]) - dyj * (x2[i] - x1[j])
+                hit = ((j > i) & (w[i] != w[j])
+                       & (o1 * o2 < 0) & (o3 * o4 < 0))
+                bi, bj = np.nonzero(hit)
+                ii = bi + blo
+                jj = bj + blo + 1
+                # reference-cell dedup: a pair is claimed ONLY by the
+                # minimum cell both segments cover, so every crossing is
+                # emitted exactly once globally — no dedup exchange needed
+                ref_cx = np.maximum(
+                    np.minimum(x1[ii], x2[ii]) // SEG_CELL,
+                    np.minimum(x1[jj], x2[jj]) // SEG_CELL)
+                ref_cy = np.maximum(
+                    np.minimum(y1[ii], y2[ii]) // SEG_CELL,
+                    np.minimum(y1[jj], y2[jj]) // SEG_CELL)
+                mine = _cell_ids(ref_cx, ref_cy) == cell[lo]
+                ii, jj = ii[mine], jj[mine]
+                a_first = w[ii] < w[jj]
+                wa.append(np.where(a_first, w[ii], w[jj]))
+                sa.append(np.where(a_first, s[ii], s[jj]))
+                wb.append(np.where(a_first, w[jj], w[ii]))
+                sb.append(np.where(a_first, s[jj], s[ii]))
+        if not wa:
+            return pa.table(empty)
+        # key uniqueness: the reference-cell rule makes every GEOMETRIC
+        # pair unique; distinct (way, seq) KEY pairs can still repeat when
+        # l_linenumber duplicates give two segments the same key — one
+        # tiny in-body unique pass keeps the output key-distinct
+        pairs = np.stack([np.concatenate(wa), np.concatenate(sa),
+                          np.concatenate(wb), np.concatenate(sb)])
+        pairs = np.unique(pairs, axis=1)
         return pa.table({
-            "way_a": pa.array(cat(wa), pa.int64()),
-            "seq_a": pa.array(cat(sa), pa.int64()),
-            "way_b": pa.array(cat(wb), pa.int64()),
-            "seq_b": pa.array(cat(sb), pa.int64()),
+            "way_a": pa.array(pairs[0], pa.int64()),
+            "seq_a": pa.array(pairs[1], pa.int64()),
+            "way_b": pa.array(pairs[2], pa.int64()),
+            "seq_b": pa.array(pairs[3], pa.int64()),
         })
 
     return (
@@ -590,12 +637,9 @@ def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         .groupby("wbucket")
         .map_groups(lambda g: emit_cells(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(lambda g: cross_in_cell(g.drop_columns(["cell"])),
+        .groupby("cb")
+        .map_groups(lambda g: cross_in_bucket(g.drop_columns(["cb"])),
                     batch_format="pyarrow")
-        .groupby(["way_a", "seq_a", "way_b", "seq_b"])
-        .count()
-        .select_columns(["way_a", "seq_a", "way_b", "seq_b"])
     )
 
 
@@ -616,9 +660,12 @@ pts AS (
     FROM joined
 ),
 seg AS (
+    -- segment key = 0-based rank of the FIRST endpoint within the way
+    -- (row_number - 2 on the second-endpoint row); one shared WINDOW so
+    -- rank and lag see the identical ordering even on full ties
     SELECT * FROM (
         SELECT way_id,
-               lag(seq) OVER w AS seq,
+               row_number() OVER w - 2 AS seq,
                lag(x) OVER w AS x1, lag(y) OVER w AS y1,
                x AS x2, y AS y2
         FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq, node_id)
@@ -800,6 +847,7 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
                for c in cols]
         n = len(cat[0])
         return pa.table({
+            "cb": pa.array(cat[0] % n_buckets, pa.int64()),
             "cell": pa.array(cat[0], pa.int64()),
             "side": pa.array(np.zeros(n, np.int8), pa.int8()),
             "way_id": pa.array(cat[1], pa.int64()),
@@ -817,9 +865,10 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         px = ((wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
               + (wid * PROBE_X_MULT) % 1600 - 800)
         n = len(wid)
+        cell = _cell_ids(px // SEG_CELL, py // SEG_CELL)
         return pa.table({
-            "cell": pa.array(_cell_ids(px // SEG_CELL, py // SEG_CELL),
-                             pa.int64()),
+            "cb": pa.array(cell % n_buckets, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
             "way_id": pa.array(wid, pa.int64()),   # probe_id
             "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
@@ -829,52 +878,58 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "y2": pa.array(np.zeros(n, np.int64), pa.int64()),
         })
 
-    def match_in_cell(g: pa.Table) -> pa.Table:
+    def match_in_bucket(g: pa.Table) -> pa.Table:
         empty = pa.table({
             "probe_id": pa.array([], pa.int64()),
             "way_id": pa.array([], pa.int64()),
             "seq": pa.array([], pa.int64()),
             "d2_floor": pa.array([], pa.int64()),
         })
-        side = g.column("side").to_numpy()
-        is_p = side == 1
-        if not is_p.any() or is_p.all():
+        if g.num_rows == 0:
             return empty
-        pid = g.column("way_id").to_numpy()[is_p]
-        px = g.column("x1").to_numpy()[is_p]
-        py = g.column("y1").to_numpy()[is_p]
-        w = g.column("way_id").to_numpy()[~is_p]
-        s = g.column("seq").to_numpy()[~is_p]
-        x1 = g.column("x1").to_numpy()[~is_p]
-        y1 = g.column("y1").to_numpy()[~is_p]
-        x2 = g.column("x2").to_numpy()[~is_p]
-        y2 = g.column("y2").to_numpy()[~is_p]
-        dx, dy = x2 - x1, y2 - y1
-        l2 = dx * dx + dy * dy
+        # one lexsort over the whole bucket, then per-cell runs (cells are
+        # hash-bucketed so this body handles thousands of cells per call)
+        cell = g.column("cell").to_numpy()
+        side = g.column("side").to_numpy()
+        order = np.lexsort((side, cell))
+        cell, side = cell[order], side[order]
+        wid = g.column("way_id").to_numpy()[order]
+        seq = g.column("seq").to_numpy()[order]
+        x1 = g.column("x1").to_numpy()[order]
+        y1 = g.column("y1").to_numpy()[order]
+        x2 = g.column("x2").to_numpy()[order]
+        y2 = g.column("y2").to_numpy()[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1,
+                                 [len(cell)]])
         out = [[], [], [], []]
-        for lo in range(0, len(pid), 256):
-            hi = min(lo + 256, len(pid))
-            P = slice(lo, hi)
-            num = ((px[P, None] - x1[None, :]) * dx[None, :]
-                   + (py[P, None] - y1[None, :]) * dy[None, :])
+        for k in range(len(starts) - 1):
+            lo, hi = starts[k], starts[k + 1]
+            sd = side[lo:hi]
+            np_probe = int(sd.sum())
+            if np_probe == 0 or np_probe == hi - lo:
+                continue
+            S = slice(lo, hi - np_probe)        # segments sort first (0)
+            P = slice(hi - np_probe, hi)
+            dx, dy = x2[S] - x1[S], y2[S] - y1[S]
+            l2 = dx * dx + dy * dy
+            num = ((x1[P, None] - x1[None, S]) * dx[None, :]
+                   + (y1[P, None] - y1[None, S]) * dy[None, :])
             t = num / l2[None, :]
             tc = np.clip(t, 0.0, 1.0)
-            ex = px[P, None] - (x1[None, :] + tc * dx[None, :])
-            ey = py[P, None] - (y1[None, :] + tc * dy[None, :])
+            ex = x1[P, None] - (x1[None, S] + tc * dx[None, :])
+            ey = y1[P, None] - (y1[None, S] + tc * dy[None, :])
             d2f = np.floor(ex * ex + ey * ey).astype(np.int64)
             ok = d2f <= MATCH_R * MATCH_R
             d2m = np.where(ok, d2f, np.int64(2**62))
-            # argmin with (d2f, way_id, seq) tie-break: lexsort columns
-            # per probe row — small candidate counts, one argsort pass
-            order = np.lexsort((np.broadcast_to(s, d2m.shape),
-                                np.broadcast_to(w, d2m.shape),
-                                d2m), axis=1)
-            best = order[:, 0]
-            rows = np.arange(hi - lo)
+            order2 = np.lexsort((np.broadcast_to(seq[S], d2m.shape),
+                                 np.broadcast_to(wid[S], d2m.shape),
+                                 d2m), axis=1)
+            best = order2[:, 0]
+            rows = np.arange(np_probe)
             bok = ok[rows, best]
-            out[0].append(pid[P][bok])
-            out[1].append(w[best][bok])
-            out[2].append(s[best][bok])
+            out[0].append(wid[P][bok])
+            out[1].append(wid[S][best][bok])
+            out[2].append(seq[S][best][bok])
             out[3].append(d2m[rows, best][bok])
         cat = [np.concatenate(c) if c else np.array([], dtype=np.int64)
                for c in out]
@@ -896,8 +951,8 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     ).map_batches(emit_probes, batch_format="pyarrow")
     return (
         segs.union(probes)
-        .groupby("cell")
-        .map_groups(lambda g: match_in_cell(g.drop_columns(["cell"])),
+        .groupby("cb")
+        .map_groups(lambda g: match_in_bucket(g.drop_columns(["cb"])),
                     batch_format="pyarrow")
     )
 

@@ -45,7 +45,9 @@ def test_segment_crossings_matches_bruteforce(ray_session, sf_dir):
     base_x = (w * osm.WAY_ANCHOR_LON_MULT) % 350000 - 175000
     y = base_y + (refs["lat_mdeg"].to_numpy() % 2000) - 1000
     x = base_x + (refs["lon_mdeg"].to_numpy() % 2000) - 1000
-    s = refs["seq"].to_numpy()
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(w)]]))
+    s = np.arange(len(w), dtype=np.int64) - np.repeat(starts, counts)
     same = w[1:] == w[:-1]
     keep = same & ((x[1:] != x[:-1]) | (y[1:] != y[:-1]))
     sw, ss = w[:-1][keep], s[:-1][keep]
@@ -65,8 +67,8 @@ def test_segment_crossings_matches_bruteforce(ray_session, sf_dir):
             a, b = (i, j) if sw[i] < sw[j] else (j, i)
             rows.append((sw[a], ss[a], sw[b], ss[b]))
     want = pd.DataFrame(rows, columns=["way_a", "seq_a", "way_b", "seq_b"])
-    # (way, seq) is the segment KEY (l_linenumber can repeat per order in
-    # the synthetic tables) — the operator's contract is DISTINCT keys
+    # segment key = within-way row rank, unique by construction — pairs
+    # need no dedup (drop_duplicates kept as a no-op safety)
     want = want.drop_duplicates().sort_values(list(want.columns),
                                               ignore_index=True)
     pd.testing.assert_frame_equal(
