@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts": webgeo.q_cell_counts,
         "raster_regions": webgeo.q_raster_regions,
         "dbscan_census": webgeo.q_dbscan_census,
+        "zone_diameter": webgeo.q_zone_diameter,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
+        "ivf_recall": training.q_ivf_recall,
         "mutual_nn": training.q_mutual_nn,
         "doc_vector_join": training.q_doc_vector_join,
         "domain_stats": webgeo.q_domain_stats,
@@ -671,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": oracle.sql_cell_counts(),
         "raster_regions": oracle.sql_raster_regions(),
         "dbscan_census": oracle.sql_dbscan_census(),
+        "zone_diameter": oracle.sql_zone_diameter(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),
@@ -702,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_pages": oracle.sql_pages_meta(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
+        "ivf_recall": oracle.sql_ivf_recall(),
         "mutual_nn": oracle.sql_mutual_nn(),
         "doc_vector_join": oracle.sql_doc_vector_join(),
         "domain_stats": oracle.sql_domain_stats(),

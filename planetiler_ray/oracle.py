@@ -1165,6 +1165,26 @@ ORDER BY 1
 """
 
 
+def sql_zone_diameter() -> str:
+    """Twin of ``webgeo.q_zone_diameter`` by brute force: per-zone
+    self-join max pairwise squared distance (the engine goes through the
+    hull merge — different algorithm, same integer)."""
+    return f"""
+WITH {MENTIONS_CTE},
+zp AS (
+    SELECT CAST(floor((lat_mdeg / 1000.0 + 85.0005) / 34.0) AS BIGINT) * 5
+         + CAST(floor((lon_mdeg / 1000.0 + 180.0005) / 72.0) AS BIGINT)
+           AS admin_id,
+           lon_mdeg AS x, lat_mdeg AS y
+    FROM mentions)
+SELECT a.admin_id,
+       CAST(max((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y)) AS BIGINT) AS diam2
+FROM zp a JOIN zp b ON a.admin_id = b.admin_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_dbscan_census(z: int = 6, minpts: int = 3) -> str:
     """Twin of ``webgeo.q_dbscan_census``: rebuild the raster, 3x3 density
     via a bounded self-join, clusters via the recursive transitive-closure
@@ -3405,6 +3425,20 @@ SELECT least(v, u) AS a, greatest(v, u) AS b,
        CAST(min(dist2) AS BIGINT) AS dist2
 FROM nn GROUP BY 1, 2 HAVING count(*) = 2
 ORDER BY a, b
+"""
+
+
+def sql_ivf_recall(k_cent: int = 8, nq: int = 4, k: int = 5,
+                   n_probe: int = 2) -> str:
+    """Twin of ``training.q_ivf_recall``: run the integer IVF search twice
+    (n_probe lists vs all lists == exact) and intersect per query."""
+    return f"""
+SELECT a.query_id, CAST(count(e.neighbor_id) AS BIGINT) AS hits,
+       CAST({k} AS BIGINT) AS k
+FROM ({sql_ivf_exact(k_cent, nq, k, n_probe)}) a
+LEFT JOIN ({sql_ivf_exact(k_cent, nq, k, k_cent)}) e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1 ORDER BY 1
 """
 
 

@@ -2701,6 +2701,44 @@ def q_ivf_exact(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
     )
 
 
+def q_ivf_recall(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
+                 n_probe: int = 2):
+    """ANN quality EVALUATION as a first-class operator: recall@k of the
+    IVF search (n_probe lists) against the exact answer — the metric
+    every vector-store deployment monitors.  The exact side is the SAME
+    integer search with ``n_probe = k_cent`` (probing every list == a
+    full exact scan), so both sides run the identical fixed-point kernel
+    and the SQL twin re-derives both searches and intersects them.
+    Output per query: (query_id, hits, k) — recall@k = hits / k."""
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k_cent + nq)],
+    ).sort_by("vec_id")
+    mat = ann.quantize_embedding(
+        np.stack(head.column("embedding").to_numpy(zero_copy_only=False))
+    )
+    ids = head.column("vec_id").to_numpy()
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    approx = ann.ivf_exact_topk(
+        embs, mat[:k_cent], ids[k_cent:], mat[k_cent:], k=k, n_probe=n_probe
+    ).to_pandas()
+    exact = ann.ivf_exact_topk(
+        embs, mat[:k_cent], ids[k_cent:], mat[k_cent:], k=k, n_probe=k_cent
+    ).to_pandas()
+    hit = approx.merge(exact[["query_id", "neighbor_id"]],
+                       on=["query_id", "neighbor_id"])
+    cnt = hit.groupby("query_id").size()
+    out = pd.DataFrame({
+        "query_id": ids[k_cent:].astype(np.int64),
+        "hits": [int(cnt.get(q, 0)) for q in ids[k_cent:]],
+        "k": np.int64(k),
+    })
+    return ray.data.from_pandas(out.astype(np.int64))
+
+
 def q_unigram_surprisal(sf_dir: str):
     """Integer unigram-LM quality scoring (CCNet/KenLM-filter shape):
     broadcast top-256 vocab + corpus total, per-doc surprisal in exact

@@ -1878,6 +1878,67 @@ def q_convex_hull(sf_dir: str, n_zones: int = 8):
     )
 
 
+def q_zone_diameter(sf_dir: str) -> ray.data.Dataset:
+    """ST_MaxDistance analogue: the EXACT diameter (max pairwise squared
+    distance, integer mdeg^2) of the mention cloud per arithmetic admin
+    zone.  The farthest pair is always attained at hull vertices, so the
+    scale shape is the :func:`q_convex_hull` merge — per-batch partial
+    hulls per zone, ONE exchange of hull VERTICES only, per-zone final
+    hull + an all-pairs max over the (tiny) final ring.  The SQL twin
+    brute-forces the per-zone self-join: same integer, different
+    algorithm.  Zones with a single point report 0."""
+    from ..geo.hull import convex_hull
+
+    def plant(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat_mdeg").to_numpy()
+        lon = batch.column("lon_mdeg").to_numpy()
+        col = np.floor((lon / 1000.0 + 180.0005) / 72.0).astype(np.int64)
+        row = np.floor((lat / 1000.0 + 85.0005) / 34.0).astype(np.int64)
+        return pa.table({
+            "zone": pa.array(row * 5 + col, pa.int64()),
+            "x": pa.array(lon.astype(np.int64), pa.int64()),
+            "y": pa.array(lat.astype(np.int64), pa.int64()),
+        })
+
+    def partial_hull(batch: pa.Table) -> pa.Table:
+        zone = batch.column("zone").to_numpy()
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        zs, xs, ys = [], [], []
+        for z in np.unique(zone):
+            m = zone == z
+            ring = convex_hull(x[m], y[m])
+            zs.append(np.full(len(ring), z, np.int64))
+            xs.append(ring[:, 0])
+            ys.append(ring[:, 1])
+        return pa.table({
+            "zone": pa.array(np.concatenate(zs), pa.int64()),
+            "x": pa.array(np.concatenate(xs).astype(np.int64), pa.int64()),
+            "y": pa.array(np.concatenate(ys).astype(np.int64), pa.int64()),
+        })
+
+    def final_diam(grp: pa.Table) -> pa.Table:
+        z = grp.column("zone")[0].as_py()
+        ring = convex_hull(grp.column("x").to_numpy(),
+                           grp.column("y").to_numpy())
+        x, y = ring[:, 0], ring[:, 1]
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = int((dx * dx + dy * dy).max()) if len(x) else 0
+        return pa.table({
+            "admin_id": pa.array([z], pa.int64()),
+            "diam2": pa.array([d2], pa.int64()),
+        })
+
+    return (
+        mentions_ds(sf_dir)
+        .map_batches(lambda b: plant(b), batch_format="pyarrow")
+        .map_batches(partial_hull, batch_format="pyarrow")
+        .groupby("zone")
+        .map_groups(final_diam, batch_format="pyarrow")
+    )
+
+
 def q_tile_size_budget(sf_dir: str, zooms=(4, 8), budget: int = 2048
                        ) -> ray.data.Dataset:
     """Per-tile byte-budget enforcement — the reference's max-tile-bytes

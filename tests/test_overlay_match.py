@@ -171,3 +171,35 @@ def test_rect_union_area_decomposition_independent(ray_session, sf_dir):
     assert a["union_area"].iloc[0] <= int((w.astype(np.int64) * h).sum())
     assert a["union_area"].iloc[0] >= int((w.astype(np.int64) * h).max())
     assert a["n_rects"].iloc[0] == len(c)
+
+
+def test_zone_diameter_matches_bruteforce(ray_session, sf_dir):
+    from planetiler_ray.pipelines import webgeo
+
+    got = webgeo.q_zone_diameter(sf_dir).to_pandas()
+    got = got.sort_values("admin_id", ignore_index=True)
+    pts = webgeo.mentions_ds(sf_dir).to_pandas()
+    lon = pts["lon_mdeg"].to_numpy().astype(np.int64)
+    lat = pts["lat_mdeg"].to_numpy().astype(np.int64)
+    col = np.floor((lon / 1000.0 + 180.0005) / 72.0).astype(np.int64)
+    row = np.floor((lat / 1000.0 + 85.0005) / 34.0).astype(np.int64)
+    zone = row * 5 + col
+    rows = []
+    for z in np.unique(zone):
+        m = zone == z
+        dx = lon[m][:, None] - lon[m][None, :]
+        dy = lat[m][:, None] - lat[m][None, :]
+        rows.append((z, int((dx * dx + dy * dy).max())))
+    want = pd.DataFrame(rows, columns=["admin_id", "diam2"])
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))
+
+
+def test_ivf_recall_bounds(ray_session, sf_dir):
+    from planetiler_ray.pipelines import training
+
+    out = training.q_ivf_recall(sf_dir).to_pandas()
+    assert (out["hits"] >= 0).all() and (out["hits"] <= out["k"]).all()
+    # probing every list IS the exact search -> perfect recall
+    full = training.q_ivf_recall(sf_dir, n_probe=8).to_pandas()
+    assert (full["hits"] == full["k"]).all()
