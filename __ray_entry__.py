@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": training.q_media_frames,
         # stream-shaped ops
         "window": training.q_window,
+        "decay_score": training.q_decay_score,
+        "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
         "sessionize": training.q_sessionize,
@@ -800,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracle.sql_chunk_documents(),
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
+        "decay_score": oracle.sql_decay_score(),
+        "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),
         "sessionize": oracle.sql_sessionize(),

@@ -903,6 +903,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_decay_score(max_shift: int = 40) -> str:
+    """Twin of ``training.q_decay_score``: bit-shift halving vs the max
+    event hour (positive cents only, so // == >> exactly)."""
+    return f"""
+WITH mx AS (SELECT max(epoch_us(ts) // 3600000000) AS ref FROM events),
+e AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS h
+      FROM events),
+d AS (SELECT event_type,
+             cents // (CAST(1 AS BIGINT) << least(mx.ref - e.h, {max_shift}))
+               AS c
+      FROM e CROSS JOIN mx WHERE cents > 0)
+SELECT event_type, CAST(sum(c) AS BIGINT) AS heat, count(*) AS n_events
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_readability() -> str:
+    """Twin of ``training.q_readability``: DuckDB RE2 match counts + the
+    same floor arithmetic."""
+    return """
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+             AS n_vowel_groups
+    FROM documents)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+            - (84600 * n_vowel_groups) // greatest(n_words, 1) AS BIGINT)
+         AS flesch_milli
+FROM f ORDER BY 1
+"""
+
+
 def sql_sessionize() -> str:
     return """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

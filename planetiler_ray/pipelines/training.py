@@ -1715,6 +1715,19 @@ def q_window(sf_dir: str):
     return events.tumbling_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
 
 
+def q_decay_score(sf_dir: str):
+    """Time-decayed heat per event type with exact bit-shift halving —
+    see ``stages.events.decay_score``."""
+    return events.decay_score(
+        events_ds(sf_dir, ["event_type", "ts", "value"]))
+
+
+def q_readability(sf_dir: str):
+    """Integer Flesch-style readability per doc — see
+    ``stages.text.readability``."""
+    return text.readability(docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 

@@ -1053,3 +1053,41 @@ def pareto_front(ds, x_col: str = "value", y_col: str = "ts"):
         .repartition(1)  # partial fronts are tiny (staircase of the data)
         .map_batches(staircase, batch_format="pyarrow")
     )
+
+
+def decay_score(ds, max_shift: int = 40):
+    """Exponentially time-decayed heat per event type with EXACT integer
+    halving (the freshness-weighted ranking signal): each positive-cents
+    event contributes ``cents >> min(age_hours, max_shift)`` relative to
+    the corpus's max event hour.  Two streaming passes: a tiny max-hour
+    aggregate, then per-batch (type, heat, n) partials -> ONE bounded
+    groupby-sum.  Bit-shift halving keeps the decay bitwise-mirrorable
+    (``cents // (1 << shift)`` on positive ints in SQL)."""
+    from ray.data.aggregate import Sum
+
+    def hour_partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        return pa.table({"h": pa.array([int(h.max())] if len(h) else [],
+                                       pa.int64())})
+
+    ref = ds.map_batches(hour_partial, batch_format="pyarrow").max("h")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        cents = np.round(batch.column("value").to_numpy() * 100).astype(np.int64)
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        pos = cents > 0
+        et, cents, h = et[pos], cents[pos], h[pos]
+        shift = np.minimum(ref - h, max_shift)
+        c = cents >> shift
+        df = pd.DataFrame({"event_type": et, "c": c})
+        agg = df.groupby("event_type", as_index=False).agg(
+            heat_part=("c", "sum"), n_part=("c", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("heat_part", alias_name="heat"),
+                   Sum("n_part", alias_name="n_events"))
+    )

@@ -1450,3 +1450,35 @@ def dsir_weights(ds, vocab_k: int = 256, target_lang: str = "en",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def readability(ds):
+    """Integer Flesch-style readability scoring per document (the classic
+    quality-filter feature): words = [a-z0-9]+ runs, sentences = [.!?]
+    marks, syllable proxy = [aeiou]+ vowel groups, and
+    ``flesch_milli = 206835 - (1015 * words) // max(sent, 1)
+    - (84600 * vgroups) // max(words, 1)`` — all floor arithmetic on
+    positive ints, so the SQL twin (DuckDB RE2 regexp_extract_all counts)
+    is bitwise.  Embarrassingly parallel, zero shuffles."""
+    import pyarrow.compute as pc
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(col)
+        words = pc.count_substring_regex(low, "[a-z0-9]+").to_numpy().astype(np.int64)
+        sents = pc.count_substring_regex(col, "[.!?]").to_numpy().astype(np.int64)
+        vg = pc.count_substring_regex(low, "[aeiou]+").to_numpy().astype(np.int64)
+        flesch = (206835
+                  - (1015 * words) // np.maximum(sents, 1)
+                  - (84600 * vg) // np.maximum(words, 1))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(words, pa.int64()),
+            "n_sentences": pa.array(sents, pa.int64()),
+            "n_vowel_groups": pa.array(vg, pa.int64()),
+            "flesch_milli": pa.array(flesch, pa.int64()),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
