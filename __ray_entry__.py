@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped ops
         "window": training.q_window,
         "decay_score": training.q_decay_score,
+        "trend_slope": training.q_trend_slope,
         "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
@@ -803,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "source_median_dev": oracle.sql_source_median_dev(),
         "window": oracle.sql_window(),
         "decay_score": oracle.sql_decay_score(),
+        "trend_slope": oracle.sql_trend_slope(),
         "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

@@ -903,6 +903,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_trend_slope() -> str:
+    """Twin of ``training.q_trend_slope``: hourly counts, per-type rebased
+    hours, integer OLS moment algebra."""
+    return """
+WITH hourly AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+    FROM events GROUP BY 1, 2),
+reb AS (
+    SELECT event_type, h - min(h) OVER (PARTITION BY event_type) AS x, y
+    FROM hourly),
+m AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM reb GROUP BY 1)
+SELECT event_type,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n AS BIGINT) AS n_hours
+FROM m ORDER BY 1
+"""
+
+
 def sql_decay_score(max_shift: int = 40) -> str:
     """Twin of ``training.q_decay_score``: bit-shift halving vs the max
     event hour (positive cents only, so // == >> exactly)."""

@@ -1728,6 +1728,51 @@ def q_readability(sf_dir: str):
     return text.readability(docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def q_trend_slope(sf_dir: str):
+    """Exact OLS trend NUMERATORS per event type over the hourly count
+    series (the alerting trend-line: is this event type growing?):
+    x = hour, y = count(hour), slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+    reported as the two integer halves so the oracle is bitwise.  Scale
+    shape: per-batch (type, hour) count partials -> ONE bounded
+    groupby-sum (state <= types x hours) -> single-block moment pass.
+    Hours are re-based to the per-type minimum so the int64 moments stay
+    small at any calendar epoch."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        df = pd.DataFrame({"event_type": et, "h": h})
+        agg = df.groupby(["event_type", "h"], as_index=False).size()
+        agg = agg.rename(columns={"size": "n_part"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    hourly = (
+        events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n_part", alias_name="y"))
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            x = g["h"].to_numpy().astype(np.int64)
+            x = x - x.min()
+            y = g["y"].to_numpy().astype(np.int64)
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy, sxx = int((x * y).sum()), int((x * x).sum())
+            rows.append((et, n * sxy - sx * sy, n * sxx - sx * sx, n))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_type", "slope_num",
+                                        "slope_den", "n_hours"]),
+            preserve_index=False)
+
+    return hourly.repartition(1).map_batches(moments, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 
