@@ -927,6 +927,28 @@ FROM m ORDER BY 1
 """
 
 
+def sql_burst_hours(w: int = 24) -> str:
+    """Twin of ``training.q_burst_hours``: a zero-count hour can never
+    burst (0 > 2*trail is false), so candidates are exactly the non-empty
+    hours; the trailing CALENDAR-window sum is a banded self-join."""
+    return f"""
+WITH hourly AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+    FROM events GROUP BY 1, 2),
+rng AS (SELECT event_type, min(h) AS lo FROM hourly GROUP BY 1)
+SELECT a.event_type, a.h, CAST(a.n AS BIGINT) AS n,
+       CAST(coalesce(sum(b.n), 0) AS BIGINT) AS trail
+FROM hourly a
+JOIN rng r ON r.event_type = a.event_type
+LEFT JOIN hourly b ON b.event_type = a.event_type
+    AND b.h BETWEEN a.h - {w} AND a.h - 1
+WHERE a.h >= r.lo + {w}
+GROUP BY 1, 2, a.n
+HAVING a.n * {w} > 2 * coalesce(sum(b.n), 0)
+ORDER BY 1, 2
+"""
+
+
 def sql_decay_score(max_shift: int = 40) -> str:
     """Twin of ``training.q_decay_score``: bit-shift halving vs the max
     event hour (positive cents only, so // == >> exactly)."""

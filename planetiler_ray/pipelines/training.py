@@ -1773,6 +1773,56 @@ def q_trend_slope(sf_dir: str):
     return hourly.repartition(1).map_batches(moments, batch_format="pyarrow")
 
 
+def q_burst_hours(sf_dir: str, w: int = 24):
+    """Burst detection (Kleinberg-lite alerting): hours where an event
+    type's count exceeds 2x its trailing-``w``-hour mean, i.e.
+    ``n * w > 2 * sum(prior w calendar hours)`` — missing hours count as
+    ZERO (dense grid), evaluated only once a full window of history
+    exists.  Exact integers end to end.  Scale shape: per-batch (type,
+    hour) partials -> ONE bounded groupby-sum (state <= types x hours) ->
+    dense-grid prefix sums in a single small block.  Window-sum SQL twin
+    over a generate_series calendar."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pandas(), dtype=object)
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        df = pd.DataFrame({"event_type": et, "h": h})
+        agg = df.groupby(["event_type", "h"], as_index=False).size()
+        agg = agg.rename(columns={"size": "n_part"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    hourly = (
+        events_ds(sf_dir, ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def bursts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            h = g["h"].to_numpy().astype(np.int64)
+            n = g["n"].to_numpy().astype(np.int64)
+            lo, hi = int(h.min()), int(h.max())
+            dense = np.zeros(hi - lo + 1, np.int64)
+            dense[h - lo] = n
+            pref = np.concatenate([[0], np.cumsum(dense)])
+            idx = np.arange(len(dense))
+            ok = idx >= w
+            trail = np.where(ok, pref[np.maximum(idx, w)]
+                             - pref[np.maximum(idx - w, 0)], 0)
+            burst = ok & (dense * w > 2 * trail)
+            for i in np.flatnonzero(burst):
+                rows.append((et, lo + int(i), int(dense[i]), int(trail[i])))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_type", "h", "n", "trail"]),
+            preserve_index=False)
+
+    return hourly.repartition(1).map_batches(bursts, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str):
     return events.sessionize(events_ds(sf_dir, ["user_id", "event_id", "ts"]))
 
