@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_regions": webgeo.q_raster_regions,
         "dbscan_census": webgeo.q_dbscan_census,
         "zone_diameter": webgeo.q_zone_diameter,
+        "line_of_sight": webgeo.q_line_of_sight,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
@@ -678,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": oracle.sql_raster_regions(),
         "dbscan_census": oracle.sql_dbscan_census(),
         "zone_diameter": oracle.sql_zone_diameter(),
+        "line_of_sight": oracle.sql_line_of_sight(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),

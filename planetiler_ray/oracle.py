@@ -1270,6 +1270,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sql_line_of_sight(z: int = 6, threshold: int = 2, k: int = 8) -> str:
+    """Twin of ``webgeo.q_line_of_sight``: same top-k towers, the same
+    rounded-DDA walk via a constant step series filtered per pair."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    fd = (lambda num, den:
+          f"CAST(floor(({num}) / (2.0 * {den})) AS BIGINT)")
+    xi = fd("2 * st.i * (st.bx - st.ax) + st.s", "st.s")
+    yi = fd("2 * st.i * (st.qy - st.ay) + st.s", "st.s")
+    return f"""
+WITH {POINTS_CTE},
+cells AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2 HAVING count(*) >= {threshold}),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells),
+tw AS (SELECT cell, x, y FROM (
+         SELECT c.*, row_number() OVER (ORDER BY n DESC, cell) AS rk FROM c)
+       WHERE rk <= {k}),
+pairs AS (
+    SELECT a.cell AS cell_a, a.x AS ax, a.y AS ay,
+           b.cell AS cell_b, b.x AS bx, b.y AS qy,
+           greatest(abs(b.x - a.x), abs(b.y - a.y)) AS s
+    FROM tw a JOIN tw b ON a.cell < b.cell),
+steps AS (
+    SELECT p.*, gs.i FROM pairs p
+    CROSS JOIN (SELECT unnest(range(1, {n})) AS i) gs
+    WHERE gs.i < p.s),
+blocked AS (
+    SELECT st.cell_a, st.cell_b, count(*) AS blk
+    FROM steps st
+    JOIN c ON c.cell = (st.ay + {yi}) * {n} + (st.ax + {xi})
+    GROUP BY 1, 2)
+SELECT p.cell_a, p.cell_b,
+       CAST(coalesce(b.blk, 0) AS BIGINT) AS n_blockers,
+       CAST(CASE WHEN coalesce(b.blk, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS visible
+FROM (SELECT DISTINCT cell_a, cell_b FROM pairs) p
+LEFT JOIN blocked b USING (cell_a, cell_b)
+ORDER BY 1, 2
+"""
+
+
 def sql_dbscan_census(z: int = 6, minpts: int = 3) -> str:
     """Twin of ``webgeo.q_dbscan_census``: rebuild the raster, 3x3 density
     via a bounded self-join, clusters via the recursive transitive-closure

@@ -1878,6 +1878,16 @@ def q_convex_hull(sf_dir: str, n_zones: int = 8):
     )
 
 
+def q_line_of_sight(sf_dir: str, z: int = 6, threshold: int = 2,
+                    k: int = 8) -> ray.data.Dataset:
+    """Raster visibility between the k hottest occupied cells: rounded-DDA
+    grid walk, intermediate occupied cells block — the viewshed-class
+    analytic (``stages.tiling.line_of_sight``); exact integer SQL twin."""
+    from ..stages.tiling import line_of_sight
+
+    return line_of_sight(mentions_ds(sf_dir), z=z, threshold=threshold, k=k)
+
+
 def q_zone_diameter(sf_dir: str) -> ray.data.Dataset:
     """ST_MaxDistance analogue: the EXACT diameter (max pairwise squared
     distance, integer mdeg^2) of the mention cloud per arithmetic admin

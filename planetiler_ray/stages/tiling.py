@@ -679,3 +679,79 @@ def dbscan_census(points_ds, z: int = 6, minpts: int = 3,
         "other_points": np.concatenate([bp, [noise_pts]]),
     }).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def line_of_sight(points_ds, z: int = 6, threshold: int = 2, k: int = 8,
+                  lat_col: str = "lat", lon_col: str = "lon"):
+    """Raster line-of-sight / visibility analysis (the viewshed primitive):
+    the ``k`` hottest occupied cells of the zoom-``z`` mention raster are
+    "towers" (rank by count desc, cell asc); for every tower pair the
+    rounded-DDA grid line between cell centers is walked and every
+    INTERMEDIATE occupied cell blocks the sight line.
+
+    The DDA step is pure integer rational rounding —
+    ``xi = x0 + floor((2*i*dx + s) / (2*s))`` with ``s = max(|dx|,|dy|)``
+    — so the SQL twin reproduces the identical walk.  Scale shape: the
+    usual bounded-raster reduction (per-batch partials -> ONE groupby-sum,
+    state <= 4**z cells); the pair walk runs over k^2/2 * <=2**z tiny
+    probes on the materialized bounded cell table (raster_regions' fast
+    path contract).  Output per pair: (cell_a, cell_b, n_blockers,
+    visible)."""
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    n_side = 1 << z
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    df = (
+        points_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # <= 4**z rows by construction
+    )
+    cells = df["cell"].to_numpy()
+    n = df["n"].to_numpy()
+    occ_mask = n >= threshold
+    occ = np.sort(cells[occ_mask])
+    occ_n = n[occ_mask]
+    # towers: top-k by (count desc, cell asc)
+    oc = cells[occ_mask]
+    order = np.lexsort((oc, -occ_n))[:k]
+    towers = oc[order]
+    towers = towers[np.argsort(towers)]  # canonical pair order by cell id
+
+    def occupied(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        tgt = cy * n_side + cx
+        pos = np.searchsorted(occ, tgt)
+        ok = pos < len(occ)
+        ok[ok] = occ[pos[ok]] == tgt[ok]
+        return ok
+
+    rows = []
+    tx, ty = towers % n_side, towers // n_side
+    for a in range(len(towers)):
+        for b in range(a + 1, len(towers)):
+            dx = int(tx[b] - tx[a])
+            dy = int(ty[b] - ty[a])
+            s = max(abs(dx), abs(dy))
+            if s <= 1:
+                rows.append((int(towers[a]), int(towers[b]), 0, 1))
+                continue
+            i = np.arange(1, s)
+            xi = int(tx[a]) + (2 * i * dx + s) // (2 * s)
+            yi = int(ty[a]) + (2 * i * dy + s) // (2 * s)
+            blk = int(occupied(xi, yi).sum())
+            rows.append((int(towers[a]), int(towers[b]), blk,
+                         int(blk == 0)))
+    out = pd.DataFrame(rows, columns=["cell_a", "cell_b", "n_blockers",
+                                      "visible"]).astype(np.int64)
+    return ray.data.from_pandas(out)
