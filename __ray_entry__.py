@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_score": training.q_decay_score,
         "trend_slope": training.q_trend_slope,
         "burst_hours": training.q_burst_hours,
+        "rolling_active": training.q_rolling_active,
         "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
@@ -809,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": oracle.sql_decay_score(),
         "trend_slope": oracle.sql_trend_slope(),
         "burst_hours": oracle.sql_burst_hours(),
+        "rolling_active": oracle.sql_rolling_active(),
         "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

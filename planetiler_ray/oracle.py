@@ -927,6 +927,19 @@ FROM m ORDER BY 1
 """
 
 
+def sql_rolling_active(w: int = 24) -> str:
+    """Twin of ``training.q_rolling_active``: banded self-join with
+    count(DISTINCT user) per data hour."""
+    return f"""
+WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+           FROM events),
+hrs AS (SELECT DISTINCT h FROM e)
+SELECT a.h, CAST(count(DISTINCT b.user_id) AS BIGINT) AS active_users
+FROM hrs a JOIN e b ON b.h BETWEEN a.h - {w - 1} AND a.h
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_burst_hours(w: int = 24) -> str:
     """Twin of ``training.q_burst_hours``: a zero-count hour can never
     burst (0 > 2*trail is false), so candidates are exactly the non-empty

@@ -1715,6 +1715,12 @@ def q_window(sf_dir: str):
     return events.tumbling_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
 
 
+def q_rolling_active(sf_dir: str, w: int = 24):
+    """Sliding-window distinct users (rolling 24h DAU) — exact via the
+    per-user coverage-interval sweep, see ``stages.events.rolling_active``."""
+    return events.rolling_active(events_ds(sf_dir, ["user_id", "ts"]), w=w)
+
+
 def q_decay_score(sf_dir: str):
     """Time-decayed heat per event type with exact bit-shift halving —
     see ``stages.events.decay_score``."""

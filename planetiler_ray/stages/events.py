@@ -1091,3 +1091,58 @@ def decay_score(ds, max_shift: int = 40):
         .aggregate(Sum("heat_part", alias_name="heat"),
                    Sum("n_part", alias_name="n_events"))
     )
+
+
+def rolling_active(ds, w: int = 24):
+    """Sliding-window distinct users ("rolling DAU"): for every hour that
+    appears in the data, how many DISTINCT users were active in the
+    trailing ``w``-hour window (h-w+1 .. h).
+
+    Exact without per-window re-distincting: after ONE (hour, user)
+    dedup exchange, each user's active hours become a union of coverage
+    intervals [h, h+w-1] (merged vectorized: a run continues while the
+    next active hour is < prev + w), the merged intervals drop +1/-1
+    into a difference array over the bounded hour axis, and one cumsum
+    yields every hour's rolling count.  State after the exchange is
+    bounded by distinct (user, hour) pairs — the same bound any exact
+    sliding distinct needs.  SQL twin: banded self-join with
+    count(DISTINCT user)."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        df = pd.DataFrame({"user_id": uid, "h": h}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "h"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "h"])
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        h = batch.column("h").to_numpy()
+        order = np.lexsort((h, uid))
+        uid, h = uid[order], h[order]
+        lo, hi = int(h.min()), int(h.max())
+        # merged coverage intervals per user: start = max(h, prev_end + 1)
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        prev_h = np.concatenate([[0], h[:-1]])
+        start = np.where(same & (prev_h + w > h), prev_h + w, h)
+        end = h + w - 1
+        keep = start <= end
+        start, end = start[keep], end[keep]
+        diff = np.zeros(hi - lo + w + 2, np.int64)
+        np.add.at(diff, start - lo, 1)
+        np.add.at(diff, end - lo + 1, -1)
+        cover = np.cumsum(diff)
+        hours = np.unique(h)
+        return pa.table({
+            "h": pa.array(hours, pa.int64()),
+            "active_users": pa.array(cover[hours - lo], pa.int64()),
+        })
+
+    return pairs.repartition(1).map_batches(sweep, batch_format="pyarrow")
