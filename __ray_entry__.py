@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
         "ivf_recall": training.q_ivf_recall,
+        "knn_classify": training.q_knn_classify,
         "mutual_nn": training.q_mutual_nn,
         "doc_vector_join": training.q_doc_vector_join,
         "domain_stats": webgeo.q_domain_stats,
@@ -713,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "ivf_recall": oracle.sql_ivf_recall(),
+        "knn_classify": oracle.sql_knn_classify(),
         "mutual_nn": oracle.sql_mutual_nn(),
         "doc_vector_join": oracle.sql_doc_vector_join(),
         "domain_stats": oracle.sql_domain_stats(),

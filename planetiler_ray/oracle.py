@@ -3281,6 +3281,47 @@ ORDER BY host, doc_id
 """
 
 
+def sql_knn_classify(nq: int = 16, k: int = 5, dim: int = 64,
+                     scale: int = 1 << 14) -> str:
+    """Twin of ``training.q_knn_classify``: brute integer kNN + majority
+    vote (vote ties -> smaller label)."""
+    return f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)!r}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+qry AS (SELECT vec_id, qv FROM q WHERE vec_id < {nq}),
+d AS (
+    SELECT qry.vec_id AS qid, c.vec_id AS nid, c.label,
+           CAST(SUM((qry.qv[r.i] - c.qv[r.i])
+                  * (qry.qv[r.i] - c.qv[r.i])) AS BIGINT) AS d2
+    FROM qry CROSS JOIN q c CROSS JOIN range(1, {dim + 1}) r(i)
+    WHERE c.vec_id >= {nq}
+    GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT * FROM (
+        SELECT d.*, row_number() OVER (PARTITION BY qid
+                                       ORDER BY d2, nid) AS rn
+        FROM d) WHERE rn <= {k}
+),
+votes AS (
+    SELECT qid, CAST(label AS BIGINT) AS label, count(*) AS v
+    FROM topk GROUP BY 1, 2),
+pred AS (
+    SELECT * FROM (
+        SELECT votes.*, row_number() OVER (PARTITION BY qid
+                                           ORDER BY v DESC, label) AS rn
+        FROM votes) WHERE rn = 1)
+SELECT p.qid AS vec_id, CAST(t.label AS BIGINT) AS true_label,
+       p.label AS pred_label, CAST(p.v AS BIGINT) AS votes
+FROM pred p JOIN q t ON t.vec_id = p.qid
+ORDER BY 1
+"""
+
+
 def sql_cluster_assign(k: int = 8, dim: int = 64, scale: int = 1 << 14) -> str:
     """Mirror of ``ann.kmeans_assign``: fixed-point quantize (floor of an
     EXACT power-of-two float64 multiply), integer squared distances, argmin

@@ -2853,6 +2853,76 @@ def q_ivf_recall(sf_dir: str, k_cent: int = 8, nq: int = 4, k: int = 5,
     return ray.data.from_pandas(out.astype(np.int64))
 
 
+def q_knn_classify(sf_dir: str, nq: int = 16, k: int = 5):
+    """Exact kNN CLASSIFICATION over the vector store (the embedding-
+    quality eval loop): the first ``nq`` vectors are queries, everything
+    else is the reference set; each query takes the majority ``label`` of
+    its k nearest neighbors (fixed-point integer distances, ties ->
+    smaller neighbor id; vote ties -> smaller label).  Scale shape:
+    broadcast quantized query matrix, per-batch integer |q-c|^2 via the
+    dot-product expansion + per-batch partial top-k, tiny final merge.
+    Output: (vec_id, true_label, pred_label, votes)."""
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", nq)],
+    ).sort_by("vec_id")
+    qmat = ann.quantize_embedding(
+        np.stack(head.column("embedding").to_numpy(zero_copy_only=False)))
+    qids = head.column("vec_id").to_numpy()
+    qnorm = (qmat * qmat).sum(axis=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        keep = vid >= nq
+        if not keep.any():
+            return pa.table({
+                "qid": pa.array([], pa.int64()),
+                "nid": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            })
+        vid = vid[keep]
+        lab = batch.column("label").to_numpy()[keep].astype(np.int64)
+        m = ann.quantize_embedding(np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False))[keep])
+        d2 = ((m * m).sum(axis=1)[:, None] + qnorm[None, :]
+              - 2 * (m @ qmat.T))                       # (B, nq) exact int64
+        kk = min(k, d2.shape[0])
+        out = [[], [], [], []]
+        for j in range(len(qids)):
+            col = d2[:, j]
+            idx = np.lexsort((vid, col))[:kk]           # (d2, nid) order
+            out[0].append(np.full(kk, qids[j], np.int64))
+            out[1].append(vid[idx])
+            out[2].append(lab[idx])
+            out[3].append(col[idx])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out[0]), pa.int64()),
+            "nid": pa.array(np.concatenate(out[1]), pa.int64()),
+            "label": pa.array(np.concatenate(out[2]), pa.int64()),
+            "d2": pa.array(np.concatenate(out[3]), pa.int64()),
+        })
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # nq * k * n_blocks rows — tiny by construction
+    )
+    true_lab = head.column("label").to_numpy().astype(np.int64)
+    rows = []
+    for j, q in enumerate(qids):
+        g = parts[parts["qid"] == q].sort_values(["d2", "nid"]).head(k)
+        vc = g.groupby("label").size().reset_index(name="v")
+        vc = vc.sort_values(["v", "label"], ascending=[False, True])
+        rows.append((int(q), int(true_lab[j]), int(vc["label"].iloc[0]),
+                     int(vc["v"].iloc[0])))
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["vec_id", "true_label", "pred_label", "votes"]
+    ).astype(np.int64))
+
+
 def q_unigram_surprisal(sf_dir: str):
     """Integer unigram-LM quality scoring (CCNet/KenLM-filter shape):
     broadcast top-256 vocab + corpus total, per-doc surprisal in exact
