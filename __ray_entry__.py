@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": webgeo.q_url_parse,
         "url_canon_dedup": webgeo.q_url_canon_dedup,
         "warc_pages": webgeo.q_warc_pages,
+        "geoparquet_roundtrip": webgeo.q_geoparquet_roundtrip,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
@@ -711,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parse": oracle.sql_url_parse(),
         "url_canon_dedup": oracle.sql_url_canon_dedup(),
         "warc_pages": oracle.sql_pages_meta(),
+        "geoparquet_roundtrip": oracle.sql_mentions(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "ivf_recall": oracle.sql_ivf_recall(),
