@@ -1098,51 +1098,75 @@ def rolling_active(ds, w: int = 24):
     appears in the data, how many DISTINCT users were active in the
     trailing ``w``-hour window (h-w+1 .. h).
 
-    Exact without per-window re-distincting: after ONE (hour, user)
-    dedup exchange, each user's active hours become a union of coverage
-    intervals [h, h+w-1] (merged vectorized: a run continues while the
-    next active hour is < prev + w), the merged intervals drop +1/-1
-    into a difference array over the bounded hour axis, and one cumsum
-    yields every hour's rolling count.  State after the exchange is
-    bounded by distinct (user, hour) pairs — the same bound any exact
-    sliding distinct needs.  SQL twin: banded self-join with
-    count(DISTINCT user)."""
-    from ray.data.aggregate import Count
+    Exact without per-window re-distincting: ONE user-hash-bucket
+    exchange of per-batch-deduped (user, hour) pairs; each bucket body
+    merges every user's active hours into coverage intervals [h, h+w-1]
+    (a run continues while the next active hour is < prev + w), drops
+    +1/-1 into a PARTIAL difference histogram over the bounded hour
+    axis, and emits (hour, cover_part) rows — then one tiny
+    ``groupby(h)`` sum merges buckets.  No stage ever holds more than
+    its bucket's pairs + the hour axis; the output hour set is the
+    hours that actually appear (hour presence flags ride the same
+    partials).  SQL twin: banded self-join with count(DISTINCT user)."""
+    from ray.data.aggregate import Max, Sum
+
+    n_buckets = 64
 
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy()
         h = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
         df = pd.DataFrame({"user_id": uid, "h": h}).drop_duplicates()
+        df["ub"] = df["user_id"].to_numpy() % n_buckets
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "h"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["user_id", "h"])
-    )
-
-    def sweep(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy()
-        h = batch.column("h").to_numpy()
+    def bucket_cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cover_part": pa.array([], pa.int64()),
+                             "present": pa.array([], pa.int64())})
+        uid = g.column("user_id").to_numpy()
+        h = g.column("h").to_numpy()
         order = np.lexsort((h, uid))
         uid, h = uid[order], h[order]
+        # batch-level dedup may leave cross-batch (user, hour) dupes —
+        # drop them here (sorted, so adjacent)
+        first = np.concatenate([[True], (uid[1:] != uid[:-1])
+                                | (h[1:] != h[:-1])])
+        uid, h = uid[first], h[first]
         lo, hi = int(h.min()), int(h.max())
-        # merged coverage intervals per user: start = max(h, prev_end + 1)
         same = np.concatenate([[False], uid[1:] == uid[:-1]])
         prev_h = np.concatenate([[0], h[:-1]])
         start = np.where(same & (prev_h + w > h), prev_h + w, h)
         end = h + w - 1
-        keep = start <= end
-        start, end = start[keep], end[keep]
         diff = np.zeros(hi - lo + w + 2, np.int64)
         np.add.at(diff, start - lo, 1)
         np.add.at(diff, end - lo + 1, -1)
-        cover = np.cumsum(diff)
-        hours = np.unique(h)
+        # coverage extends w-1 hours past this bucket's last activity —
+        # other buckets may have PRESENT hours there, so keep the tail
+        cover = np.cumsum(diff)[: hi - lo + w]
+        present = np.zeros(hi - lo + w, np.int64)
+        present[np.unique(h) - lo] = 1
+        nz = np.flatnonzero((cover > 0) | (present > 0))
         return pa.table({
-            "h": pa.array(hours, pa.int64()),
-            "active_users": pa.array(cover[hours - lo], pa.int64()),
+            "h": pa.array(nz + lo, pa.int64()),
+            "cover_part": pa.array(cover[nz], pa.int64()),
+            "present": pa.array(present[nz], pa.int64()),
         })
 
-    return pairs.repartition(1).map_batches(sweep, batch_format="pyarrow")
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(lambda g: bucket_cover(g.drop_columns(["ub"])),
+                    batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cover_part", alias_name="active_users"),
+                   Max("present", alias_name="present"))
+    )
+
+    def keep_present(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.filter(pc.equal(batch.column("present"), 1))
+        return out.select(["h", "active_users"])
+
+    return merged.map_batches(keep_present, batch_format="pyarrow")
