@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_slope": training.q_trend_slope,
         "burst_hours": training.q_burst_hours,
         "rolling_active": training.q_rolling_active,
+        "ivm_counts": training.q_ivm_counts,
         "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
@@ -815,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope": oracle.sql_trend_slope(),
         "burst_hours": oracle.sql_burst_hours(),
         "rolling_active": oracle.sql_rolling_active(),
+        "ivm_counts": oracle.sql_ivm_counts(),
         "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

@@ -2843,6 +2843,25 @@ GROUP BY 1
 """
 
 
+def sql_ivm_counts() -> str:
+    """Twin of ``training.q_ivm_counts`` by DIRECT aggregation of the v2
+    snapshot (the engine never scans v2 — agreement proves the
+    incremental maintenance algebra)."""
+    return """
+WITH v2 AS (
+    SELECT lang,
+           CAST(length(text) + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END
+                AS BIGINT) AS len
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT 'xx' AS lang,
+           CAST(length('fresh doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+    FROM documents WHERE doc_id % 13 = 0)
+SELECT lang, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars
+FROM v2 GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_corpus_diff() -> str:
     """Mirror of ``training.q_corpus_diff``: v2 snapshot replayed in SQL,
     full outer join on doc_id, direct text comparison."""

@@ -607,6 +607,61 @@ def q_corpus_diff(sf_dir: str):
     return corpus_diff(old, new)
 
 
+def q_ivm_counts(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE: the per-lang (n_docs, n_chars) view
+    of the v2 snapshot computed WITHOUT scanning v2 — one pass over v1
+    emits the base contributions PLUS the compensating deltas of the
+    deterministic change feed (removed d%10==0: -1/-len; changed d%7==0
+    survivors: +3 chars for the ' v2' suffix; added d%13==0: +1 under the
+    synthetic lang 'xx'), one groupby-sum merges base and delta, groups
+    maintained down to zero docs drop out.  The oracle aggregates the v2
+    snapshot DIRECTLY — agreement proves the maintenance algebra, which
+    is the whole point of IVM.  Same change feed as ``corpus_diff``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        lang = np.asarray(batch.column("lang").to_pandas(), dtype=object)
+        ln = pc.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
+        removed = d % 10 == 0
+        changed = (d % 7 == 0) & ~removed
+        added = d % 13 == 0
+        langs = [lang, lang[removed], lang[changed]]
+        dn = [np.ones(len(d), np.int64),
+              np.full(int(removed.sum()), -1, np.int64),
+              np.zeros(int(changed.sum()), np.int64)]
+        dc = [ln, -ln[removed], np.full(int(changed.sum()), 3, np.int64)]
+        if added.any():
+            fresh = np.array(
+                [len(f"fresh doc {x}") for x in d[added]], np.int64)
+            langs.append(np.full(int(added.sum()), "xx", dtype=object))
+            dn.append(np.ones(int(added.sum()), np.int64))
+            dc.append(fresh)
+        df = pd.DataFrame({
+            "lang": np.concatenate(langs),
+            "dn": np.concatenate(dn),
+            "dc": np.concatenate(dc),
+        })
+        agg = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    merged = (
+        docs_ds(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(contrib, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("dn", alias_name="n_docs"),
+                   Sum("dc", alias_name="n_chars"))
+    )
+
+    def drop_empty(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return batch.filter(pc2.not_equal(batch.column("n_docs"), 0))
+
+    return merged.map_batches(drop_empty, batch_format="pyarrow")
+
+
 def q_canonical_docs(sf_dir: str):
     """End-to-end dedup pipeline composition: planted corpus -> MinHash
     signatures -> LSH candidate pairs -> connected components -> canonical
