@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_match": _q_map_match,
         "vw_simplify": _q_vw_simplify,
         "rect_union_area": _q_rect_union_area,
+        "node_degree_census": _q_node_degree_census,
         "overlay_area": _q_overlay_area,
         "relation_assembly": _q_relation_assembly,
         "super_relations": _q_super_relations,
@@ -534,6 +535,20 @@ def _sql_segment_crossings() -> str:
     from planetiler_ray.pipelines import osm
 
     return osm.sql_segment_crossings()
+
+
+def _q_node_degree_census(sf_dir: str):
+    """OSM QA node-degree histogram (orphans at 0, intersection candidates
+    at >= 2) — one big node groupby, bounded histogram merge."""
+    from planetiler_ray.pipelines import osm
+
+    return osm.node_degree_census(sf_dir)
+
+
+def _sql_node_degree_census() -> str:
+    from planetiler_ray.pipelines import osm
+
+    return osm.sql_node_degree_census()
 
 
 def _q_rect_union_area(sf_dir: str):
@@ -905,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _sql_map_match(),
         "vw_simplify": _sql_vw_simplify(),
         "rect_union_area": _sql_rect_union_area(),
+        "node_degree_census": _sql_node_degree_census(),
         "overlay_area": _sql_overlay_area(),
         "relation_assembly": _sql_relation_assembly(),
         "super_relations": _sql_super_relations(),

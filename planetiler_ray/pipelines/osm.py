@@ -1037,6 +1037,68 @@ def _rel_rect(custkey: np.ndarray):
     return x0, y0, w, h
 
 
+def node_degree_census(sf_dir: str) -> ray.data.Dataset:
+    """OSM QA node-degree histogram: how many nodes are referenced by
+    exactly ``d`` way memberships (degree >= 2 nodes are the
+    intersection candidates of the way-splitting pass, degree 0 the
+    orphans).  Scale shape: per-batch (node, count) partials -> ONE
+    groupby(node) sum (the only big exchange) -> per-batch (degree,
+    count) histogram partials -> tiny groupby-sum; the degree-0 row is
+    total nodes minus referenced nodes (driver arithmetic over two small
+    aggregates).  Output: (degree, n_nodes) including the 0 row."""
+    import pyarrow.parquet as pq2
+    from ray.data.aggregate import Sum
+
+    n_nodes_total = pq2.read_metadata(f"{sf_dir}/part.parquet").num_rows
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        nid = batch.column("node_id").to_numpy()
+        u, c = np.unique(nid, return_counts=True)
+        return pa.table({"node_id": pa.array(u, pa.int64()),
+                         "c_part": pa.array(c, pa.int64())})
+
+    deg = (
+        way_refs_ds(sf_dir)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Sum("c_part", alias_name="degree"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(u, pa.int64()),
+                         "n_part": pa.array(c, pa.int64())})
+
+    hist = (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n_part", alias_name="n_nodes"))
+        .to_pandas()  # bounded by distinct degrees
+    )
+    n_ref = int(hist["n_nodes"].sum())
+    out = pd.concat([
+        pd.DataFrame({"degree": [0], "n_nodes": [n_nodes_total - n_ref]}),
+        hist,
+    ], ignore_index=True).astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def sql_node_degree_census() -> str:
+    """Twin of :func:`node_degree_census`."""
+    return """
+WITH deg AS (SELECT l_partkey AS node_id, count(*) AS degree
+             FROM lineitem GROUP BY 1),
+h AS (SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+      FROM deg GROUP BY 1)
+SELECT * FROM h
+UNION ALL
+SELECT CAST(0 AS BIGINT),
+       (SELECT count(*) FROM part) - (SELECT count(*) FROM deg)
+ORDER BY 1
+"""
+
+
 UNION_SLAB = 10000  # x-slab pitch (mdeg) for the rect-union exchange
 
 
