@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_hours": training.q_burst_hours,
         "rolling_active": training.q_rolling_active,
         "ivm_counts": training.q_ivm_counts,
+        "reshard_moves": training.q_reshard_moves,
         "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
@@ -832,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_hours": oracle.sql_burst_hours(),
         "rolling_active": oracle.sql_rolling_active(),
         "ivm_counts": oracle.sql_ivm_counts(),
+        "reshard_moves": oracle.sql_reshard_moves(),
         "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

@@ -2843,6 +2843,34 @@ GROUP BY 1
 """
 
 
+def sql_reshard_moves(n_shards: int = 12) -> str:
+    """Twin of ``training.q_reshard_moves``: the hash61 chain per
+    (doc, shard) candidate, argmax via row_number (ties -> smaller s,
+    matching np.argmax's first-max)."""
+    return f"""
+WITH base AS (
+    SELECT doc_id, gs.s, doc_id * 64 + gs.s AS hk
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, {n_shards + 1})) AS s) gs),
+{_hash61_ctes('base', 'hk')},
+old AS (
+    SELECT doc_id, s AS shard_old FROM (
+        SELECT _hh.*, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY _h DESC, s) AS rn
+        FROM _hh WHERE s < {n_shards}) WHERE rn = 1),
+new AS (
+    SELECT doc_id, s AS shard_new FROM (
+        SELECT _hh.*, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY _h DESC, s) AS rn
+        FROM _hh) WHERE rn = 1)
+SELECT o.shard_old, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n.shard_new <> o.shard_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM old o JOIN new n USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_ivm_counts() -> str:
     """Twin of ``training.q_ivm_counts`` by DIRECT aggregation of the v2
     snapshot (the engine never scans v2 — agreement proves the

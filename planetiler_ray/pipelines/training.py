@@ -1676,6 +1676,38 @@ def q_chunk_documents(sf_dir: str):
     return text.chunk_documents(docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def q_reshard_moves(sf_dir: str, n_shards: int = 12):
+    """Rendezvous (HRW) consistent-hashing reshard audit: each doc's
+    shard is ``argmax over s of hash61(doc_id * 64 + s)``; growing the
+    ring N -> N+1 should move only ~1/(N+1) of keys (HRW's
+    minimal-disruption guarantee — the elastic-cluster resharding
+    story).  Output per old shard: (shard_old, n_docs, n_moved).
+    Embarrassingly parallel: one vectorized (B, N+1) hash argmax per
+    batch, bounded partial census, tiny groupby.  The hash chain is
+    ``stages.sketch.hash61``, mirrored integer-for-integer in SQL."""
+    from ray.data.aggregate import Sum
+    from ..stages.sketch import hash61
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy().astype(np.int64)
+        keys = d[:, None] * 64 + np.arange(n_shards + 1)[None, :]
+        h = hash61(keys.reshape(-1)).reshape(len(d), n_shards + 1)
+        old = np.argmax(h[:, :n_shards], axis=1)   # first max = smallest s
+        new = np.argmax(h, axis=1)
+        moved = (new != old).astype(np.int64)
+        df = pd.DataFrame({"shard_old": old, "one": 1, "moved": moved})
+        agg = df.groupby("shard_old", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        docs_ds(sf_dir, ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shard_old")
+        .aggregate(Sum("one", alias_name="n_docs"),
+                   Sum("moved", alias_name="n_moved"))
+    )
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic 98/1/1 train/val/test split by the SQL-mirrorable
     M61 hash — reproducible, shuffle-free, stratified in expectation."""
