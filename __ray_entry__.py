@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active": training.q_rolling_active,
         "ivm_counts": training.q_ivm_counts,
         "reshard_moves": training.q_reshard_moves,
+        "vocab_growth": training.q_vocab_growth,
         "readability": training.q_readability,
         "sliding_window": training.q_sliding_window,
         "median_by_type": training.q_median_by_type,
@@ -834,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active": oracle.sql_rolling_active(),
         "ivm_counts": oracle.sql_ivm_counts(),
         "reshard_moves": oracle.sql_reshard_moves(),
+        "vocab_growth": oracle.sql_vocab_growth(),
         "readability": oracle.sql_readability(),
         "sliding_window": oracle.sql_sliding_window(),
         "median_by_type": oracle.sql_median_by_type(),

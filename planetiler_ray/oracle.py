@@ -2843,6 +2843,27 @@ GROUP BY 1
 """
 
 
+def sql_vocab_growth(n_buckets_out: int = 10) -> str:
+    """Twin of ``training.q_vocab_growth``: unnest tokens of the
+    reconstructed page text, min first doc_id per token, decile census +
+    window cumsum."""
+    return f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+toks AS (
+    SELECT d.doc_id,
+           unnest(regexp_extract_all(lower({sql_text_full()}),
+                                     '[a-z0-9]+')) AS token
+    FROM documents d),
+firsts AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+dec AS (
+    SELECT first_doc * {n_buckets_out} // n.nn AS decile, count(*) AS newt
+    FROM firsts CROSS JOIN n GROUP BY 1)
+SELECT decile, CAST(newt AS BIGINT) AS new_tokens,
+       CAST(sum(newt) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+FROM dec ORDER BY 1
+"""
+
+
 def sql_reshard_moves(n_shards: int = 12) -> str:
     """Twin of ``training.q_reshard_moves``: the hash61 chain per
     (doc, shard) candidate, argmax via row_number (ties -> smaller s,

@@ -1676,6 +1676,59 @@ def q_chunk_documents(sf_dir: str):
     return text.chunk_documents(docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def q_vocab_growth(sf_dir: str, n_buckets_out: int = 10):
+    """Heaps'-law vocabulary GROWTH curve over the EXTRACTED page text
+    (coordinate tokens keep arriving through the whole corpus, so the
+    curve is non-trivial — documents.text alone has a ~31-word closed
+    vocabulary): how many distinct tokens first appear in each doc-id
+    decile, and cumulatively — the "does more data still add vocabulary"
+    scaling diagnostic.  Scale shape: per-batch (token, min doc_id)
+    partials -> ONE token groupby min (the only big exchange; state =
+    distinct tokens) -> decile bucketing -> a <=10-row census with a
+    cumulative pass.  Exact SQL twin (unnest over the reconstructed page
+    text + min + window cumsum)."""
+    import pyarrow.parquet as pq2
+    from ray.data.aggregate import Min, Sum
+
+    from .webgeo import extracted_pages_ds
+
+    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import _flat_tokens
+
+        flat, lens = _flat_tokens(batch.column("extracted").to_pandas())
+        did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        df = pd.DataFrame({"token": flat.to_pandas(), "doc_id": did})
+        agg = df.groupby("token", as_index=False)["doc_id"].min()
+        agg = agg.rename(columns={"doc_id": "first_part"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    firsts = (
+        extracted_pages_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("first_part", alias_name="first_doc"))
+    )
+
+    def decile_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy()
+        dec = fd * n_buckets_out // max(n, 1)
+        u, c = np.unique(dec, return_counts=True)
+        return pa.table({"decile": pa.array(u, pa.int64()),
+                         "n_part": pa.array(c, pa.int64())})
+
+    per_dec = (
+        firsts.map_batches(decile_partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n_part", alias_name="new_tokens"))
+        .to_pandas()  # <= n_buckets_out rows
+        .sort_values("decile", ignore_index=True)
+    )
+    per_dec["cum_tokens"] = per_dec["new_tokens"].cumsum()
+    return ray.data.from_pandas(per_dec.astype(np.int64))
+
+
 def q_reshard_moves(sf_dir: str, n_shards: int = 12):
     """Rendezvous (HRW) consistent-hashing reshard audit: each doc's
     shard is ``argmax over s of hash61(doc_id * 64 + s)``; growing the
