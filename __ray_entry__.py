@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_slope": training.q_trend_slope,
         "burst_hours": training.q_burst_hours,
         "rolling_active": training.q_rolling_active,
+        "active_seconds": training.q_active_seconds,
         "ivm_counts": training.q_ivm_counts,
         "reshard_moves": training.q_reshard_moves,
         "vocab_growth": training.q_vocab_growth,
@@ -833,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope": oracle.sql_trend_slope(),
         "burst_hours": oracle.sql_burst_hours(),
         "rolling_active": oracle.sql_rolling_active(),
+        "active_seconds": oracle.sql_active_seconds(),
         "ivm_counts": oracle.sql_ivm_counts(),
         "reshard_moves": oracle.sql_reshard_moves(),
         "vocab_growth": oracle.sql_vocab_growth(),

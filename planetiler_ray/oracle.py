@@ -927,6 +927,23 @@ FROM m ORDER BY 1
 """
 
 
+def sql_active_seconds(window_us: int = 1_800_000_000) -> str:
+    """Twin of ``training.q_active_seconds``: telescoping union length —
+    first event contributes the full window, each later event
+    min(window, gap)."""
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+lagd AS (SELECT user_id, tsu,
+                lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS prev
+         FROM e)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL THEN {window_us}
+                     ELSE least({window_us}, tsu - prev) END) AS BIGINT)
+         AS covered_us
+FROM lagd GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_rolling_active(w: int = 24) -> str:
     """Twin of ``training.q_rolling_active``: banded self-join with
     count(DISTINCT user) per data hour."""

@@ -1855,6 +1855,12 @@ def q_window(sf_dir: str):
     return events.tumbling_window(events_ds(sf_dir, ["user_id", "ts", "value"]))
 
 
+def q_active_seconds(sf_dir: str):
+    """Per-user total covered activity time (union of 30-min event
+    windows, overlap-clipped) — see ``stages.events.active_seconds``."""
+    return events.active_seconds(events_ds(sf_dir, ["user_id", "ts"]))
+
+
 def q_rolling_active(sf_dir: str, w: int = 24):
     """Sliding-window distinct users (rolling 24h DAU) — exact via the
     per-user coverage-interval sweep, see ``stages.events.rolling_active``."""
