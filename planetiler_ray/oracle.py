@@ -1300,6 +1300,40 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sql_flow_accumulation(z: int = 6) -> str:
+    """Twin of ``webgeo.q_flow_accumulation``: the same strictly-denser
+    max-neighbor routing (ties -> smallest target id), accumulation via a
+    recursive ancestor closure."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+cells0 AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells0),
+nb AS (
+    SELECT a.cell AS src, a.n AS an, b.cell AS dst, b.n AS bn
+    FROM c a JOIN c b
+      ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell <> b.cell),
+flow AS (
+    SELECT src AS cell, dst FROM (
+        SELECT nb.*, row_number() OVER (PARTITION BY src
+                                        ORDER BY bn DESC, dst) AS rn
+        FROM nb) WHERE rn = 1 AND bn > an),
+reach(cell, anc) AS (
+    SELECT cell, cell AS anc FROM c
+    UNION
+    SELECT f.dst AS cell, r.anc FROM reach r JOIN flow f ON f.cell = r.cell
+),
+acc AS (SELECT cell, count(*) AS acc FROM reach GROUP BY 1)
+SELECT c.cell, CAST(c.n AS BIGINT) AS n, CAST(acc.acc AS BIGINT) AS acc,
+       CAST(CASE WHEN f.cell IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_sink
+FROM c JOIN acc USING (cell) LEFT JOIN flow f ON f.cell = c.cell
+ORDER BY 1
+"""
+
+
 def sql_line_of_sight(z: int = 6, threshold: int = 2, k: int = 8) -> str:
     """Twin of ``webgeo.q_line_of_sight``: same top-k towers, the same
     rounded-DDA walk via a constant step series filtered per pair."""

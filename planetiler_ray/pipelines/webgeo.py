@@ -1878,6 +1878,14 @@ def q_convex_hull(sf_dir: str, n_zones: int = 8):
     )
 
 
+def q_flow_accumulation(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """D8-style flow accumulation on the mention-density raster — see
+    ``stages.tiling.flow_accumulation``; recursive-closure SQL twin."""
+    from ..stages.tiling import flow_accumulation
+
+    return flow_accumulation(mentions_ds(sf_dir), z=z)
+
+
 def q_line_of_sight(sf_dir: str, z: int = 6, threshold: int = 2,
                     k: int = 8) -> ray.data.Dataset:
     """Raster visibility between the k hottest occupied cells: rounded-DDA

@@ -755,3 +755,81 @@ def line_of_sight(points_ds, z: int = 6, threshold: int = 2, k: int = 8,
     out = pd.DataFrame(rows, columns=["cell_a", "cell_b", "n_blockers",
                                       "visible"]).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def flow_accumulation(points_ds, z: int = 6,
+                      lat_col: str = "lat", lon_col: str = "lon"):
+    """D8-style flow accumulation over the mention-density raster (the
+    hydrology/terrain classic, density standing in for inverse
+    elevation): every occupied zoom-``z`` cell routes to its strictly-
+    denser max-density 8-neighbor (ties -> smallest target cell id; no
+    denser neighbor -> sink), and a cell's accumulation is the number of
+    cells whose flow path passes through it (itself included).  The
+    routing graph is a DAG by construction (density strictly increases
+    along flow), so accumulation is a single pass over cells in
+    ascending (density, cell) order.
+
+    Scale shape: the bounded-raster contract — per-batch partials ->
+    ONE groupby-sum (state <= 4**z cells), then vectorized neighbor
+    probes + one bounded accumulation pass on the materialized cell
+    table.  Output: (cell, n, acc, is_sink)."""
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    n_side = 1 << z
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        x = mercator.world_to_tile(mercator.lon_to_world_x(lon), z)
+        y = mercator.world_to_tile(mercator.lat_to_world_y(lat), z)
+        u, c = np.unique(y * n_side + x, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n_part": pa.array(c, pa.int64())}
+        )
+
+    df = (
+        points_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # <= 4**z rows by construction
+    )
+    order = np.argsort(df["cell"].to_numpy())
+    cells = df["cell"].to_numpy()[order]
+    n = df["n"].to_numpy()[order]
+    x, y = cells % n_side, cells // n_side
+    m = len(cells)
+
+    # steepest (densest) strictly-greater 8-neighbor; ties -> smallest id
+    best_n = np.full(m, -1, np.int64)
+    best_cell = np.full(m, 2**62, np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            valid = ((x + dx >= 0) & (x + dx < n_side)
+                     & (y + dy >= 0) & (y + dy < n_side))
+            tgt = cells + dy * n_side + dx
+            pos = np.searchsorted(cells, tgt)
+            ok = valid & (pos < m)
+            ok[ok] = cells[pos[ok]] == tgt[ok]
+            tn = np.where(ok, n[np.where(ok, pos, 0)], -1)
+            tc = np.where(ok, tgt, 2**62)
+            better = (tn > best_n) | ((tn == best_n) & (tc < best_cell))
+            best_n = np.where(better, tn, best_n)
+            best_cell = np.where(better, tc, best_cell)
+    has_out = best_n > n
+    target_pos = np.searchsorted(cells, np.where(has_out, best_cell, cells[0]))
+
+    acc = np.ones(m, np.int64)
+    for i in np.lexsort((cells, n)):       # ascending (density, cell)
+        if has_out[i]:
+            acc[target_pos[i]] += acc[i]
+
+    out = pd.DataFrame({
+        "cell": cells,
+        "n": n,
+        "acc": acc,
+        "is_sink": (~has_out).astype(np.int64),
+    }).astype(np.int64)
+    return ray.data.from_pandas(out)
