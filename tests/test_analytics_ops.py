@@ -94,3 +94,33 @@ def test_geoparquet_roundtrip_identity(ray_session, sf_dir):
     a = got[cols].sort_values(cols, ignore_index=True)
     b = want[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a.astype(np.int64), b.astype(np.int64))
+
+
+def test_active_seconds_bounds(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from planetiler_ray.pipelines import training
+
+    out = training.q_active_seconds(sf_dir).to_pandas()
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n_events = ev.num_rows
+    n_users = len(set(ev["user_id"].to_pylist()))
+    assert len(out) == n_users
+    w = 1_800_000_000
+    # covered time is at least one window per user, at most one per event
+    assert (out["covered_us"] >= w).all()
+    assert out["covered_us"].sum() <= n_events * w
+
+
+def test_flow_accumulation_conservation(ray_session, sf_dir):
+    from planetiler_ray.pipelines import webgeo
+
+    out = webgeo.q_flow_accumulation(sf_dir).to_pandas()
+    # every cell contributes exactly itself once: sink accumulations
+    # partition the cell set
+    assert out.loc[out["is_sink"] == 1, "acc"].sum() >= len(out)
+    assert (out["acc"] >= 1).all()
+    # sinks are local density maxima: acc mass conservation — the sum of
+    # accumulation over sinks counts each cell once per terminal path
+    n_cells = len(out)
+    assert out.loc[out["is_sink"] == 1, "acc"].sum() == n_cells
