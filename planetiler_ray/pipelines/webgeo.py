@@ -1886,6 +1886,15 @@ def q_flow_accumulation(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     return flow_accumulation(mentions_ds(sf_dir), z=z)
 
 
+def q_watershed_labels(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """Watershed/basin segmentation of the density raster: each occupied
+    cell labelled with its terminal D8 sink (``stages.tiling.
+    watershed_labels``); recursive path-walk SQL twin."""
+    from ..stages.tiling import watershed_labels
+
+    return watershed_labels(mentions_ds(sf_dir), z=z)
+
+
 def q_line_of_sight(sf_dir: str, z: int = 6, threshold: int = 2,
                     k: int = 8) -> ray.data.Dataset:
     """Raster visibility between the k hottest occupied cells: rounded-DDA

@@ -757,24 +757,12 @@ def line_of_sight(points_ds, z: int = 6, threshold: int = 2, k: int = 8,
     return ray.data.from_pandas(out)
 
 
-def flow_accumulation(points_ds, z: int = 6,
-                      lat_col: str = "lat", lon_col: str = "lon"):
-    """D8-style flow accumulation over the mention-density raster (the
-    hydrology/terrain classic, density standing in for inverse
-    elevation): every occupied zoom-``z`` cell routes to its strictly-
-    denser max-density 8-neighbor (ties -> smallest target cell id; no
-    denser neighbor -> sink), and a cell's accumulation is the number of
-    cells whose flow path passes through it (itself included).  The
-    routing graph is a DAG by construction (density strictly increases
-    along flow), so accumulation is a single pass over cells in
-    ascending (density, cell) order.
-
-    Scale shape: the bounded-raster contract — per-batch partials ->
-    ONE groupby-sum (state <= 4**z cells), then vectorized neighbor
-    probes + one bounded accumulation pass on the materialized cell
-    table.  Output: (cell, n, acc, is_sink)."""
+def _density_flow_graph(points_ds, z: int, lat_col: str, lon_col: str):
+    """Shared D8 routing graph over the mention-density raster: rasterize
+    (bounded 4**z cells), then route every cell to its strictly-denser
+    max-density 8-neighbor (ties -> smallest target cell id).  Returns
+    sorted (cells, n, has_out, target_pos)."""
     from ray.data.aggregate import Sum
-    import ray.data
 
     n_side = 1 << z
 
@@ -800,7 +788,6 @@ def flow_accumulation(points_ds, z: int = 6,
     x, y = cells % n_side, cells // n_side
     m = len(cells)
 
-    # steepest (densest) strictly-greater 8-neighbor; ties -> smallest id
     best_n = np.full(m, -1, np.int64)
     best_cell = np.full(m, 2**62, np.int64)
     for dx in (-1, 0, 1):
@@ -820,6 +807,55 @@ def flow_accumulation(points_ds, z: int = 6,
             best_cell = np.where(better, tc, best_cell)
     has_out = best_n > n
     target_pos = np.searchsorted(cells, np.where(has_out, best_cell, cells[0]))
+    return cells, n, has_out, target_pos
+
+
+def watershed_labels(points_ds, z: int = 6,
+                     lat_col: str = "lat", lon_col: str = "lon"):
+    """Watershed delineation over the density raster: every occupied cell
+    is labelled with the terminal SINK its D8 flow path ends at (the
+    basin segmentation that pairs with :func:`flow_accumulation`).  The
+    routing DAG's paths resolve by pointer jumping in O(log path) numpy
+    passes over the bounded cell table.  Output: (cell, sink)."""
+    import ray.data
+
+    cells, n, has_out, target_pos = _density_flow_graph(
+        points_ds, z, lat_col, lon_col)
+    m = len(cells)
+    nxt = np.where(has_out, target_pos, np.arange(m))
+    while True:
+        nn = nxt[nxt]
+        if np.array_equal(nn, nxt):
+            break
+        nxt = nn
+    out = pd.DataFrame({
+        "cell": cells,
+        "sink": cells[nxt],
+    }).astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def flow_accumulation(points_ds, z: int = 6,
+                      lat_col: str = "lat", lon_col: str = "lon"):
+    """D8-style flow accumulation over the mention-density raster (the
+    hydrology/terrain classic, density standing in for inverse
+    elevation): every occupied zoom-``z`` cell routes to its strictly-
+    denser max-density 8-neighbor (ties -> smallest target cell id; no
+    denser neighbor -> sink), and a cell's accumulation is the number of
+    cells whose flow path passes through it (itself included).  The
+    routing graph is a DAG by construction (density strictly increases
+    along flow), so accumulation is a single pass over cells in
+    ascending (density, cell) order.
+
+    Scale shape: the bounded-raster contract — per-batch partials ->
+    ONE groupby-sum (state <= 4**z cells), then vectorized neighbor
+    probes + one bounded accumulation pass on the materialized cell
+    table.  Output: (cell, n, acc, is_sink)."""
+    import ray.data
+
+    cells, n, has_out, target_pos = _density_flow_graph(
+        points_ds, z, lat_col, lon_col)
+    m = len(cells)
 
     acc = np.ones(m, np.int64)
     for i in np.lexsort((cells, n)):       # ascending (density, cell)
