@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_of_sight": webgeo.q_line_of_sight,
         "flow_accumulation": webgeo.q_flow_accumulation,
         "watershed_labels": webgeo.q_watershed_labels,
+        "ridge_cells": webgeo.q_ridge_cells,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
@@ -706,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "line_of_sight": oracle.sql_line_of_sight(),
         "flow_accumulation": oracle.sql_flow_accumulation(),
         "watershed_labels": oracle.sql_watershed_labels(),
+        "ridge_cells": oracle.sql_ridge_cells(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),

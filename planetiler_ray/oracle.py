@@ -1366,6 +1366,51 @@ ORDER BY 1
 """
 
 
+def sql_ridge_cells(z: int = 6) -> str:
+    """Twin of ``webgeo.q_ridge_cells``: sink per cell via the recursive
+    walk, rook-adjacent cells with different sinks counted per unordered
+    sink pair."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+cells0 AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells0),
+nb AS (
+    SELECT a.cell AS src, a.n AS an, b.cell AS dst, b.n AS bn
+    FROM c a JOIN c b
+      ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell <> b.cell),
+flow AS (
+    SELECT src AS cell, dst FROM (
+        SELECT nb.*, row_number() OVER (PARTITION BY src
+                                        ORDER BY bn DESC, dst) AS rn
+        FROM nb) WHERE rn = 1 AND bn > an),
+walk(cell, cur) AS (
+    SELECT cell, cell AS cur FROM c
+    UNION
+    SELECT w.cell, f.dst AS cur FROM walk w JOIN flow f ON f.cell = w.cur
+),
+sink AS (SELECT w.cell, w.cur AS sink FROM walk w
+         WHERE w.cur NOT IN (SELECT cell FROM flow)),
+adj AS (
+    SELECT a.cell AS u, b.cell AS v FROM c a JOIN c b
+        ON b.cell = a.cell + 1 AND a.x < {n} - 1
+    UNION ALL
+    SELECT a.cell AS u, b.cell AS v FROM c a JOIN c b
+        ON b.cell = a.cell + {n}
+)
+SELECT least(su.sink, sv.sink) AS sink_a,
+       greatest(su.sink, sv.sink) AS sink_b,
+       count(*) AS n_edges
+FROM adj JOIN sink su ON su.cell = adj.u
+JOIN sink sv ON sv.cell = adj.v
+WHERE su.sink <> sv.sink
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sql_line_of_sight(z: int = 6, threshold: int = 2, k: int = 8) -> str:
     """Twin of ``webgeo.q_line_of_sight``: same top-k towers, the same
     rounded-DDA walk via a constant step series filtered per pair."""

@@ -1895,6 +1895,15 @@ def q_watershed_labels(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     return watershed_labels(mentions_ds(sf_dir), z=z)
 
 
+def q_ridge_cells(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """Drainage-divide census: rook-adjacent cell pairs whose D8
+    watersheds differ, per unordered sink pair
+    (``stages.tiling.ridge_cells``)."""
+    from ..stages.tiling import ridge_cells
+
+    return ridge_cells(mentions_ds(sf_dir), z=z)
+
+
 def q_line_of_sight(sf_dir: str, z: int = 6, threshold: int = 2,
                     k: int = 8) -> ray.data.Dataset:
     """Raster visibility between the k hottest occupied cells: rounded-DDA

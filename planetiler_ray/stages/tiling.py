@@ -869,3 +869,44 @@ def flow_accumulation(points_ds, z: int = 6,
         "is_sink": (~has_out).astype(np.int64),
     }).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def ridge_cells(points_ds, z: int = 6,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    """Basin-boundary (ridge) census: pairs of rook-adjacent occupied
+    cells whose D8 watersheds differ, counted per unordered sink pair —
+    the drainage-divide structure that completes the
+    :func:`flow_accumulation` / :func:`watershed_labels` family.
+    Output: (sink_a, sink_b, n_edges), sink_a < sink_b."""
+    import ray.data
+
+    n_side = 1 << z
+    cells, n, has_out, target_pos = _density_flow_graph(
+        points_ds, z, lat_col, lon_col)
+    m = len(cells)
+    nxt = np.where(has_out, target_pos, np.arange(m))
+    while True:
+        nn = nxt[nxt]
+        if np.array_equal(nn, nxt):
+            break
+        nxt = nn
+    sink = cells[nxt]
+    x = cells % n_side
+    pairs = {}
+    for delta, guard in ((1, x < n_side - 1), (n_side, np.ones(m, bool))):
+        tgt = cells + delta
+        pos = np.searchsorted(cells, tgt)
+        ok = guard & (pos < m)
+        ok[ok] = cells[pos[ok]] == tgt[ok]
+        i = np.flatnonzero(ok)
+        j = pos[i]
+        diff = sink[i] != sink[j]
+        sa = np.minimum(sink[i][diff], sink[j][diff])
+        sb = np.maximum(sink[i][diff], sink[j][diff])
+        for a, b in zip(sa.tolist(), sb.tolist()):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    out = pd.DataFrame(
+        [(a, b, c) for (a, b), c in sorted(pairs.items())],
+        columns=["sink_a", "sink_b", "n_edges"],
+    ).astype(np.int64)
+    return ray.data.from_pandas(out)
