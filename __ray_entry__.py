@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation": webgeo.q_flow_accumulation,
         "watershed_labels": webgeo.q_watershed_labels,
         "ridge_cells": webgeo.q_ridge_cells,
+        "basin_depth": webgeo.q_basin_depth,
         "zonal_stats": webgeo.q_zonal_stats,
         "quadkey_counts": webgeo.q_quadkey_counts,
         "tile_pyramid": webgeo.q_tile_pyramid,
@@ -708,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_accumulation": oracle.sql_flow_accumulation(),
         "watershed_labels": oracle.sql_watershed_labels(),
         "ridge_cells": oracle.sql_ridge_cells(),
+        "basin_depth": oracle.sql_basin_depth(),
         "zonal_stats": oracle.sql_zonal_stats(),
         "quadkey_counts": oracle.sql_quadkey_counts(),
         "tile_pyramid": oracle.sql_tile_pyramid(),

@@ -1366,6 +1366,38 @@ ORDER BY 1
 """
 
 
+def sql_basin_depth(z: int = 6) -> str:
+    """Twin of ``webgeo.q_basin_depth``: recursive step-count walk to the
+    sink (unique path per cell, so UNION ALL terminates), depth census."""
+    n = 1 << z
+    tx, ty = sql_tile_expr("p.lat", "p.lon", str(z))
+    return f"""
+WITH RECURSIVE {POINTS_CTE},
+cells0 AS (
+    SELECT {tx} AS x, {ty} AS y, count(*) AS n
+    FROM points p GROUP BY 1, 2),
+c AS (SELECT y * {n} + x AS cell, x, y, n FROM cells0),
+nb AS (
+    SELECT a.cell AS src, a.n AS an, b.cell AS dst, b.n AS bn
+    FROM c a JOIN c b
+      ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.cell <> b.cell),
+flow AS (
+    SELECT src AS cell, dst FROM (
+        SELECT nb.*, row_number() OVER (PARTITION BY src
+                                        ORDER BY bn DESC, dst) AS rn
+        FROM nb) WHERE rn = 1 AND bn > an),
+walk(cell, cur, d) AS (
+    SELECT cell, cell AS cur, 0 AS d FROM c
+    UNION ALL
+    SELECT w.cell, f.dst AS cur, w.d + 1 FROM walk w
+    JOIN flow f ON f.cell = w.cur
+),
+depth AS (SELECT w.cell, w.d FROM walk w
+          WHERE w.cur NOT IN (SELECT cell FROM flow))
+SELECT d AS depth, count(*) AS n_cells FROM depth GROUP BY 1 ORDER BY 1
+"""
+
+
 def sql_ridge_cells(z: int = 6) -> str:
     """Twin of ``webgeo.q_ridge_cells``: sink per cell via the recursive
     walk, rook-adjacent cells with different sinks counted per unordered

@@ -1895,6 +1895,14 @@ def q_watershed_labels(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     return watershed_labels(mentions_ds(sf_dir), z=z)
 
 
+def q_basin_depth(sf_dir: str, z: int = 6) -> ray.data.Dataset:
+    """Flow-path-length histogram (hops to terminal sink) over the D8
+    routing of the density raster (``stages.tiling.basin_depth``)."""
+    from ..stages.tiling import basin_depth
+
+    return basin_depth(mentions_ds(sf_dir), z=z)
+
+
 def q_ridge_cells(sf_dir: str, z: int = 6) -> ray.data.Dataset:
     """Drainage-divide census: rook-adjacent cell pairs whose D8
     watersheds differ, per unordered sink pair

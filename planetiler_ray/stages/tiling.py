@@ -910,3 +910,29 @@ def ridge_cells(points_ds, z: int = 6,
         columns=["sink_a", "sink_b", "n_edges"],
     ).astype(np.int64)
     return ray.data.from_pandas(out)
+
+
+def basin_depth(points_ds, z: int = 6,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    """Flow-path-length histogram: for every occupied cell, the number of
+    D8 hops to its terminal sink (0 = the sink itself), censused as
+    (depth, n_cells) — the hypsometric companion of
+    :func:`watershed_labels`.  Depths resolve by pointer DOUBLING
+    (d += d[nxt]; nxt = nxt[nxt]) in O(log path) passes over the bounded
+    cell table; recursive step-count SQL twin."""
+    import ray.data
+
+    cells, n, has_out, target_pos = _density_flow_graph(
+        points_ds, z, lat_col, lon_col)
+    m = len(cells)
+    nxt = np.where(has_out, target_pos, np.arange(m))
+    d = has_out.astype(np.int64)
+    while True:
+        nn = nxt[nxt]
+        if np.array_equal(nn, nxt):
+            break
+        d = d + d[nxt]
+        nxt = nn
+    u, c = np.unique(d, return_counts=True)
+    out = pd.DataFrame({"depth": u, "n_cells": c}).astype(np.int64)
+    return ray.data.from_pandas(out)
