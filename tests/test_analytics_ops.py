@@ -124,3 +124,13 @@ def test_flow_accumulation_conservation(ray_session, sf_dir):
     # accumulation over sinks counts each cell once per terminal path
     n_cells = len(out)
     assert out.loc[out["is_sink"] == 1, "acc"].sum() == n_cells
+
+
+def test_basin_depth_sinks_match_flow(ray_session, sf_dir):
+    from planetiler_ray.pipelines import webgeo
+
+    depth = webgeo.q_basin_depth(sf_dir).to_pandas().set_index("depth")
+    flow = webgeo.q_flow_accumulation(sf_dir).to_pandas()
+    # depth-0 cells are exactly the sinks
+    assert depth.loc[0, "n_cells"] == int(flow["is_sink"].sum())
+    assert depth["n_cells"].sum() == len(flow)
