@@ -127,10 +127,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_classify": training.q_expr_classify,
         "weighted_sample": training.q_weighted_sample,
         "pagerank": training.q_pagerank,
+        "pagerank_bucketed": training.q_pagerank_bucketed,
         "triangles": training.q_triangles,
         "kcore": training.q_kcore,
+        "kcore_bucketed": training.q_kcore_bucketed,
         "bfs_reach": training.q_bfs_reach,
+        "bfs_reach_bucketed": training.q_bfs_reach_bucketed,
         "sssp_bounded": training.q_sssp_bounded,
+        "sssp_bucketed": training.q_sssp_bucketed,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -775,8 +779,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": oracle.sql_hll_users(),
         "weighted_sample": oracle.sql_weighted_sample(),
         "pagerank": oracle.sql_pagerank(),
+        "pagerank_bucketed": oracle.sql_pagerank(),
         "triangles": oracle.sql_triangles(),
         "kcore": oracle.sql_kcore(),
+        "kcore_bucketed": oracle.sql_kcore(),
         "cms_counts": oracle.sql_cms_counts(),
         "pareto_front": oracle.sql_pareto_front(),
         "bloom_probe": oracle.sql_bloom_probe(),
@@ -814,7 +820,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": oracle.sql_topk_per_group(),
         "bigram_surprisal": oracle.sql_bigram_surprisal(),
         "bfs_reach": oracle.sql_bfs_reach(),
+        "bfs_reach_bucketed": oracle.sql_bfs_reach(),
         "sssp_bounded": oracle.sql_sssp_bounded(),
+        "sssp_bucketed": oracle.sql_sssp_bounded(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

@@ -692,13 +692,11 @@ def q_retention(sf_dir: str):
     return events.retention(events_ds(sf_dir, ["user_id", "ts"]))
 
 
-def q_pagerank(sf_dir: str, iters: int = 5):
-    """Integer fixed-point PageRank (5 unrolled iterations) over a
-    deterministic synthetic link graph: doc d links to (d*d + a) % N for
-    a in (7, 13, 29) — quadratic maps give varied in-degree so ranks
-    differentiate.  Exact SQL twin (floor-division arithmetic)."""
-    from ..stages import graph
-
+def link_graph(sf_dir: str) -> tuple[ray.data.Dataset, int]:
+    """The deterministic synthetic link graph every graph query shares:
+    doc d links to (d*d + a) % N for a in (7, 13, 29) — quadratic maps
+    give varied in-degree so ranks/cores/distances differentiate.
+    Returns (edges Dataset (src, dst), n_nodes)."""
     import pyarrow.parquet as pq2
 
     n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -711,27 +709,39 @@ def q_pagerank(sf_dir: str, iters: int = 5):
                          "dst": pa.array(dst, pa.int64())})
 
     e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    return e, n
+
+
+def q_pagerank(sf_dir: str, iters: int = 5):
+    """Integer fixed-point PageRank (5 unrolled iterations) over the
+    shared :func:`link_graph`.  Exact SQL twin (floor-division
+    arithmetic).  Dispatches to the bucketed no-driver-state path when V
+    exceeds the broadcast budget (``graph.BROADCAST_MAX_NODES``)."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    if n > graph.BROADCAST_MAX_NODES:
+        return graph.pagerank_bucketed(e, n_nodes=n, iters=iters)
     return ray.data.from_pandas(graph.pagerank_int(e, n_nodes=n, iters=iters))
 
 
+def q_pagerank_bucketed(sf_dir: str, iters: int = 5):
+    """:func:`q_pagerank` FORCED through the bucketed scale-out path —
+    rank state as a hash-partitioned sparse Dataset, 2 exchanges per
+    iteration, zero V-sized driver vectors (``graph.pagerank_bucketed``).
+    Same oracle as ``pagerank`` (the two paths are bitwise identical)."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    return graph.pagerank_bucketed(e, n_nodes=n, iters=iters)
+
+
 def q_triangles(sf_dir: str):
-    """Exact triangle count over the same deterministic link graph as
-    ``pagerank`` (doc d -> (d*d + a) % N, a in (7, 13, 29)), via the
+    """Exact triangle count over the shared :func:`link_graph`, via the
     degree-ordered node-iterator (``graph.triangle_count``)."""
     from ..stages import graph
 
-    import pyarrow.parquet as pq2
-
-    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def edges(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        src = np.concatenate([d, d, d])
-        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    e, n = link_graph(sf_dir)
     return graph.triangle_count(e, n_nodes=n)
 
 
@@ -3078,24 +3088,26 @@ def q_unigram_surprisal(sf_dir: str):
 
 def q_kcore(sf_dir: str, k: int = 5, rounds: int = 3):
     """Bounded-round k-core peeling (k=5, 3 rounds — a real cascade:
-    500 -> 306 -> 302 -> 300 alive at sf0.001) over the same
-    deterministic link graph as ``pagerank``/``triangles`` — iterative
-    subgraph filtering with a fully unrolled SQL twin."""
+    500 -> 306 -> 302 -> 300 alive at sf0.001) over the shared
+    :func:`link_graph` — iterative subgraph filtering with a fully
+    unrolled SQL twin.  Dispatches to the bucketed path past the
+    broadcast V budget."""
     from ..stages import graph
 
-    import pyarrow.parquet as pq2
-
-    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def edges(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        src = np.concatenate([d, d, d])
-        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    e, n = link_graph(sf_dir)
+    if n > graph.BROADCAST_MAX_NODES:
+        return graph.kcore_bucketed(e, n_nodes=n, k=k, rounds=rounds)
     return ray.data.from_pandas(graph.kcore_peel(e, n_nodes=n, k=k, rounds=rounds))
+
+
+def q_kcore_bucketed(sf_dir: str, k: int = 5, rounds: int = 3):
+    """:func:`q_kcore` FORCED through the bucketed path — alive set as a
+    sparse Dataset, 2 semi-join exchanges + 1 degree exchange per round
+    (``graph.kcore_bucketed``).  Same oracle as ``kcore``."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    return graph.kcore_bucketed(e, n_nodes=n, k=k, rounds=rounds)
 
 
 def q_cms_counts(sf_dir: str):
@@ -3474,45 +3486,49 @@ def q_bigram_surprisal(sf_dir: str):
 
 def q_bfs_reach(sf_dir: str, hops: int = 3):
     """Bounded-hop BFS reachability (3 hops from doc_id%101==0 seeds) over
-    the pagerank link graph — frontier-broadcast iteration, fully unrolled
-    SQL twin."""
+    the shared :func:`link_graph` — frontier-broadcast iteration, fully
+    unrolled SQL twin.  Dispatches to the bucketed path past the
+    broadcast V budget."""
     from ..stages import graph
 
-    import pyarrow.parquet as pq2
-
-    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def edges(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        src = np.concatenate([d, d, d])
-        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    e, n = link_graph(sf_dir)
+    if n > graph.BROADCAST_MAX_NODES:
+        return graph.bfs_bucketed(e, n_nodes=n, hops=hops)
     return ray.data.from_pandas(graph.bfs_hops(e, n_nodes=n, hops=hops))
+
+
+def q_bfs_reach_bucketed(sf_dir: str, hops: int = 3):
+    """:func:`q_bfs_reach` FORCED through the bucketed path — frontier and
+    reached sets as Datasets, 2 exchanges per hop (``graph.bfs_bucketed``).
+    Same oracle as ``bfs_reach``."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    return graph.bfs_bucketed(e, n_nodes=n, hops=hops)
 
 
 def q_sssp_bounded(sf_dir: str, rounds: int = 3):
     """Bounded-round WEIGHTED shortest paths (3 Bellman-Ford relaxations
-    from doc_id%101==0 seeds) over the pagerank link graph with
+    from doc_id%101==0 seeds) over the shared :func:`link_graph` with
     deterministic integer edge weights — the weighted companion of
-    :func:`q_bfs_reach`; fully-unrolled min-plus SQL twin."""
+    :func:`q_bfs_reach`; fully-unrolled min-plus SQL twin.  Dispatches to
+    the bucketed path past the broadcast V budget."""
     from ..stages import graph
 
-    import pyarrow.parquet as pq2
-
-    n = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
-    def edges(batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy().astype(np.int64)
-        src = np.concatenate([d, d, d])
-        dst = np.concatenate([(d * d + a) % n for a in (7, 13, 29)])
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    e = docs_ds(sf_dir, ["doc_id"]).map_batches(edges, batch_format="pyarrow")
+    e, n = link_graph(sf_dir)
+    if n > graph.BROADCAST_MAX_NODES:
+        return graph.sssp_bucketed(e, n_nodes=n, rounds=rounds)
     return ray.data.from_pandas(graph.sssp_rounds(e, n_nodes=n, rounds=rounds))
+
+
+def q_sssp_bucketed(sf_dir: str, rounds: int = 3):
+    """:func:`q_sssp_bounded` FORCED through the bucketed path — sparse
+    distance Dataset, relax + bucketed-min exchanges per round
+    (``graph.sssp_bucketed``).  Same oracle as ``sssp_bounded``."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    return graph.sssp_bucketed(e, n_nodes=n, rounds=rounds)
 
 
 def q_ks_drift(sf_dir: str):

@@ -9,10 +9,20 @@ the quantile/median operators use to stay hash-identical under the gate.
 Scale shape (broadcast variant): the rank vector (8 B x V) is ``ray.put``
 once per iteration and every batch of edges contributes per-batch partial
 (dst, sum) rows into a small ``groupby`` — edges stream, never
-materialize.  Driver state is O(V); fine to ~10^8-10^9 nodes on a fat
+materialize.  Driver state is O(V); fine to ~10^8 nodes on a fat
 driver node (the webtext case: V = hosts or documents, E = links >> V).
-Past that, swap the broadcast for the repo's hash-bucket join pattern
-(``pipelines/osm.py``) — two shuffles per iteration, documented fallback.
+
+Past ``BROADCAST_MAX_NODES`` the driver-resident vector itself becomes the
+bottleneck (10^9-10^10 web-graph nodes = 8-80 GB of int64 ranks), so every
+algorithm here also has a ``*_bucketed`` variant where the per-node state
+(rank / alive / frontier / distance) lives as a HASH-PARTITIONED sparse
+Dataset and meets the cached edge set through the repo's side-tagged
+single-exchange join (``pipelines/osm.join_way_nodes`` discipline — never
+assume the side table fits, ``reader/osm/OsmReader.java:534-550``).  Each
+iteration costs a bounded number of bucket exchanges (2-3) instead of a
+broadcast; results stay Datasets end to end.  Both paths are bitwise
+identical (integer arithmetic, order-independent reductions), so they
+share one SQL oracle.
 """
 
 from __future__ import annotations
@@ -20,6 +30,83 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+#: Above this node count the broadcast variants refuse (driver vector would
+#: exceed ~1 GB); callers dispatch to the ``*_bucketed`` variants instead.
+BROADCAST_MAX_NODES = 1 << 27
+
+
+def _canon_edges(edges_ds, src_col: str, dst_col: str):
+    """Dedup to the canonical undirected edge set (a < b, self-loops
+    dropped) — ONE (a, b) groupby, shared by every undirected algorithm."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy()
+        t = batch.column(dst_col).to_numpy()
+        m = s != t
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[m], t[m]), pa.int64()),
+                "b": pa.array(np.maximum(s[m], t[m]), pa.int64()),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+
+
+def _node_range(n_nodes: int):
+    """Distributed [0, n_nodes) node table (column ``node``) — the bucketed
+    variants' replacement for ``np.arange(n_nodes)`` driver vectors."""
+    import ray
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("id").cast(pa.int64())})
+
+    return ray.data.range(n_nodes).map_batches(rename, batch_format="pyarrow")
+
+
+def _tag_kpq(key: np.ndarray, p: np.ndarray, q: np.ndarray,
+             side: int, n_buckets: int) -> pa.Table:
+    """Narrow overloaded exchange schema (key, p, q, bucket, side) — the
+    ``osm.join_way_nodes`` layout: no null-padded columns, int8 side."""
+    return pa.table(
+        {
+            "key": pa.array(key, pa.int64()),
+            "p": pa.array(p, pa.int64()),
+            "q": pa.array(q, pa.int64()),
+            "bucket": pa.array(key % n_buckets, pa.int64()),
+            "side": pa.array(np.full(len(key), side, np.int8), pa.int8()),
+        }
+    )
+
+
+def _split_sides(g: pa.Table):
+    """(state_tbl, other_tbl) halves of one side-tagged exchange group."""
+    import pyarrow.compute as pc
+
+    m = pc.equal(g.column("side"), 1)
+    return g.filter(m), g.filter(pc.invert(m))
+
+
+def _state_lookup(state_t: pa.Table, probe: np.ndarray):
+    """(values, found_mask) of the sparse state (key=node, p=value) at
+    ``probe`` node ids — sort + searchsorted, the bucket-join probe."""
+    nid = state_t.column("key").to_numpy()
+    if len(nid) == 0:
+        z = np.zeros(len(probe), dtype=np.int64)
+        return z, np.zeros(len(probe), dtype=bool)
+    order = np.argsort(nid, kind="stable")
+    nid_s = nid[order]
+    val_s = state_t.column("p").to_numpy()[order]
+    pos = np.searchsorted(nid_s, probe)
+    pos_c = np.minimum(pos, len(nid_s) - 1)
+    found = (pos < len(nid_s)) & (nid_s[pos_c] == probe)
+    return val_s[pos_c], found
 
 
 def pagerank_int(edges_ds, n_nodes: int, iters: int = 5,
@@ -435,3 +522,459 @@ def sssp_rounds(edges_ds, n_nodes: int, seed_mod: int = 101, rounds: int = 3,
 
     reached = np.flatnonzero(dist < INF)
     return pd.DataFrame({"node_id": reached, "dist": dist[reached]})
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (no-driver-state) variants — the 100 TB path.  Per-node state is
+# a hash-partitioned SPARSE Dataset; each iteration is a bounded number of
+# side-tagged bucket exchanges against the cached edge set.  Bitwise
+# identical to the broadcast variants (shared SQL oracles).
+# ---------------------------------------------------------------------------
+
+
+def _buckets(n_buckets: int | None) -> int:
+    if n_buckets is not None:
+        return n_buckets
+    from ..pipelines.flagship import shuffle_partitions
+
+    return shuffle_partitions()
+
+
+def pagerank_bucketed(edges_ds, n_nodes: int, iters: int = 5,
+                      damping_pct: int = 85, scale: int = 10**9,
+                      src_col: str = "src", dst_col: str = "dst",
+                      n_buckets: int | None = None):
+    """:func:`pagerank_int` with the rank vector as a hash-partitioned
+    sparse Dataset instead of a driver numpy array.
+
+    Setup: out-degree is ONE bucket exchange of per-batch count partials,
+    then attached to every edge through ONE side-tagged join (loop
+    invariant, cached).  Each iteration: exchange 1 joins the sparse rank
+    state to edges on ``src`` (absent node => the iteration's default
+    rank — uniform at i=0, teleport ``base`` after) and pre-aggregates
+    (dst, contrib) partials IN the group body; exchange 2 is a
+    ``bucketed_sum`` over dst.  Nothing driver-resident is ever O(V);
+    the returned Dataset is (node_id, rank) for all V nodes.
+    """
+    import ray
+    from .bucketagg import bucketed_sum, count_min_partial
+
+    nb = _buckets(n_buckets)
+    base = (scale // n_nodes * (100 - damping_pct)) // 100
+
+    deg_ds = bucketed_sum(
+        edges_ds.map_batches(count_min_partial([src_col], "d_part"),
+                             batch_format="pyarrow"),
+        keys=[src_col], sums=[("d_part", "deg")], n_buckets=nb)
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column(src_col).to_numpy(),
+                        batch.column(dst_col).to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 0, nb)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column(src_col).to_numpy(),
+                        batch.column("deg").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    def attach_deg(g: pa.Table) -> pa.Table:
+        state_t, edge_t = _split_sides(g)
+        src = edge_t.column("key").to_numpy()
+        deg, _ = _state_lookup(state_t, src)  # every src has an out-degree
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": edge_t.column("p"),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    edges_deg = (
+        edges_ds.map_batches(tag_edge, batch_format="pyarrow")
+        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach_deg, batch_format="pyarrow")
+        .materialize()  # loop-invariant, reused every iteration (spillable)
+    )
+
+    def tag_edge_deg(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("src").to_numpy(),
+                        batch.column("dst").to_numpy(),
+                        batch.column("deg").to_numpy(), 0, nb)
+
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        batch.column("rank").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    state = None  # sparse (node, rank); None => uniform default everywhere
+    default = scale // n_nodes
+    for _ in range(iters):
+        tagged = edges_deg.map_batches(tag_edge_deg, batch_format="pyarrow")
+        if state is not None:
+            tagged = tagged.union(
+                state.map_batches(tag_rank, batch_format="pyarrow"))
+
+        def contrib(g: pa.Table, default=default) -> pa.Table:
+            state_t, edge_t = _split_sides(g)
+            src = edge_t.column("key").to_numpy()
+            dst = edge_t.column("p").to_numpy()
+            deg = edge_t.column("q").to_numpy()
+            r, found = _state_lookup(state_t, src)
+            r = np.where(found, r, default)
+            c = r // np.maximum(deg, 1)
+            if len(dst) == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "c_part": pa.array([], pa.int64())})
+            order = np.argsort(dst, kind="stable")
+            ds_, cs = dst[order], c[order]
+            new = np.ones(len(ds_), dtype=bool)
+            new[1:] = ds_[1:] != ds_[:-1]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {
+                    "dst": pa.array(ds_[starts], pa.int64()),
+                    "c_part": pa.array(np.add.reduceat(cs, starts), pa.int64()),
+                }
+            )
+
+        sums = bucketed_sum(
+            tagged.groupby("bucket").map_groups(contrib, batch_format="pyarrow"),
+            keys=["dst"], sums=[("c_part", "c")], n_buckets=nb)
+
+        def to_rank(batch: pa.Table) -> pa.Table:
+            c = batch.column("c").to_numpy()
+            return pa.table(
+                {
+                    "node": batch.column("dst"),
+                    "rank": pa.array(base + damping_pct * c // 100, pa.int64()),
+                }
+            )
+
+        state = sums.map_batches(to_rank, batch_format="pyarrow").materialize()
+        default = base
+
+    # densify: every node gets its sparse rank or the final default
+    def tag_node(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64),
+                        np.zeros(batch.num_rows, np.int64), 0, nb)
+
+    def densify(g: pa.Table, default=default) -> pa.Table:
+        state_t, node_t = _split_sides(g)
+        nodes = node_t.column("key").to_numpy()
+        r, found = _state_lookup(state_t, nodes)
+        return pa.table(
+            {
+                "node_id": pa.array(nodes, pa.int64()),
+                "rank": pa.array(np.where(found, r, default), pa.int64()),
+            }
+        )
+
+    return (
+        _node_range(n_nodes).map_batches(tag_node, batch_format="pyarrow")
+        .union(state.map_batches(tag_rank, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(densify, batch_format="pyarrow")
+    )
+
+
+def kcore_bucketed(edges_ds, n_nodes: int, k: int = 3, rounds: int = 3,
+                   src_col: str = "src", dst_col: str = "dst",
+                   n_buckets: int | None = None):
+    """:func:`kcore_peel` with the alive set as a sparse Dataset.
+
+    Round r: two semi-join exchanges drop edges with a dead endpoint
+    (key=a then key=b against the alive node set — round 1 skips both,
+    everything is alive), one ``bucketed_sum`` of per-batch endpoint-count
+    partials gives ``deg_r``; ``alive_r = {v: deg_r(v) >= k}`` stays a
+    Dataset.  A node dead in an earlier round has no surviving edges, so
+    its degree is 0 — exactly the broadcast semantics.  Returns a Dataset
+    (node_id, deg, in_core) over all V nodes.
+    """
+    from .bucketagg import bucketed_sum
+
+    nb = _buckets(n_buckets)
+    edges = _canon_edges(edges_ds, src_col, dst_col).materialize()
+
+    def tag_ab(key_col, other_col):
+        def tag(batch: pa.Table) -> pa.Table:
+            return _tag_kpq(batch.column(key_col).to_numpy(),
+                            batch.column(other_col).to_numpy(),
+                            np.zeros(batch.num_rows, np.int64), 0, nb)
+        return tag
+
+    def tag_alive(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    def keep_alive(key_out, other_out):
+        def body(g: pa.Table) -> pa.Table:
+            state_t, edge_t = _split_sides(g)
+            keys = edge_t.column("key").to_numpy()
+            _, found = _state_lookup(state_t, keys)
+            return pa.table(
+                {
+                    key_out: pa.array(keys[found], pa.int64()),
+                    other_out: pa.array(
+                        edge_t.column("p").to_numpy()[found], pa.int64()),
+                }
+            )
+        return body
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch.column("a").to_numpy(), batch.column("b").to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d_part": pa.array(c, pa.int64())})
+
+    alive = None  # None => all alive (round 1)
+    deg_ds = None
+    for _ in range(rounds):
+        if alive is None:
+            surv = edges
+        else:
+            at = alive.map_batches(tag_alive, batch_format="pyarrow")
+            surv = (
+                edges.map_batches(tag_ab("a", "b"), batch_format="pyarrow")
+                .union(at)
+                .groupby("bucket")
+                .map_groups(keep_alive("a", "b"), batch_format="pyarrow")
+                .map_batches(tag_ab("b", "a"), batch_format="pyarrow")
+                .union(at)
+                .groupby("bucket")
+                .map_groups(keep_alive("b", "a"), batch_format="pyarrow")
+            )
+        deg_ds = bucketed_sum(
+            surv.map_batches(deg_partial, batch_format="pyarrow"),
+            keys=["node"], sums=[("d_part", "deg")], n_buckets=nb,
+        ).materialize()
+
+        def survivors(batch: pa.Table) -> pa.Table:
+            m = batch.column("deg").to_numpy() >= k
+            return pa.table(
+                {"node": pa.array(batch.column("node").to_numpy()[m],
+                                  pa.int64())})
+
+        alive = deg_ds.map_batches(survivors, batch_format="pyarrow")
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        batch.column("deg").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    def tag_node(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64),
+                        np.zeros(batch.num_rows, np.int64), 0, nb)
+
+    def densify(g: pa.Table) -> pa.Table:
+        state_t, node_t = _split_sides(g)
+        nodes = node_t.column("key").to_numpy()
+        d, found = _state_lookup(state_t, nodes)
+        d = np.where(found, d, 0)
+        return pa.table(
+            {
+                "node_id": pa.array(nodes, pa.int64()),
+                "deg": pa.array(d, pa.int64()),
+                "in_core": pa.array((d >= k).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _node_range(n_nodes).map_batches(tag_node, batch_format="pyarrow")
+        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(densify, batch_format="pyarrow")
+    )
+
+
+def bfs_bucketed(edges_ds, n_nodes: int, seed_mod: int = 101, hops: int = 3,
+                 src_col: str = "src", dst_col: str = "dst",
+                 n_buckets: int | None = None):
+    """:func:`bfs_hops` with the frontier and reached sets as Datasets.
+
+    Hop h: exchange 1 joins the frontier to the cached bidirectional
+    adjacency on the from-node and emits candidate neighbours (deduped in
+    the group body); exchange 2 anti-joins candidates against the reached
+    set — survivors are the new frontier at hop h, unioned into reached.
+    Early-exits when a frontier is empty.  Returns (node_id, hop).
+    """
+    nb = _buckets(n_buckets)
+    edges = _canon_edges(edges_ds, src_col, dst_col)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "frm": pa.array(np.concatenate([a, b]), pa.int64()),
+                "to": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy()
+        s = nodes[nodes % seed_mod == 0]
+        return pa.table({"node": pa.array(s, pa.int64()),
+                         "hop": pa.array(np.zeros(len(s), np.int64),
+                                         pa.int64())})
+
+    reached = (
+        _node_range(n_nodes).map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+    frontier = reached
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("frm").to_numpy(),
+                        batch.column("to").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 0, nb)
+
+    def tag_nodes_side(side):
+        def tag(batch: pa.Table) -> pa.Table:
+            return _tag_kpq(batch.column("node").to_numpy(),
+                            np.zeros(batch.num_rows, np.int64),
+                            np.zeros(batch.num_rows, np.int64), side, nb)
+        return tag
+
+    def neighbours(g: pa.Table) -> pa.Table:
+        state_t, edge_t = _split_sides(g)
+        frm = edge_t.column("key").to_numpy()
+        _, found = _state_lookup(state_t, frm)
+        to = edge_t.column("p").to_numpy()[found]
+        return pa.table({"node": pa.array(np.unique(to), pa.int64())})
+
+    for h in range(1, hops + 1):
+        cand = (
+            adj.map_batches(tag_adj, batch_format="pyarrow")
+            .union(frontier.map_batches(tag_nodes_side(1),
+                                        batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(neighbours, batch_format="pyarrow")
+        )
+
+        def anti(g: pa.Table, h=h) -> pa.Table:
+            state_t, cand_t = _split_sides(g)
+            u = np.unique(cand_t.column("key").to_numpy())
+            _, found = _state_lookup(state_t, u)
+            nn = u[~found]
+            return pa.table({"node": pa.array(nn, pa.int64()),
+                             "hop": pa.array(np.full(len(nn), h, np.int64),
+                                             pa.int64())})
+
+        frontier = (
+            cand.map_batches(tag_nodes_side(0), batch_format="pyarrow")
+            .union(reached.map_batches(tag_nodes_side(1),
+                                       batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(anti, batch_format="pyarrow")
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        reached = reached.union(frontier).materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node_id": batch.column("node"),
+                         "hop": batch.column("hop")})
+
+    return reached.map_batches(rename, batch_format="pyarrow")
+
+
+def sssp_bucketed(edges_ds, n_nodes: int, seed_mod: int = 101,
+                  rounds: int = 3, w_lo: int = 1, w_span: int = 9,
+                  src_col: str = "src", dst_col: str = "dst",
+                  n_buckets: int | None = None):
+    """:func:`sssp_rounds` with the distance vector as a sparse Dataset
+    (absent = unreached/INF).
+
+    Round r: exchange 1 joins the sparse distances to the cached weighted
+    bidirectional adjacency on the from-node and emits per-group partial
+    min (to, dist + w) candidates; exchange 2 is a bucketed MIN over the
+    union of candidates and the previous distances (Jacobi — candidates
+    are relaxed against round r-1 only, same as the broadcast variant and
+    the unrolled SQL twin).  Returns (node_id, dist) for reached nodes.
+    """
+    from .bucketagg import bucketed_sum
+
+    nb = _buckets(n_buckets)
+    edges = _canon_edges(edges_ds, src_col, dst_col)
+
+    def both_dirs_w(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        w = w_lo + (a * 3 + b * 7) % w_span
+        return pa.table(
+            {
+                "frm": pa.array(np.concatenate([a, b]), pa.int64()),
+                "to": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs_w, batch_format="pyarrow").materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_numpy()
+        s = nodes[nodes % seed_mod == 0]
+        return pa.table({"node": pa.array(s, pa.int64()),
+                         "dist": pa.array(np.zeros(len(s), np.int64),
+                                          pa.int64())})
+
+    dist = (
+        _node_range(n_nodes).map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("frm").to_numpy(),
+                        batch.column("to").to_numpy(),
+                        batch.column("w").to_numpy(), 0, nb)
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        batch.column("dist").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    def relax(g: pa.Table) -> pa.Table:
+        state_t, edge_t = _split_sides(g)
+        frm = edge_t.column("key").to_numpy()
+        d, found = _state_lookup(state_t, frm)
+        to = edge_t.column("p").to_numpy()[found]
+        cand = d[found] + edge_t.column("q").to_numpy()[found]
+        if len(to) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "d_part": pa.array([], pa.int64())})
+        order = np.lexsort((cand, to))
+        to, cand = to[order], cand[order]
+        first = np.ones(len(to), dtype=bool)
+        first[1:] = to[1:] != to[:-1]
+        return pa.table({"node": pa.array(to[first], pa.int64()),
+                         "d_part": pa.array(cand[first], pa.int64())})
+
+    def as_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "d_part": batch.column("dist")})
+
+    for _ in range(rounds):
+        cands = (
+            adj.map_batches(tag_adj, batch_format="pyarrow")
+            .union(dist.map_batches(tag_dist, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(relax, batch_format="pyarrow")
+        )
+        merged = bucketed_sum(
+            cands.union(dist.map_batches(as_partial, batch_format="pyarrow")),
+            keys=["node"], sums=[], mins=[("d_part", "dist")], n_buckets=nb)
+        dist = merged.materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node_id": batch.column("node"),
+                         "dist": batch.column("dist")})
+
+    return dist.map_batches(rename, batch_format="pyarrow")
