@@ -808,7 +808,13 @@ FROM marked GROUP BY way_id HAVING count(*) >= 2 ORDER BY 1
 """
 
 
-def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+MM_CELL = 4000  # fused map-match pitch: a way's R-expanded reach spans
+#                 anchor +-2000 (local +-1000 + MATCH_R), exactly one
+#                 MM_CELL — so the anchor box covers a FIXED 2x2 cell block
+
+
+def map_match(sf_dir: str, n_buckets: int = 64,
+              node_broadcast_max: int = 100_000_000) -> ray.data.Dataset:
     """GPS map matching (nearest-road-segment join within a search radius
     — the trajectory-snapping primitive): one deterministic probe point
     per way (anchor + hash offset), matched to the nearest segment within
@@ -819,43 +825,52 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     operand-for-operand in the SQL twin (ints in, one division, floor out
     — the haversine-oracle discipline), compared on ``floor(d2)``.
 
-    Scale shape: segments go to every cell their R-expanded bbox touches
-    (<= 9 cells), probes to their own single cell, side-tagged on the SAME
-    cell exchange; the cell body does one (probes x candidates) vectorized
-    distance block + per-probe argmin.  Any segment within R of a probe
-    overlaps the probe's cell by construction, so the cell join is EXACT,
-    not approximate.  Output: (probe_id, way_id, seq, d2_floor).
+    Scale shape (the r5 fusion): a way's whole local world lives within
+    +-1000 mdeg of an anchor that is a pure function of way_id, so the set
+    of MM_CELL cells its R-expanded geometry can touch is the FIXED 2x2
+    block around the anchor — known before any geometry is assembled.
+    Way rows therefore go straight to the cell exchange (4 copies each, no
+    intermediate way-regroup barrier); the cell body assembles per-way
+    segments AND matches probes in one pass.  Each way's rows are complete
+    within every cell it covers, so segment ranks are globally correct;
+    each probe lives in exactly one cell and any segment within R covers
+    that cell — the join is EXACT and needs no dedup exchange.
+
+    Node coordinates: when the node table fits the reference's in-memory
+    node store budget (``OsmReader.java`` pass-2 LongLongMap — the planet
+    runs with an ~8 GB array store), coords are a BROADCAST sorted-array
+    lookup probed while the refs stream (``node_broadcast_max`` rows,
+    ``ray.put`` once), making the whole operator ONE cell exchange; above
+    the budget it falls back to the ``join_way_nodes`` exchange feeding
+    the same cell exchange (two exchanges, no driver state).
+    Output: (probe_id, way_id, seq, d2_floor).
     """
 
-    def emit_seg_cells(g: pa.Table) -> pa.Table:
-        w, s, x1, y1, x2, y2 = _local_segments(g)
-        cx_lo = (np.minimum(x1, x2) - MATCH_R) // SEG_CELL
-        cx_hi = (np.maximum(x1, x2) + MATCH_R) // SEG_CELL
-        cy_lo = (np.minimum(y1, y2) - MATCH_R) // SEG_CELL
-        cy_hi = (np.maximum(y1, y2) + MATCH_R) // SEG_CELL
-        cols = [[] for _ in range(7)]
-        for dx in range(3):
-            for dy in range(3):
-                cx = cx_lo + dx
-                cy = cy_lo + dy
-                m = (cx <= cx_hi) & (cy <= cy_hi)
-                for k, arr in enumerate(
-                        (_cell_ids(cx[m], cy[m]), w[m], s[m],
-                         x1[m], y1[m], x2[m], y2[m])):
-                    cols[k].append(arr)
-        cat = [np.concatenate(c) if c else np.array([], dtype=np.int64)
-               for c in cols]
-        n = len(cat[0])
+    def tag_ways(batch: pa.Table) -> pa.Table:
+        wid = batch.column("way_id").to_numpy()
+        ax = (wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
+        ay = (wid * WAY_ANCHOR_LAT_MULT) % 160000 - 80000
+        cx_lo = (ax - 2000) // MM_CELL
+        cy_lo = (ay - 2000) // MM_CELL
+        cell = np.concatenate([_cell_ids(cx_lo + dx, cy_lo + dy)
+                               for dx in (0, 1) for dy in (0, 1)])
+        # packed exchange payload (25% fewer bytes across the all-to-all):
+        # p = seq:node_id (order-preserving — seq < 2^15, node_id < 2^48),
+        # q = local x:y (each fits +-2^20 after the anchor fold)
+        seq = batch.column("seq").to_numpy()
+        nid = batch.column("node_id").to_numpy()
+        y = ay + (batch.column("lat_mdeg").to_numpy() % 2000) - 1000
+        x = ax + (batch.column("lon_mdeg").to_numpy() % 2000) - 1000
+        pk = (seq << 48) + nid
+        xy = ((x + (1 << 20)) << 21) + (y + (1 << 20))
+        n = len(cell)
         return pa.table({
-            "cb": pa.array(cat[0] % n_buckets, pa.int64()),
-            "cell": pa.array(cat[0], pa.int64()),
+            "cb": pa.array(cell % n_buckets, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
             "side": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "way_id": pa.array(cat[1], pa.int64()),
-            "seq": pa.array(cat[2], pa.int64()),
-            "x1": pa.array(cat[3], pa.int64()),
-            "y1": pa.array(cat[4], pa.int64()),
-            "x2": pa.array(cat[5], pa.int64()),
-            "y2": pa.array(cat[6], pa.int64()),
+            "wid": pa.array(np.tile(wid, 4), pa.int64()),
+            "p": pa.array(np.tile(pk, 4), pa.int64()),
+            "q": pa.array(np.tile(xy, 4), pa.int64()),
         })
 
     def emit_probes(batch: pa.Table) -> pa.Table:
@@ -865,17 +880,14 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         px = ((wid * WAY_ANCHOR_LON_MULT) % 350000 - 175000
               + (wid * PROBE_X_MULT) % 1600 - 800)
         n = len(wid)
-        cell = _cell_ids(px // SEG_CELL, py // SEG_CELL)
+        cell = _cell_ids(px // MM_CELL, py // MM_CELL)
         return pa.table({
             "cb": pa.array(cell % n_buckets, pa.int64()),
             "cell": pa.array(cell, pa.int64()),
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
-            "way_id": pa.array(wid, pa.int64()),   # probe_id
-            "seq": pa.array(np.zeros(n, np.int64), pa.int64()),
-            "x1": pa.array(px, pa.int64()),
-            "y1": pa.array(py, pa.int64()),
-            "x2": pa.array(np.zeros(n, np.int64), pa.int64()),
-            "y2": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "wid": pa.array(wid, pa.int64()),   # probe_id
+            "p": pa.array(px, pa.int64()),
+            "q": pa.array(py, pa.int64()),
         })
 
     def match_in_bucket(g: pa.Table) -> pa.Table:
@@ -887,49 +899,84 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
         if g.num_rows == 0:
             return empty
-        # one lexsort over the whole bucket, then per-cell runs (cells are
-        # hash-bucketed so this body handles thousands of cells per call)
-        cell = g.column("cell").to_numpy()
-        side = g.column("side").to_numpy()
-        order = np.lexsort((side, cell))
-        cell, side = cell[order], side[order]
-        wid = g.column("way_id").to_numpy()[order]
-        seq = g.column("seq").to_numpy()[order]
-        x1 = g.column("x1").to_numpy()[order]
-        y1 = g.column("y1").to_numpy()[order]
-        x2 = g.column("x2").to_numpy()[order]
-        y2 = g.column("y2").to_numpy()[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1,
-                                 [len(cell)]])
+        side_all = g.column("side").to_numpy()
+        cell_all = g.column("cell").to_numpy()
+        is_way = side_all == 0
+
+        # assemble segments for ALL (cell, way) runs with one lexsort —
+        # each cell holds complete copies of its ways, so within-run row
+        # rank == global segment rank; p/q unpack to (seq, node_id)/(x, y)
+        wcell = cell_all[is_way]
+        wwid = g.column("wid").to_numpy()[is_way]
+        wpk = g.column("p").to_numpy()[is_way]
+        wxy = g.column("q").to_numpy()[is_way]
+        order = np.lexsort((wpk, wwid, wcell))
+        wcell, w = wcell[order], wwid[order]
+        nw = len(w)
+        if nw:
+            newrun = np.ones(nw, dtype=bool)
+            newrun[1:] = (w[1:] != w[:-1]) | (wcell[1:] != wcell[:-1])
+            rstarts = np.flatnonzero(newrun)
+            rcounts = np.diff(np.append(rstarts, nw))
+            s = np.arange(nw, dtype=np.int64) - np.repeat(rstarts, rcounts)
+            xy = wxy[order]
+            x = (xy >> 21) - (1 << 20)
+            y = (xy & ((1 << 21) - 1)) - (1 << 20)
+            same = (w[1:] == w[:-1]) & (wcell[1:] == wcell[:-1])
+            x1s, y1s = x[:-1][same], y[:-1][same]
+            x2s, y2s = x[1:][same], y[1:][same]
+            keep = (x1s != x2s) | (y1s != y2s)
+            scell = wcell[:-1][same][keep]
+            sw, ss = w[:-1][same][keep], s[:-1][same][keep]
+            x1s, y1s = x1s[keep], y1s[keep]
+            x2s, y2s = x2s[keep], y2s[keep]
+        else:
+            scell = sw = ss = x1s = y1s = x2s = y2s = np.array(
+                [], dtype=np.int64)
+
+        pcell = cell_all[~is_way]
+        pid = g.column("wid").to_numpy()[~is_way]
+        px = g.column("p").to_numpy()[~is_way]
+        py = g.column("q").to_numpy()[~is_way]
+        porder = np.argsort(pcell, kind="stable")
+        pcell, pid = pcell[porder], pid[porder]
+        px, py = px[porder], py[porder]
+        if len(pcell) == 0 or len(scell) == 0:
+            return empty
+
+        # per-cell (probes x segments) distance blocks over the run pairs
+        pstarts = np.concatenate([[0], np.flatnonzero(np.diff(pcell)) + 1,
+                                  [len(pcell)]])
         out = [[], [], [], []]
-        for k in range(len(starts) - 1):
-            lo, hi = starts[k], starts[k + 1]
-            sd = side[lo:hi]
-            np_probe = int(sd.sum())
-            if np_probe == 0 or np_probe == hi - lo:
+        for k in range(len(pstarts) - 1):
+            plo, phi = pstarts[k], pstarts[k + 1]
+            c = pcell[plo]
+            slo = np.searchsorted(scell, c, side="left")
+            shi = np.searchsorted(scell, c, side="right")
+            if slo == shi:
                 continue
-            S = slice(lo, hi - np_probe)        # segments sort first (0)
-            P = slice(hi - np_probe, hi)
-            dx, dy = x2[S] - x1[S], y2[S] - y1[S]
+            S = slice(slo, shi)
+            P = slice(plo, phi)
+            dx, dy = x2s[S] - x1s[S], y2s[S] - y1s[S]
             l2 = dx * dx + dy * dy
-            num = ((x1[P, None] - x1[None, S]) * dx[None, :]
-                   + (y1[P, None] - y1[None, S]) * dy[None, :])
+            num = ((px[P, None] - x1s[None, S]) * dx[None, :]
+                   + (py[P, None] - y1s[None, S]) * dy[None, :])
             t = num / l2[None, :]
             tc = np.clip(t, 0.0, 1.0)
-            ex = x1[P, None] - (x1[None, S] + tc * dx[None, :])
-            ey = y1[P, None] - (y1[None, S] + tc * dy[None, :])
+            ex = px[P, None] - (x1s[None, S] + tc * dx[None, :])
+            ey = py[P, None] - (y1s[None, S] + tc * dy[None, :])
             d2f = np.floor(ex * ex + ey * ey).astype(np.int64)
             ok = d2f <= MATCH_R * MATCH_R
             d2m = np.where(ok, d2f, np.int64(2**62))
-            order2 = np.lexsort((np.broadcast_to(seq[S], d2m.shape),
-                                 np.broadcast_to(wid[S], d2m.shape),
+            order2 = np.lexsort((np.broadcast_to(ss[S], d2m.shape),
+                                 np.broadcast_to(sw[S], d2m.shape),
                                  d2m), axis=1)
             best = order2[:, 0]
-            rows = np.arange(np_probe)
+            rows = np.arange(phi - plo)
             bok = ok[rows, best]
-            out[0].append(wid[P][bok])
-            out[1].append(wid[S][best][bok])
-            out[2].append(seq[S][best][bok])
+            out[0].append(pid[P][bok])
+            out[1].append(sw[S][best][bok])
+            out[2].append(ss[S][best][bok])
             out[3].append(d2m[rows, best][bok])
         cat = [np.concatenate(c) if c else np.array([], dtype=np.int64)
                for c in out]
@@ -940,17 +987,44 @@ def map_match(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "d2_floor": pa.array(cat[3], pa.int64()),
         })
 
-    segs = (
-        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
-        .groupby("wbucket")
-        .map_groups(lambda g: emit_seg_cells(g.drop_columns(["wbucket"])),
-                    batch_format="pyarrow")
-    )
+    import pyarrow.parquet as pq2
+
+    n_node_rows = pq2.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_node_rows <= node_broadcast_max:
+        # broadcast node store (the OsmReader pass-2 LongLongMap shape):
+        # sorted (node_id, lat, lon) arrays put ONCE, probed per ref batch
+        nd = nodes_ds(sf_dir).to_pandas()
+        nid = nd["node_id"].to_numpy()
+        o = np.argsort(nid, kind="stable")
+        store = ray.put((nid[o], nd["lat_mdeg"].to_numpy()[o],
+                         nd["lon_mdeg"].to_numpy()[o]))
+
+        def lookup_tag(batch: pa.Table) -> pa.Table:
+            nid_s, lat_s, lon_s = ray.get(store)
+            refs_nid = batch.column("node_id").to_numpy()
+            pos = np.searchsorted(nid_s, refs_nid)
+            pos_c = np.minimum(pos, len(nid_s) - 1)
+            ok = (pos < len(nid_s)) & (nid_s[pos_c] == refs_nid)
+            hit = np.flatnonzero(ok)
+            joined = pa.table({
+                "way_id": batch.column("way_id").take(pa.array(hit)),
+                "seq": batch.column("seq").take(pa.array(hit)),
+                "node_id": pa.array(refs_nid[hit], pa.int64()),
+                "lat_mdeg": pa.array(lat_s[pos_c[hit]], pa.int64()),
+                "lon_mdeg": pa.array(lon_s[pos_c[hit]], pa.int64()),
+            })
+            return tag_ways(joined)
+
+        ways = way_refs_ds(sf_dir).map_batches(
+            lookup_tag, batch_format="pyarrow")
+    else:
+        ways = join_way_nodes(sf_dir, n_buckets).map_batches(
+            tag_ways, batch_format="pyarrow")
     probes = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     ).map_batches(emit_probes, batch_format="pyarrow")
     return (
-        segs.union(probes)
+        ways.union(probes)
         .groupby("cb")
         .map_groups(lambda g: match_in_bucket(g.drop_columns(["cb"])),
                     batch_format="pyarrow")
