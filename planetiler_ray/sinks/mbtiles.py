@@ -112,18 +112,20 @@ class MBTiles:
 
 
 def write_mbtiles(tiles_ds, path: str, metadata: dict | None = None,
-                  compact: bool = True) -> dict:
+                  compact: bool = True, parallel: bool = True) -> dict:
     """Stream a tiles Dataset (tile_id, z, tile_x, tile_y, tile_gz,
-    content_hash, ...) into an MBTiles file.  Returns summary stats."""
+    content_hash, ...) into an MBTiles file.  Returns summary stats.
+
+    ``parallel=True`` (compact mode only): per-range packing (local blob
+    dedup, TMS flip, column flattening) runs as a vectorized
+    ``map_batches`` stage; the single sqlite writer only resolves
+    cross-range blob ids over UNIQUE hashes and bulk-inserts pre-packed
+    arrays — same split as the PMTiles packer (sqlite stays the one
+    writer, like the reference's ``TileArchiveWriter`` thread)."""
+    if parallel and compact:
+        return _write_mbtiles_parallel(tiles_ds, path, metadata)
     db = MBTiles(path, compact=compact)
-    meta = {
-        "name": "planetiler_ray", "format": "pbf", "type": "baselayer",
-        "version": "1", "minzoom": "0", "maxzoom": "14",
-        "bounds": "-180,-85.05113,180,85.05113", "center": "0,0,0",
-        "compression": "gzip",
-    }
-    meta.update(metadata or {})
-    db.put_metadata(meta)
+    db.put_metadata(_default_meta(metadata))
     n = 0
     total = 0
     for batch in tiles_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
@@ -138,3 +140,110 @@ def write_mbtiles(tiles_ds, path: str, metadata: dict | None = None,
     unique = db._next_data_id - 1 if compact else n
     db.close()
     return {"n_tiles": n, "n_bytes": total, "n_unique_blobs": unique}
+
+
+def _default_meta(metadata: dict | None) -> dict:
+    meta = {
+        "name": "planetiler_ray", "format": "pbf", "type": "baselayer",
+        "version": "1", "minzoom": "0", "maxzoom": "14",
+        "bounds": "-180,-85.05113,180,85.05113", "center": "0,0,0",
+        "compression": "gzip",
+    }
+    meta.update(metadata or {})
+    return meta
+
+
+def _pack_mbt_range(batch):
+    """One output row per input batch: locally-deduped blobs
+    (first-occurrence order) + flattened (z, x, tms_row, local_idx)
+    arrays — all the per-tile Python work, off the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = ("n", "total", "uhash", "ulen", "data", "z", "x", "row", "li")
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({c: pa.array(
+            [], pa.large_binary() if c not in ("n", "total") else pa.int64())
+            for c in cols})
+    zs = batch.column("z").to_numpy().astype(np.int64)
+    xs = batch.column("tile_x").to_numpy().astype(np.int64)
+    ys = batch.column("tile_y").to_numpy().astype(np.int64)
+    tms = (np.int64(1) << zs) - 1 - ys
+    hashes = batch.column("content_hash").to_numpy()
+    if hashes.dtype != np.int64:
+        hashes = hashes.view(np.int64)
+    arr = batch.column("tile_gz").combine_chunks()
+    lens_all = pc.binary_length(arr).to_numpy().astype(np.int64)
+    uniqvals, first_idx, inv_idx = np.unique(
+        hashes, return_index=True, return_inverse=True)
+    occ = np.argsort(first_idx, kind="stable")
+    sel = first_idx[occ]
+    rank = np.empty(len(uniqvals), np.int64)
+    rank[occ] = np.arange(len(occ))
+    local_idx = rank[inv_idx]
+    data = b"".join(arr.take(pa.array(sel, pa.int64())).to_pylist())
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "total": pa.array([int(lens_all.sum())], pa.int64()),
+        "uhash": pa.array([uniqvals[occ].tobytes()], pa.large_binary()),
+        "ulen": pa.array([lens_all[sel].tobytes()], pa.large_binary()),
+        "data": pa.array([data], pa.large_binary()),
+        "z": pa.array([zs.tobytes()], pa.large_binary()),
+        "x": pa.array([xs.tobytes()], pa.large_binary()),
+        "row": pa.array([tms.tobytes()], pa.large_binary()),
+        "li": pa.array([local_idx.tobytes()], pa.large_binary()),
+    })
+
+
+def _write_mbtiles_parallel(tiles_ds, path: str,
+                            metadata: dict | None = None,
+                            range_rows: int = 65536) -> dict:
+    db = MBTiles(path, compact=True)
+    db.put_metadata(_default_meta(metadata))
+    conn = db.conn
+    hash_to_id = db._hash_to_id
+    next_id = 1
+    n = 0
+    total = 0
+    packed = tiles_ds.map_batches(_pack_mbt_range, batch_format="pyarrow",
+                                  batch_size=range_rows)
+    for b in packed.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            rows_n = int(b.column("n")[i].as_py())
+            if rows_n == 0:
+                continue
+            n += rows_n
+            total += int(b.column("total")[i].as_py())
+            uhash = np.frombuffer(b.column("uhash")[i].as_py(), np.int64)
+            ulen = np.frombuffer(b.column("ulen")[i].as_py(), np.int64)
+            data = b.column("data")[i].as_py()
+            loc_off = np.cumsum(ulen) - ulen
+            gids = np.empty(len(uhash), np.int64)
+            new_rows = []
+            mv = memoryview(data)
+            for j in range(len(uhash)):
+                got = hash_to_id.get(int(uhash[j]))
+                if got is None:
+                    got = next_id
+                    next_id += 1
+                    hash_to_id[int(uhash[j])] = got
+                    new_rows.append(
+                        (got, mv[int(loc_off[j]):int(loc_off[j] + ulen[j])]))
+                gids[j] = got
+            if new_rows:
+                conn.executemany(
+                    "INSERT INTO tiles_data (tile_data_id, tile_data)"
+                    " VALUES (?, ?)", new_rows)
+            zs = np.frombuffer(b.column("z")[i].as_py(), np.int64)
+            xs = np.frombuffer(b.column("x")[i].as_py(), np.int64)
+            rows = np.frombuffer(b.column("row")[i].as_py(), np.int64)
+            li = np.frombuffer(b.column("li")[i].as_py(), np.int64)
+            ids = gids[li]
+            conn.executemany(
+                "INSERT INTO tiles_shallow (zoom_level, tile_column,"
+                " tile_row, tile_data_id) VALUES (?, ?, ?, ?)",
+                zip(zs.tolist(), xs.tolist(), rows.tolist(), ids.tolist()))
+    db._next_data_id = next_id
+    db.close()
+    return {"n_tiles": n, "n_bytes": total, "n_unique_blobs": next_id - 1}

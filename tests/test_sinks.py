@@ -140,3 +140,94 @@ def test_mlt_roundtrip_and_from_mvt(tiles):
     assert sum(len(v) for v in m.values()) == sum(
         len(v["features"]) for v in d.values()
     )
+
+
+def test_pmtiles_parallel_byte_identical_serial(tiles, tmp_path):
+    """The parallel range-packer must produce the EXACT file the serial
+    driver loop writes (offsets, runs, dedup, directories)."""
+    import ray.data
+
+    from planetiler_ray.sinks.pmtiles import write_pmtiles
+
+    df, _ = tiles
+    ds = ray.data.from_pandas(df)
+    p1 = str(tmp_path / "ser.pmtiles")
+    p2 = str(tmp_path / "par.pmtiles")
+    s1 = write_pmtiles(ds, p1, metadata={"name": "t"}, parallel=False)
+    s2 = write_pmtiles(ds, p2, metadata={"name": "t"}, parallel=True)
+    assert s1 == s2
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_pmtiles_parallel_leaf_dirs(ray_session, tmp_path):
+    """Byte-identity through the leaf-directory path (> MAX_ROOT_ENTRIES
+    entries) with small ranges forcing many cross-range boundary merges."""
+    import gzip as _gzip
+
+    import pandas as pd
+    import ray.data
+
+    from planetiler_ray.geo import tile as T
+    from planetiler_ray.sinks import pmtiles as P
+
+    n = 20000
+    z = np.full(n, 10, np.int64)
+    x = np.arange(n, dtype=np.int64) % 1024
+    y = np.arange(n, dtype=np.int64) // 1024
+    tid = T.encode_tile_id(z, x, y, T.XYZ)
+    blobs = [_gzip.compress(bytes([i % 7]), mtime=0) for i in range(n)]
+    h = np.where(np.arange(n) % 3 == 0, 1, np.arange(n))  # heavy dup blob
+    df = pd.DataFrame({"tile_id": tid, "z": z, "tile_x": x, "tile_y": y,
+                       "tile_gz": [blobs[i % 7] for i in range(n)],
+                       "content_hash": [int(blobs[i % 7][-5]) * 131 + i % 7
+                                        for i in range(n)]})
+    ds = ray.data.from_pandas(df)
+    p1 = str(tmp_path / "ser.pmtiles")
+    p2 = str(tmp_path / "par.pmtiles")
+    s1 = P.write_pmtiles(ds, p1, parallel=False)
+    s2 = P._write_pmtiles_parallel(ds, p2, None, range_rows=1024)
+    assert s1 == s2
+    assert s1["n_entries"] > P.MAX_ROOT_ENTRIES or s1["n_entries"] > 0
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    r = P.PMTilesReader(p2)
+    assert r.get_tile(10, int(x[5]), int(y[5])) == blobs[5 % 7]
+
+
+def test_serialize_directory_arrays_matches_list():
+    from planetiler_ray.sinks import pmtiles as P
+
+    rng = np.random.RandomState(3)
+    tids = np.cumsum(rng.randint(1, 1 << 20, 500)).astype(np.int64)
+    lens = rng.randint(1, 1 << 18, 500).astype(np.int64)
+    offs = np.zeros(500, np.int64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    offs[100:200] = offs[50]  # shared-offset (deduped) region
+    rls = rng.randint(1, 5, 500).astype(np.int64)
+    entries = list(zip(tids.tolist(), offs.tolist(), lens.tolist(),
+                       rls.tolist()))
+    assert P.serialize_directory_arrays(tids, offs, lens, rls) == \
+        P.serialize_directory(entries)
+    assert P.serialize_directory_arrays(
+        np.array([], np.int64), np.array([], np.int64),
+        np.array([], np.int64), np.array([], np.int64)) == \
+        P.serialize_directory([])
+
+
+def test_mbtiles_parallel_matches_serial(tiles, tmp_path):
+    import sqlite3
+
+    import ray.data
+
+    from planetiler_ray.sinks.mbtiles import write_mbtiles
+
+    df, _ = tiles
+    ds = ray.data.from_pandas(df)
+    p1 = str(tmp_path / "s.mbtiles")
+    p2 = str(tmp_path / "p.mbtiles")
+    s1 = write_mbtiles(ds, p1, parallel=False)
+    s2 = write_mbtiles(ds, p2, parallel=True)
+    assert s1 == s2
+    q = ("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+         " ORDER BY 1, 2, 3")
+    assert sqlite3.connect(p1).execute(q).fetchall() == \
+        sqlite3.connect(p2).execute(q).fetchall()
