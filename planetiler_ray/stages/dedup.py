@@ -51,17 +51,26 @@ def char_ngrams(text: pd.Series, n: int = 4) -> pd.Series:
     )
 
 
-def _flat_tokens(text: pd.Series):
+def _flat_tokens(text):
     """Tokenize a batch -> (flat Arrow string array, per-doc lengths).
 
     Arrow-native (round 3): lower + regex split + list_flatten run in C and
     the flat token array feeds ``fnv64_arrow`` directly — no Python word
     lists (the old ``findall`` + ``chain`` materialized millions of str
     objects per batch).  Token grammar identical to ``tokenize_words``
-    (runs of [a-z0-9] on the lowercased text; parity-tested)."""
+    (runs of [a-z0-9] on the lowercased text; parity-tested).
+
+    ``text``: a pyarrow (Chunked)Array — the zero-copy hot path (round 5:
+    callers pass batch columns straight through, no per-batch pandas
+    conversion) — or a pandas Series (converted)."""
     import pyarrow.compute as pc
 
-    col = pa.Array.from_pandas(text.astype(str))
+    if isinstance(text, pa.ChunkedArray):
+        col = text.combine_chunks()
+    elif isinstance(text, pa.Array):
+        col = text
+    else:
+        col = pa.Array.from_pandas(text.astype(str))
     low = pc.utf8_lower(col)
     parts = pc.split_pattern_regex(low, "[^a-z0-9]+")
     if isinstance(parts, pa.ChunkedArray):
@@ -289,9 +298,8 @@ def minhash_signatures(ds, col: str = "text", k: int = 3):
     """
 
     def sig(batch: pa.Table) -> pa.Table:
-        text = batch.column(col).to_pandas()
-        sh, starts = _shingle_flat(text, k)
-        n = len(text)
+        sh, starts = _shingle_flat(batch.column(col), k)
+        n = batch.num_rows
         sigs = np.full((n, MINHASH_PERMS), np.uint64(_M61), dtype=np.uint64)
         ne = np.flatnonzero(np.diff(starts) > 0)
         if len(ne):
@@ -403,7 +411,7 @@ def simhash64(text: pd.Series) -> np.ndarray:
 
 
 def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
-    sh = simhash64(batch.column(col).to_pandas())
+    sh = simhash64(batch.column(col))
     return batch.append_column("simhash", pa.array(sh.astype(np.int64), pa.int64()))
 
 
@@ -552,20 +560,43 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
     import ray
     from ray.data.aggregate import Sum
 
+    custom_tok = tokenize is not None
     if tokenize is None:
         tokenize = tokenize_words
+
+    def _distinct_doc_tokens(batch: pa.Table):
+        """(token Array, doc_id np, per-row doc row-index np) — DISTINCT
+        (doc, token) pairs.  Default grammar runs fully Arrow-native
+        (round 5: C tokenize + one lexsort dedup, no Python sets); a
+        custom ``tokenize`` callable keeps the pandas contract."""
+        doc = batch.column("doc_id").to_numpy()
+        if custom_tok:
+            toks = tokenize(batch.column(col).to_pandas()).map(
+                lambda ws: sorted(set(ws)))
+            n = toks.map(len).to_numpy()
+            flat = pa.array(list(chain.from_iterable(toks)), pa.string())
+            return flat, doc, np.repeat(np.arange(len(doc)), n)
+        flat, lens = _flat_tokens(batch.column(col))
+        row = np.repeat(np.arange(len(doc), dtype=np.int64), lens)
+        # distinct (row, token): dedup on (row, 64-bit token hash) — same
+        # accepted FNV-collision class as the rest of the dedup suite
+        th = fnv64_arrow(flat)
+        order = np.lexsort((th, row))
+        keep = np.ones(len(row), dtype=bool)
+        keep[1:] = (row[order][1:] != row[order][:-1]) | (
+            th[order][1:] != th[order][:-1])
+        sel = order[keep]
+        return flat.take(pa.array(sel, pa.int64())), doc, row[sel]
+
     stop_ref = None
     if df_cap is not None:
         from ray.data.aggregate import Count
 
         def explode_distinct(batch: pa.Table) -> pa.Table:
-            toks = tokenize(batch.column(col).to_pandas()).map(
-                lambda ws: sorted(set(ws))
-            )
-            nt = toks.map(len).to_numpy().astype(np.int64)
+            flat, _, _ = _distinct_doc_tokens(batch)
             return pa.table(
-                {"token": pa.array(list(chain.from_iterable(toks)), pa.string()),
-                 "_one": pa.array(np.ones(int(nt.sum()), np.int64), pa.int64())}
+                {"token": flat,
+                 "_one": pa.array(np.ones(len(flat), np.int64), pa.int64())}
             )
 
         df_tbl = (
@@ -578,20 +609,26 @@ def jaccard_pairs(ds, threshold: float = 0.5, col: str = "text",
             lambda b: b.filter(pa.compute.greater(b.column("df"), df_cap)),
             batch_format="pyarrow",
         ).to_pandas()
-        stop_ref = ray.put(frozenset(hot["token"].tolist()))
+        stop_ref = ray.put(list(hot["token"]))
 
     def explode_tokens(batch: pa.Table) -> pa.Table:
-        stop = ray.get(stop_ref) if stop_ref is not None else frozenset()
-        toks = tokenize(batch.column(col).to_pandas()).map(
-            lambda ws: sorted(set(ws) - stop)
-        )
-        doc = batch.column("doc_id").to_numpy()
-        n = toks.map(len).to_numpy()
+        import pyarrow.compute as pc
+
+        flat, doc, row = _distinct_doc_tokens(batch)
+        if stop_ref is not None:
+            stop = ray.get(stop_ref)
+            if len(stop):
+                keep = pc.invert(pc.is_in(
+                    flat, value_set=pa.array(stop, pa.string()))).to_numpy(
+                    zero_copy_only=False)
+                flat = flat.filter(pa.array(keep))
+                row = row[keep]
+        n_per_doc = np.bincount(row, minlength=len(doc)).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array([t for ts in toks for t in ts], pa.string()),
-                "doc_id": pa.array(np.repeat(doc, n), pa.int64()),
-                "n_tokens": pa.array(np.repeat(n, n), pa.int64()),
+                "token": flat,
+                "doc_id": pa.array(doc[row], pa.int64()),
+                "n_tokens": pa.array(n_per_doc[row], pa.int64()),
             }
         )
 
@@ -1047,7 +1084,7 @@ def probe_gram_hashes(ds, k: int = 3, mod: int = 97, col: str = "text"):
         m = d % mod == 0
         out = np.empty(0, np.uint64)
         if m.any():
-            texts = batch.column(col).to_pandas()[m]
+            texts = batch.column(col).combine_chunks().filter(pa.array(m))
             flat, lens = _flat_tokens(texts)
             wh = fnv64_arrow(flat)
             ws = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.int64)
@@ -1093,7 +1130,8 @@ def split_leakage(ds, k: int = 5, val_bp: int = 100, test_bp: int = 100,
         m = split_mask(batch, "test")
         sh = np.empty(0, np.uint64)
         if m.any():
-            sh, _ = _shingle_flat(batch.column(col).to_pandas()[m], k)
+            sh, _ = _shingle_flat(
+                batch.column(col).combine_chunks().filter(pa.array(m)), k)
         return pa.table({"sh": pa.array(np.unique(sh), pa.uint64())})
 
     tsh = np.unique(
@@ -1105,7 +1143,8 @@ def split_leakage(ds, k: int = 5, val_bp: int = 100, test_bp: int = 100,
         m = split_mask(batch, "train")
         out = np.empty(0, np.uint64)
         if m.any():
-            sh, _ = _shingle_flat(batch.column(col).to_pandas()[m], k)
+            sh, _ = _shingle_flat(
+                batch.column(col).combine_chunks().filter(pa.array(m)), k)
             ph = _resolve_handle(t_handle)
             if len(ph) and len(sh):
                 pos = np.minimum(np.searchsorted(ph, sh), len(ph) - 1)
@@ -1126,7 +1165,7 @@ def split_leakage(ds, k: int = 5, val_bp: int = 100, test_bp: int = 100,
                 "n_leaked": pa.array([], pa.int64()),
                 "leaked": pa.array([], pa.bool_()),
             })
-        sh, starts = _shingle_flat(sub.column(col).to_pandas(), k)
+        sh, starts = _shingle_flat(sub.column(col), k)
         ph = _resolve_handle(m_handle)
         if len(ph) and len(sh):
             pos = np.minimum(np.searchsorted(ph, sh), len(ph) - 1)

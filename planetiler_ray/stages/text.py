@@ -35,7 +35,7 @@ def text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     n_ws = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int64())
     n_bpe = pc.cast(pc.count_substring_regex(s, BPE_TOKEN_RE), pa.int64())
     n_punct = pc.cast(pc.count_substring_regex(s, r"[^a-zA-Z0-9\s]"), pa.int64())
-    flat, lens = _flat_tokens(s.to_pandas())
+    flat, lens = _flat_tokens(s)
     hit = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
@@ -81,27 +81,43 @@ _MARKER_LANG = {m: lang for lang, marks in _LANG_MARKERS.items() for m in marks}
 _LANGS = [l for l in _LANG_MARKERS if _LANG_MARKERS[l]]  # tie order: en,fr,de,es
 
 
+_MARKER_WORDS = list(_MARKER_LANG)
+_MARKER_LANG_IDX = np.array(
+    [_LANGS.index(_MARKER_LANG[w]) for w in _MARKER_WORDS], np.int64)
+
+
 def langid_ngram(batch: pa.Table, col: str = "text") -> pa.Table:
     """Marker-word language guesser (n-gram heuristic; the synthetic corpus
     is English-ish so this mostly demonstrates the op).
     Adds lang_guess + lang_conf_bp.
 
-    Vectorized (round 3): tokenize once in C, explode to a (row, word)
-    frame, filter to the ~12 marker words with ``isin``, count DISTINCT
-    markers per (row, lang) with one pandas groupby — no per-document
-    Python loop over the corpus."""
+    Arrow-native (round 5): lower + split + flatten in C, marker matching
+    via ``pc.index_in`` against the ~12-word table, DISTINCT (row, marker)
+    pairs via one ``np.unique`` over packed int64 keys — no pandas frame,
+    no per-document Python."""
+    import pyarrow.compute as pc
+
     n = batch.num_rows
-    t = batch.column(col).to_pandas().str.lower()
-    words = t.str.findall(r"[a-z]+")
-    we = words.explode().dropna()
-    we = we[we.isin(_MARKER_LANG)]
-    hits = pd.DataFrame({"row": we.index, "word": we.to_numpy()}).drop_duplicates()
-    hits["lang"] = hits["word"].map(_MARKER_LANG)
-    counts = (
-        hits.groupby(["row", "lang"], sort=False).size().unstack(fill_value=0)
-    ).reindex(columns=_LANGS, fill_value=0).reindex(range(n), fill_value=0)
-    score = counts.to_numpy(dtype=np.int64)  # (n, n_langs), tie -> first col
-    best_idx = np.argmax(score, axis=1)
+    low = batch.column(col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(low), "[^a-z]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = parts.offsets.to_numpy()
+    row = np.repeat(np.arange(n, dtype=np.int64), offs[1:] - offs[:-1])
+    midx = pc.index_in(flat, value_set=pa.array(_MARKER_WORDS)).fill_null(
+        -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    hit = midx >= 0
+    m = len(_MARKER_WORDS)
+    upair = np.unique(row[hit] * m + midx[hit])  # distinct (row, marker)
+    score = np.zeros((n, len(_LANGS)), np.int64)
+    if len(upair):
+        np.add.at(score, (upair // m, _MARKER_LANG_IDX[upair % m]), 1)
+    best_idx = np.argmax(score, axis=1)  # tie -> first col (en,fr,de,es)
     best = score[np.arange(n), best_idx]
     total = score.sum(axis=1)
     langs_arr = np.array(_LANGS)
@@ -188,8 +204,7 @@ def doc_repetition(batch: pa.Table, k: int = 3, col: str = "text") -> pa.Table:
     """
     from .dedup import _shingle_flat
 
-    t = batch.column(col).to_pandas()
-    sh, starts = _shingle_flat(t, k)
+    sh, starts = _shingle_flat(batch.column(col), k)
     n_sh = np.diff(starts).astype(np.int64)
     if len(sh):
         doc_idx = np.repeat(np.arange(len(n_sh)), n_sh)
@@ -217,8 +232,7 @@ def doc_term_freq(batch: pa.Table, col: str = "text") -> pa.Table:
     per-(doc, term) count runs in Arrow's C hash aggregator."""
     from .dedup import _flat_tokens
 
-    t = batch.column(col).to_pandas()
-    flat, lens = _flat_tokens(t)
+    flat, lens = _flat_tokens(batch.column(col))
     doc_ids = batch.column("doc_id").to_numpy()
     doc_rep = np.repeat(doc_ids, lens)
     tbl = pa.table({"doc_id": pa.array(doc_rep, pa.int64()), "term": flat})
@@ -361,11 +375,11 @@ def keyword_topk(ds, terms=("spark", "join", "vector"), k: int = 10,
     term_set = pa.array(list(terms), pa.string())
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.column(col).to_pandas()
-        flat, lens = _flat_tokens(t)
-        doc_idx = np.repeat(np.arange(len(t)), lens)
+        flat, lens = _flat_tokens(batch.column(col))
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
         hit = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
-        score = np.bincount(doc_idx[hit], minlength=len(t)).astype(np.int64)
+        score = np.bincount(doc_idx[hit],
+                            minlength=batch.num_rows).astype(np.int64)
         ids = batch.column("doc_id").to_numpy()
         pos = np.flatnonzero(score > 0)
         score, ids = score[pos], ids[pos]
@@ -525,7 +539,7 @@ def vocab_topk(ds, k: int = 50, col: str = "text"):
     from .dedup import _flat_tokens
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        flat, _ = _flat_tokens(batch.column(col))
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table(
             {"token": g.column("token"), "c_part": g.column("token_count")}
@@ -573,7 +587,7 @@ def vocab_coverage(ds, ks=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024),
     kmax = max(ks)
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        flat, _ = _flat_tokens(batch.column(col))
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table({
             "token": pa.array(g.column("token").to_pylist() + [""], pa.string()),
@@ -648,7 +662,7 @@ def bigram_stats(ds, min_count: int = 5, col: str = "text"):
     bi_partial = _bigram_partial(col)
 
     def uni_partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        flat, _ = _flat_tokens(batch.column(col))
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table({"token": g.column("token"),
                          "c_part": g.column("token_count")})
@@ -699,7 +713,7 @@ def rare_postings(ds, df_cap: int = 400, n_buckets: int = 32,
     from .dedup import _flat_tokens
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         doc = np.repeat(batch.column("doc_id").to_numpy(),
                         np.asarray(lens, np.int64))
         t = pa.table({"token": flat, "doc_id": pa.array(doc, pa.int64())})
@@ -789,7 +803,7 @@ def _bigram_partial(col: str):
     from .dedup import _flat_tokens
 
     def bi_partial(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         n = len(flat)
         if n < 2:
             return pa.table({"w1": pa.array([], pa.string()),
@@ -877,7 +891,7 @@ def rare_bigram_rate(ds, min_count: int = 5, col: str = "text"):
 
     def _doc_bigrams(batch: pa.Table):
         """(hi, lo, doc_rep) for every in-doc adjacent pair of the batch."""
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         n = len(flat)
         doc = batch.column("doc_id").to_numpy()
         if n < 2:
@@ -1045,7 +1059,7 @@ def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text",
     from ..functions.vhash import fnv64_arrow
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        flat, _ = _flat_tokens(batch.column(col))
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         # sentinel row: "" carries the batch token total through the SAME
         # shuffle ("" can never collide with a real [a-z0-9]+ token), so the
@@ -1108,7 +1122,7 @@ def unigram_surprisal(ds, vocab_k: int = 256, col: str = "text",
     vcost[-1] = bl_n - 1  # OOV: count=1
 
     def score(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
         if len(flat):
             h = fnv64_arrow(flat)
@@ -1228,7 +1242,7 @@ def bigram_surprisal(ds, bigram_k: int = 512, unigram_k: int = 256,
     GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def bi_partial(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         n = len(flat)
         if n < 2:
             return pa.table({"w1": pa.array([], pa.string()),
@@ -1267,7 +1281,7 @@ def bigram_surprisal(ds, bigram_k: int = 512, unigram_k: int = 256,
     )
 
     def u_partial(batch: pa.Table) -> pa.Table:
-        flat, _ = _flat_tokens(batch.column(col).to_pandas())
+        flat, _ = _flat_tokens(batch.column(col))
         g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table({"token": g.column("token"), "c_part": g.column("token_count")})
 
@@ -1317,7 +1331,7 @@ def bigram_surprisal(ds, bigram_k: int = 512, unigram_k: int = 256,
         return np.where(found, vals[np.where(found, i, 0)], default)
 
     def score(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         n = len(flat)
         n_pairs_doc = np.maximum(lens - 1, 0)
         if n >= 2:
@@ -1373,9 +1387,8 @@ def dsir_weights(ds, vocab_k: int = 256, target_lang: str = "en",
     from ..functions.vhash import fnv64_arrow
 
     def partial(batch: pa.Table) -> pa.Table:
-        text = batch.column(col).to_pandas()
         lang = batch.column("lang").to_pandas()
-        flat, lens = _flat_tokens(text)
+        flat, lens = _flat_tokens(batch.column(col))
         if len(flat) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "r_part": pa.array([], pa.int64()),
@@ -1426,7 +1439,7 @@ def dsir_weights(ds, vocab_k: int = 256, target_lang: str = "en",
         vcost = np.zeros(0, np.int64)
 
     def score(batch: pa.Table) -> pa.Table:
-        flat, lens = _flat_tokens(batch.column(col).to_pandas())
+        flat, lens = _flat_tokens(batch.column(col))
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
         if len(flat) and len(vh):
             h = fnv64_arrow(flat)
