@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_reach_bucketed": training.q_bfs_reach_bucketed,
         "sssp_bounded": training.q_sssp_bounded,
         "sssp_bucketed": training.q_sssp_bucketed,
+        "translit_names": training.q_translit_names,
         "retention": training.q_retention,
         "bigram_stats": training.q_bigram_stats,
         "rare_bigrams": training.q_rare_bigrams,
@@ -823,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_reach_bucketed": oracle.sql_bfs_reach(),
         "sssp_bounded": oracle.sql_sssp_bounded(),
         "sssp_bucketed": oracle.sql_sssp_bounded(),
+        "translit_names": oracle.sql_translit_names(),
         "retention": oracle.sql_retention(),
         "bigram_stats": oracle.sql_bigram_stats(),
         "rare_bigrams": oracle.sql_rare_bigrams(),

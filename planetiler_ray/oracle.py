@@ -5218,3 +5218,22 @@ SELECT doc_id, CAST(n_mentions AS BIGINT) AS n_mentions,
                   * {factor}) AS BIGINT) AS area_m2
 FROM r ORDER BY doc_id
 """
+
+
+def sql_translit_names() -> str:
+    """Mirror of ``training.q_translit_names``: the hand-romanized EXPECTED
+    latin strings are embedded as literals (written by hand from the
+    documented romanization conventions, independent of the engine's
+    table), joined on c_custkey % N."""
+    from .functions.language import TRANSLIT_FIXTURES
+
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(i, s.replace("'", "''"),
+                                  t.replace("'", "''"))
+        for i, (s, t) in enumerate(TRANSLIT_FIXTURES))
+    return f"""
+WITH m(idx, name_src, name_latin) AS (SELECT * FROM (VALUES {rows}))
+SELECT c.c_custkey, m.name_src, m.name_latin
+FROM customer c JOIN m ON m.idx = c.c_custkey % {len(TRANSLIT_FIXTURES)}
+ORDER BY 1
+"""

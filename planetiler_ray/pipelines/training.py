@@ -5383,3 +5383,34 @@ def q_semdedup(sf_dir: str, k: int = 16):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(_plant_sem_siblings, batch_format="pyarrow")
     return ann.semdedup_census(embs, cq)
+
+
+def q_translit_names(sf_dir: str):
+    """Deterministic Latin transliteration over a multilingual name column
+    (the reference's ICU Any-Latin pipeline,
+    ``util/ThreadLocalTransliterator.java:18``, rebuilt as a public
+    romanization table + NFKD strip).  Names are drawn deterministically
+    from the hand-romanized fixture set (``language.TRANSLIT_FIXTURES``)
+    by c_custkey; the SQL twin joins the EXPECTED latin column — so the
+    gate pins the whole transliteration pipeline, not a replay of it.
+    Vectorized: the 20 templates transliterate once, rows index into them.
+    """
+    from ..functions import language
+
+    srcs = np.array([s for s, _ in language.TRANSLIT_FIXTURES], dtype=object)
+    lats = np.array([language.transliterate_str(s)
+                     for s, _ in language.TRANSLIT_FIXTURES], dtype=object)
+    m = len(srcs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        idx = ck % m
+        return pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "name_src": pa.array(srcs[idx].tolist(), pa.string()),
+            "name_latin": pa.array(lats[idx].tolist(), pa.string()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(tag, batch_format="pyarrow")
