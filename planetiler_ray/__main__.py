@@ -163,6 +163,19 @@ def main(argv=None):
     cv.add_argument("--table", default=None, help="gpkg feature table")
     cv.add_argument("--cpus", type=int, default=8)
 
+    pl = sub.add_parser(
+        "plan",
+        help="resource preflight: predict rows/shuffle bytes/object-store "
+             "peak from footers + a bounded sample (Planetiler's pre-run "
+             "disk/RAM estimate)")
+    pl.add_argument("--sf", required=True, help="sf dir with parquet tables")
+    pl.add_argument("--zooms", default="0,2,4,6,8,10,12,14")
+    pl.add_argument("--repl", type=int, default=1)
+    pl.add_argument("--n-buckets", type=int, default=1024)
+    pl.add_argument("--sample-rows", type=int, default=500)
+    pl.add_argument("--json", action="store_true", dest="as_json")
+    pl.add_argument("--cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd in ("verify", "compare"):
@@ -205,6 +218,19 @@ def main(argv=None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "plan":
+        try:
+            from .pipelines.preflight import estimate_build, format_plan
+
+            est = estimate_build(
+                args.sf, zooms=[int(z) for z in args.zooms.split(",")],
+                repl=args.repl, n_buckets=args.n_buckets,
+                sample_rows=args.sample_rows)
+            print(json.dumps(est) if args.as_json else format_plan(est))
+            return 1 if est["warnings"] else 0
+        finally:
+            ray.shutdown()
 
     if args.cmd == "convert":
         try:
