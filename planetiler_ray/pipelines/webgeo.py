@@ -42,16 +42,17 @@ def pages_ds(sf_dir: str, repl: int = 1, parallelism: int = 64) -> ray.data.Data
     spot on 8-32 cpus: more blocks shrink the per-task command cache and add
     shuffle-object overhead (128 blocks: +11% wall at 32 cpus); a real
     multi-node cluster should set ~2x total cores."""
-    from ..sources.pages import replicate_documents
+    from ..sources.pages import documents_path, replicate_documents
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    # the documents file is a single tiny parquet -> ONE read block; without
-    # an explicit split the whole synthesize/extract/parse chain would run on
-    # one task.  Repartition the (tiny) rows first so the expensive derived
-    # work fans out across the cluster.
-    ds = ds.repartition(parallelism)
+    path = documents_path(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
+    if path.endswith(".parquet"):
+        # single-file layout: ONE read block; without an explicit split the
+        # whole synthesize/extract/parse chain would run on one task.
+        # Repartition the (tiny) rows so the expensive derived work fans
+        # out.  The sharded ``documents/`` layout skips this — read
+        # parallelism comes from the files themselves, as on a real corpus.
+        ds = ds.repartition(parallelism)
     if repl > 1:
         ds = ds.map_batches(replicate_documents, batch_format="pyarrow",
                             fn_kwargs={"repl": repl})

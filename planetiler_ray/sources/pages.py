@@ -267,3 +267,44 @@ def extract_stage(batch: pa.Table) -> pa.Table:
     if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
         h = h.cast(pa.string())  # zero-copy utf-8 view
     return batch.append_column("extracted", extract_text_pa(h))
+
+
+def documents_path(sf_dir: str) -> str:
+    """Input path for the documents table: the sharded directory layout
+    ``{sf_dir}/documents/part-*.parquet`` when present (read parallelism
+    comes from FILES, the way a 100 TB corpus arrives — no repartition
+    needed), else the single ``documents.parquet``."""
+    import os
+
+    d = os.path.join(sf_dir, "documents")
+    return d if os.path.isdir(d) else os.path.join(sf_dir, "documents.parquet")
+
+
+def shard_documents(sf_dir: str, out_sf_dir: str, n_shards: int = 64) -> str:
+    """Materialize an sf dir whose documents table is SHARDED into
+    ``documents/part-NNNN.parquet`` (every other table symlinked, and
+    ``documents.parquet`` symlinked too so single-file readers keep
+    working).  Small-table implementation is a driver-side split; a real
+    100 TB corpus is already sharded at the source (this helper exists so
+    the bench/tests exercise the multi-file read path).  Idempotent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_sf_dir, exist_ok=True)
+    for f in os.listdir(sf_dir):
+        dst = os.path.join(out_sf_dir, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f), dst)
+    ddir = os.path.join(out_sf_dir, "documents")
+    if os.path.isdir(ddir) and len(os.listdir(ddir)) == n_shards:
+        return out_sf_dir
+    os.makedirs(ddir, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = tbl.num_rows
+    per = -(-n // n_shards)
+    for i in range(n_shards):
+        lo = min(i * per, n)
+        pq.write_table(tbl.slice(lo, min(per, n - lo)),
+                       os.path.join(ddir, f"part-{i:04d}.parquet"))
+    return out_sf_dir
