@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": training.q_pagerank,
         "pagerank_bucketed": training.q_pagerank_bucketed,
         "triangles": training.q_triangles,
+        "triangles_bucketed": training.q_triangles_bucketed,
         "kcore": training.q_kcore,
         "kcore_bucketed": training.q_kcore_bucketed,
         "bfs_reach": training.q_bfs_reach,
@@ -782,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracle.sql_pagerank(),
         "pagerank_bucketed": oracle.sql_pagerank(),
         "triangles": oracle.sql_triangles(),
+        "triangles_bucketed": oracle.sql_triangles(),
         "kcore": oracle.sql_kcore(),
         "kcore_bucketed": oracle.sql_kcore(),
         "cms_counts": oracle.sql_cms_counts(),

@@ -738,11 +738,25 @@ def q_pagerank_bucketed(sf_dir: str, iters: int = 5):
 
 def q_triangles(sf_dir: str):
     """Exact triangle count over the shared :func:`link_graph`, via the
-    degree-ordered node-iterator (``graph.triangle_count``)."""
+    degree-ordered node-iterator (``graph.triangle_count``).  Dispatches
+    to the bucketed path past the broadcast V budget."""
     from ..stages import graph
 
     e, n = link_graph(sf_dir)
+    if n > graph.BROADCAST_MAX_NODES:
+        return graph.triangles_bucketed(e, n_nodes=n)
     return graph.triangle_count(e, n_nodes=n)
+
+
+def q_triangles_bucketed(sf_dir: str):
+    """:func:`q_triangles` FORCED through the bucketed path — degree table
+    as a Dataset attached via two side-tagged exchanges, orientation by
+    direct (deg, id) comparison, no V-sized driver vectors
+    (``graph.triangles_bucketed``).  Same oracle as ``triangles``."""
+    from ..stages import graph
+
+    e, n = link_graph(sf_dir)
+    return graph.triangles_bucketed(e, n_nodes=n)
 
 
 def q_weighted_sample(sf_dir: str):

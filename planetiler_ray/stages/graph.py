@@ -679,6 +679,153 @@ def pagerank_bucketed(edges_ds, n_nodes: int, iters: int = 5,
     )
 
 
+def triangles_bucketed(edges_ds, n_nodes: int, n_buckets: int | None = None,
+                       src_col: str = "src", dst_col: str = "dst"):
+    """:func:`triangle_count` without the V-sized driver degree/rank
+    vectors: orientation compares endpoint DEGREES directly ((deg, id)
+    lexicographic — the same total order the broadcast variant's rank
+    array encodes), so the degree table stays a Dataset and is attached
+    to each edge through two side-tagged exchanges (key=a, then key=b).
+    Wedge emission and closure are unchanged.  Count-identical to the
+    broadcast variant (the enumeration order differs, the triangle set
+    does not).  Returns a 1-row Dataset (n_triangles, n_edges).
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from .bucketagg import bucketed_sum
+
+    nb = _buckets(n_buckets)
+    e = _canon_edges(edges_ds, src_col, dst_col).materialize()
+    n_edges = e.count()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch.column("a").to_numpy(), batch.column("b").to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d_part": pa.array(c, pa.int64())})
+
+    deg_ds = bucketed_sum(
+        e.map_batches(deg_partial, batch_format="pyarrow"),
+        keys=["node"], sums=[("d_part", "deg")], n_buckets=nb)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("node").to_numpy(),
+                        batch.column("deg").to_numpy(),
+                        np.zeros(batch.num_rows, np.int64), 1, nb)
+
+    def tag_edge(key_col, other_col, carry_col=None):
+        def tag(batch: pa.Table) -> pa.Table:
+            carry = (batch.column(carry_col).to_numpy() if carry_col
+                     else np.zeros(batch.num_rows, np.int64))
+            return _tag_kpq(batch.column(key_col).to_numpy(),
+                            batch.column(other_col).to_numpy(), carry, 0, nb)
+        return tag
+
+    def attach(out_key, out_other, out_deg, carry_out=None):
+        def body(g: pa.Table) -> pa.Table:
+            state_t, edge_t = _split_sides(g)
+            keys = edge_t.column("key").to_numpy()
+            d, _ = _state_lookup(state_t, keys)
+            cols = {
+                out_key: pa.array(keys, pa.int64()),
+                out_other: edge_t.column("p"),
+                out_deg: pa.array(d, pa.int64()),
+            }
+            if carry_out:
+                cols[carry_out] = edge_t.column("q")
+            return pa.table(cols)
+        return body
+
+    dt = deg_ds.map_batches(tag_deg, batch_format="pyarrow")
+    # attach deg(a), then deg(b) (carried through the second exchange)
+    e_da = (
+        e.map_batches(tag_edge("a", "b"), batch_format="pyarrow")
+        .union(dt)
+        .groupby("bucket")
+        .map_groups(attach("a", "b", "da"), batch_format="pyarrow")
+    )
+
+    def tag_eb(batch: pa.Table) -> pa.Table:
+        return _tag_kpq(batch.column("b").to_numpy(),
+                        batch.column("a").to_numpy(),
+                        batch.column("da").to_numpy(), 0, nb)
+
+    e_dd = (
+        e_da.map_batches(tag_eb, batch_format="pyarrow")
+        .union(dt)
+        .groupby("bucket")
+        .map_groups(attach("b", "a", "db", carry_out="da"),
+                    batch_format="pyarrow")
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        da = batch.column("da").to_numpy()
+        db = batch.column("db").to_numpy()
+        a_low = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_low, a, b)
+        dst = np.where(a_low, b, a)
+        return pa.table(
+            {
+                "wsrc": pa.array(src, pa.int64()),
+                "wdst": pa.array(dst, pa.int64()),
+                "wbucket": pa.array(src % nb, pa.int64()),
+            }
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["wbucket"]).to_pandas()
+        m = df.merge(df, on="wsrc")
+        m = m[m["wdst_x"] < m["wdst_y"]]
+        n = len(m)
+        return pa.table(
+            {
+                "a": pa.array(m["wdst_x"].to_numpy(), pa.int64()),
+                "b": pa.array(m["wdst_y"].to_numpy(), pa.int64()),
+                "w": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+                "is_e": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    w = (
+        e_dd.map_batches(orient, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_edge_row(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "w": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "is_e": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    closed = (
+        w.union(e.map_batches(tag_edge_row, batch_format="pyarrow"))
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="nw"), Max("is_e", alias_name="ne"))
+    )
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        nw = batch.column("nw").to_numpy()
+        ne = batch.column("ne").to_numpy()
+        return pa.table(
+            {"tri_part": pa.array([int((nw * (ne > 0)).sum())], pa.int64())})
+
+    n_tri = int(
+        closed.map_batches(tri_partial, batch_format="pyarrow").sum("tri_part")
+        or 0)
+    return ray.data.from_items(
+        [{"n_triangles": n_tri, "n_edges": n_edges}])
+
+
 def kcore_bucketed(edges_ds, n_nodes: int, k: int = 3, rounds: int = 3,
                    src_col: str = "src", dst_col: str = "dst",
                    n_buckets: int | None = None):

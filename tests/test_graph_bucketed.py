@@ -73,3 +73,13 @@ def test_bfs_bucketed_early_exit_isolated_seeds(ray_session):
                   "node_id")
     assert out["node_id"].tolist() == [0]
     assert out["hop"].tolist() == [0]
+
+
+def test_triangles_bucketed_matches_broadcast(rand_graph):
+    from planetiler_ray.stages import graph
+
+    eds, n = rand_graph
+    bb = graph.triangle_count(eds, n_nodes=n)
+    bk = graph.triangles_bucketed(eds, n_nodes=n, n_buckets=16).to_pandas()
+    assert bb["n_triangles"].iloc[0] == bk["n_triangles"].iloc[0]
+    assert bb["n_edges"].iloc[0] == bk["n_edges"].iloc[0]
