@@ -158,6 +158,53 @@ def join_way_nodes(sf_dir: str, n_buckets: int = 64,
     )
 
 
+def _node_store_handle(sf_dir: str):
+    """Broadcast node-coordinate store (the OsmReader pass-2 LongLongMap
+    shape, ``reader/osm/OsmReader.java:534-550`` probed in-memory): sorted
+    (node_id, lat, lon) arrays ``ray.put`` once."""
+    nd = nodes_ds(sf_dir).to_pandas()
+    nid = nd["node_id"].to_numpy()
+    o = np.argsort(nid, kind="stable")
+    return ray.put((nid[o], nd["lat_mdeg"].to_numpy()[o],
+                    nd["lon_mdeg"].to_numpy()[o]))
+
+
+def joined_way_rows(sf_dir: str, n_buckets: int = 64,
+                    node_broadcast_max: int = 100_000_000) -> ray.data.Dataset:
+    """(way_id, seq, node_id, lat_mdeg, lon_mdeg, wbucket) rows ready for a
+    ``groupby("wbucket")`` regroup — ONE exchange end-to-end when the node
+    table fits the broadcast store budget (coords looked up while the refs
+    stream, the reference's in-memory node-store discipline), else the
+    two-exchange ``join_way_nodes`` path.  Callers that exist to showcase
+    the shuffle join itself (``assemble_ways``, the pbf pipeline) keep
+    calling ``join_way_nodes`` directly."""
+    import pyarrow.parquet as pq2
+
+    n_node_rows = pq2.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_node_rows > node_broadcast_max:
+        return join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+    store = _node_store_handle(sf_dir)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        nid_s, lat_s, lon_s = ray.get(store)
+        refs_nid = batch.column("node_id").to_numpy()
+        pos = np.searchsorted(nid_s, refs_nid)
+        pos_c = np.minimum(pos, len(nid_s) - 1)
+        ok = (pos < len(nid_s)) & (nid_s[pos_c] == refs_nid)
+        hit = np.flatnonzero(ok)
+        wid = batch.column("way_id").to_numpy()[hit]
+        return pa.table({
+            "way_id": pa.array(wid, pa.int64()),
+            "seq": batch.column("seq").take(pa.array(hit)),
+            "node_id": pa.array(refs_nid[hit], pa.int64()),
+            "lat_mdeg": pa.array(lat_s[pos_c[hit]], pa.int64()),
+            "lon_mdeg": pa.array(lon_s[pos_c[hit]], pa.int64()),
+            "wbucket": pa.array(wid % n_buckets, pa.int64()),
+        })
+
+    return way_refs_ds(sf_dir).map_batches(lookup, batch_format="pyarrow")
+
+
 def assemble_ways(sf_dir: str, n_buckets: int = 64,
                   joined: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Pass 2: regroup joined rows by way_id -> per-way geometry summary.
@@ -293,7 +340,7 @@ def route_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        joined_way_rows(sf_dir, n_buckets)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
@@ -356,7 +403,7 @@ def haversine_mileage(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        joined_way_rows(sf_dir, n_buckets)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
@@ -633,7 +680,7 @@ def segment_crossings(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        joined_way_rows(sf_dir, n_buckets)
         .groupby("wbucket")
         .map_groups(lambda g: emit_cells(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")

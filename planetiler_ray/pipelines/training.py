@@ -5241,7 +5241,7 @@ def q_bearing_octants(sf_dir: str, n_buckets: int = 64):
     deltas, (admin, octant) count partials, tiny final groupby-sum."""
     from ray.data.aggregate import Sum
 
-    from .osm import join_way_nodes
+    from .osm import joined_way_rows
 
     OCT = np.array(["E", "N", "NE", "NW", "S", "SE", "SW", "W"],
                    dtype=object)
@@ -5286,7 +5286,7 @@ def q_bearing_octants(sf_dir: str, n_buckets: int = 64):
         })
 
     return (
-        join_way_nodes(sf_dir, n_buckets, emit_wbucket=True)
+        joined_way_rows(sf_dir, n_buckets)
         .groupby("wbucket")
         .map_groups(lambda g: per_bucket(g.drop_columns(["wbucket"])),
                     batch_format="pyarrow")
