@@ -176,6 +176,26 @@ def run_bench() -> dict:
     timed("rect_union_area", lambda: __import__(
         "planetiler_ray.pipelines.osm", fromlist=["rect_union_area"]
     ).rect_union_area(SF_DIR).count())
+    # round-5 additions: bucketed (no-driver-state) graph paths, the
+    # deterministic transliterator, and the parallel PMTiles packer over a
+    # pre-built tile table (pack time only — the encode is the flagship's)
+    timed("pagerank_bucketed",
+          lambda: training.q_pagerank_bucketed(SF_DIR).count())
+    timed("triangles_bucketed",
+          lambda: training.q_triangles_bucketed(SF_DIR).count())
+    timed("translit_names", lambda: training.q_translit_names(SF_DIR).count())
+    from planetiler_ray.sinks.pmtiles import write_pmtiles
+
+    pack_tiles = flagship.tiles_ds(SF_DIR, zooms=BENCH_ZOOMS,
+                                   repl=60).materialize()
+    pm_path = tempfile.mktemp(suffix=".pmtiles")
+    try:
+        timed("pmtiles_pack", lambda: write_pmtiles(pack_tiles, pm_path)[
+            "n_tiles"])
+    finally:
+        if os.path.exists(pm_path):
+            os.remove(pm_path)
+    del pack_tiles
 
     result = {
         "metric": "flagship build seconds (sf dir end-to-end to sharded tile archive)",

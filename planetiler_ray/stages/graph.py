@@ -61,13 +61,22 @@ def _canon_edges(edges_ds, src_col: str, dst_col: str):
 
 def _node_range(n_nodes: int):
     """Distributed [0, n_nodes) node table (column ``node``) — the bucketed
-    variants' replacement for ``np.arange(n_nodes)`` driver vectors."""
+    variants' replacement for ``np.arange(n_nodes)`` driver vectors.
+    Blocks sized ~1M nodes (floor 2x cores) — ``ray.data.range``'s default
+    block count is tuned for row-heavy pipelines and fragments a small
+    range into hundreds of near-empty exchange inputs."""
     import ray
+
+    from ..pipelines.flagship import shuffle_partitions
+
+    blocks = max(shuffle_partitions() // 2, -(-n_nodes // 1_000_000))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("id").cast(pa.int64())})
 
-    return ray.data.range(n_nodes).map_batches(rename, batch_format="pyarrow")
+    return ray.data.range(
+        n_nodes, override_num_blocks=blocks
+    ).map_batches(rename, batch_format="pyarrow")
 
 
 def _tag_kpq(key: np.ndarray, p: np.ndarray, q: np.ndarray,
@@ -540,6 +549,16 @@ def _buckets(n_buckets: int | None) -> int:
     return shuffle_partitions()
 
 
+
+def _compact(ds, nb: int):
+    """Coalesce an iteration-state Dataset to ``nb`` blocks before
+    materializing: the sort-based groupby emits one (often near-empty)
+    block per INPUT block, so un-compacted loop state grows by the edge
+    block count every iteration and exchange overhead compounds
+    (measured: 5-iteration pagerank 69 s -> 11 s at sf0.1)."""
+    return ds.repartition(nb).materialize()
+
+
 def pagerank_bucketed(edges_ds, n_nodes: int, iters: int = 5,
                       damping_pct: int = 85, scale: int = 10**9,
                       src_col: str = "src", dst_col: str = "dst",
@@ -594,6 +613,7 @@ def pagerank_bucketed(edges_ds, n_nodes: int, iters: int = 5,
         .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(attach_deg, batch_format="pyarrow")
+        .repartition(nb)
         .materialize()  # loop-invariant, reused every iteration (spillable)
     )
 
@@ -651,7 +671,7 @@ def pagerank_bucketed(edges_ds, n_nodes: int, iters: int = 5,
                 }
             )
 
-        state = sums.map_batches(to_rank, batch_format="pyarrow").materialize()
+        state = _compact(sums.map_batches(to_rank, batch_format="pyarrow"), nb)
         default = base
 
     # densify: every node gets its sparse rank or the final default
@@ -894,10 +914,9 @@ def kcore_bucketed(edges_ds, n_nodes: int, k: int = 3, rounds: int = 3,
                 .groupby("bucket")
                 .map_groups(keep_alive("b", "a"), batch_format="pyarrow")
             )
-        deg_ds = bucketed_sum(
+        deg_ds = _compact(bucketed_sum(
             surv.map_batches(deg_partial, batch_format="pyarrow"),
-            keys=["node"], sums=[("d_part", "deg")], n_buckets=nb,
-        ).materialize()
+            keys=["node"], sums=[("d_part", "deg")], n_buckets=nb), nb)
 
         def survivors(batch: pa.Table) -> pa.Table:
             m = batch.column("deg").to_numpy() >= k
@@ -1020,11 +1039,12 @@ def bfs_bucketed(edges_ds, n_nodes: int, seed_mod: int = 101, hops: int = 3,
                                        batch_format="pyarrow"))
             .groupby("bucket")
             .map_groups(anti, batch_format="pyarrow")
+            .repartition(nb)
             .materialize()
         )
         if frontier.count() == 0:
             break
-        reached = reached.union(frontier).materialize()
+        reached = _compact(reached.union(frontier), nb)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node_id": batch.column("node"),
@@ -1118,7 +1138,7 @@ def sssp_bucketed(edges_ds, n_nodes: int, seed_mod: int = 101,
         merged = bucketed_sum(
             cands.union(dist.map_batches(as_partial, batch_format="pyarrow")),
             keys=["node"], sums=[], mins=[("d_part", "dist")], n_buckets=nb)
-        dist = merged.materialize()
+        dist = _compact(merged, nb)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node_id": batch.column("node"),
