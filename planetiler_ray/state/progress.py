@@ -127,3 +127,69 @@ def write_prometheus_textfile(path: str, extra_gauges: dict | None = None) -> st
         f.write(text)
     os.replace(tmp, path)
     return text
+
+
+class PushGateway:
+    """Prometheus pushgateway client — ``stats/PrometheusStats.java:60-120``
+    parity: the reference pushes the exposition payload to
+    ``/metrics/job/<job>[/<label>/<value>...]`` every ~15 s.  Stdlib
+    ``http.client`` transport (works against any reachable gateway, incl.
+    loopback — exercised end-to-end in tests against a local HTTP server;
+    the sandbox only lacks EXTERNAL network).  ``transport`` is injectable
+    for tests/offline use: a callable ``(method, path, body, headers) ->
+    status_code``.
+    """
+
+    def __init__(self, url: str, job: str = "planetiler_ray",
+                 grouping: dict[str, str] | None = None, transport=None):
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        self.host = u.hostname or "127.0.0.1"
+        self.port = u.port or 9091
+        self.job = job
+        self.grouping = grouping or {}
+        self.transport = transport
+
+    @property
+    def path(self) -> str:
+        parts = [f"/metrics/job/{_sanitize(self.job)}"]
+        for k, v in sorted(self.grouping.items()):
+            parts.append(f"/{_sanitize(k)}/{_sanitize(v)}")
+        return "".join(parts)
+
+    def push(self, extra_gauges: dict | None = None,
+             snapshot: dict | None = None) -> int:
+        """PUT the current exposition payload; returns the HTTP status."""
+        body = prometheus_text(snapshot=snapshot,
+                               extra_gauges=extra_gauges).encode()
+        headers = {"Content-Type": "text/plain; version=0.0.4",
+                   "Content-Length": str(len(body))}
+        if self.transport is not None:
+            return int(self.transport("PUT", self.path, body, headers))
+        import http.client
+
+        conn = http.client.HTTPConnection(self.host, self.port, timeout=10)
+        try:
+            conn.request("PUT", self.path, body=body, headers=headers)
+            return conn.getresponse().status
+        finally:
+            conn.close()
+
+    def start_pushing(self, interval_s: float = 15.0):
+        """Background push loop (the reference's scheduled pusher).
+        Returns a ``threading.Event``; set it to stop."""
+        import threading
+
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(interval_s):
+                try:
+                    self.push()
+                except Exception:
+                    pass  # gateway outages never take down the build
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        return stop
