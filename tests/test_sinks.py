@@ -231,3 +231,22 @@ def test_mbtiles_parallel_matches_serial(tiles, tmp_path):
          " ORDER BY 1, 2, 3")
     assert sqlite3.connect(p1).execute(q).fetchall() == \
         sqlite3.connect(p2).execute(q).fetchall()
+
+
+def test_varints_np_property_full_range():
+    """Vectorized LEB128 must equal the scalar encoder across the whole
+    width range including >= 2^56 (9-10 byte) values."""
+    import numpy as np
+
+    from planetiler_ray.sinks import pmtiles as P
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        np.array([0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**35,
+                  2**56 - 1, 2**56, 2**63 - 1], dtype=np.uint64),
+        rng.randint(0, 2**63 - 1, 500, dtype=np.int64).astype(np.uint64),
+        (np.uint64(1) << rng.randint(0, 64, 200, dtype=np.int64).astype(
+            np.uint64)) - np.uint64(1),
+    ])
+    expect = b"".join(P._varint(int(v)) for v in vals)
+    assert P._varints_np(vals) == expect
