@@ -250,3 +250,46 @@ def test_varints_np_property_full_range():
     ])
     expect = b"".join(P._varint(int(v)) for v in vals)
     assert P._varints_np(vals) == expect
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pmtiles_parallel_fuzz_byte_identity(ray_session, tmp_path, seed):
+    """Randomized tile tables (duplicate blobs, runs, varying sizes, odd
+    range boundaries) must produce byte-identical serial/parallel
+    archives."""
+    import gzip as _gzip
+
+    import pandas as pd
+    import ray.data
+
+    from planetiler_ray.geo import tile as T
+    from planetiler_ray.sinks import pmtiles as P
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(500, 4000))
+    z = rng.choice([4, 6, 8], n).astype(np.int64)
+    x = rng.randint(0, 16, n).astype(np.int64) % (1 << z)
+    y = rng.randint(0, 16, n).astype(np.int64) % (1 << z)
+    tid = T.encode_tile_id(z, x, y, T.XYZ)
+    # dedupe tile addresses (archives address each tile once)
+    _, first = np.unique(tid, return_index=True)
+    z, x, y, tid = z[first], x[first], y[first], tid[first]
+    n = len(tid)
+    n_blobs = int(rng.randint(3, 30))
+    blobs = [_gzip.compress(bytes(rng.randint(0, 256, rng.randint(1, 400),
+                                              dtype=np.uint8)), mtime=0)
+             for _ in range(n_blobs)]
+    pick = rng.randint(0, n_blobs, n)
+    df = pd.DataFrame({
+        "tile_id": tid, "z": z, "tile_x": x, "tile_y": y,
+        "tile_gz": [blobs[i] for i in pick],
+        "content_hash": [hash(blobs[i]) & (2**63 - 1) for i in pick],
+    })
+    ds = ray.data.from_pandas(df)
+    p1 = str(tmp_path / f"s{seed}.pmtiles")
+    p2 = str(tmp_path / f"p{seed}.pmtiles")
+    s1 = P.write_pmtiles(ds, p1, parallel=False)
+    s2 = P._write_pmtiles_parallel(ds, p2, None,
+                                   range_rows=int(rng.randint(100, 700)))
+    assert s1 == s2
+    assert open(p1, "rb").read() == open(p2, "rb").read()
