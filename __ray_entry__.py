@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon_dedup": webgeo.q_url_canon_dedup,
         "warc_pages": webgeo.q_warc_pages,
         "geoparquet_roundtrip": webgeo.q_geoparquet_roundtrip,
+        "shapefile_src": webgeo.q_shapefile_src,
+        "geopackage_src": webgeo.q_geopackage_src,
+        "geojson_src": webgeo.q_geojson_src,
         "polygon_fill": webgeo.q_polygon_fill,
         "cluster_assign": training.q_cluster_assign,
         "ivf_exact": training.q_ivf_exact,
@@ -746,6 +749,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canon_dedup": oracle.sql_url_canon_dedup(),
         "warc_pages": oracle.sql_pages_meta(),
         "geoparquet_roundtrip": oracle.sql_mentions(),
+        "shapefile_src": oracle.sql_gis_reader_admin(),
+        "geopackage_src": oracle.sql_gis_reader_admin(),
+        "geojson_src": oracle.sql_gis_reader_admin(),
         "cluster_assign": oracle.sql_cluster_assign(),
         "ivf_exact": oracle.sql_ivf_exact(),
         "ivf_recall": oracle.sql_ivf_recall(),

@@ -5237,3 +5237,25 @@ SELECT c.c_custkey, m.name_src, m.name_latin
 FROM customer c JOIN m ON m.idx = c.c_custkey % {len(TRANSLIT_FIXTURES)}
 ORDER BY 1
 """
+
+
+def sql_gis_reader_admin() -> str:
+    """Shared mirror of ``webgeo.q_shapefile_src`` / ``q_geopackage_src``:
+    the admin rectangle corners re-derived from ``nation`` with the
+    IDENTICAL float64 chain (``sources/world.admin_rect``: -180.0 - 0.0005
+    + col*72.0 etc.) and the same floor(x*1e4 + 0.5) integerization; ring
+    and point counts are the writer's closed single-ring rectangle."""
+    return """
+SELECT n_nationkey AS admin_id,
+       1 AS n_rings,
+       5 AS n_points,
+       CAST(floor((-180.0 - 0.0005 + CAST(n_nationkey % 5 AS DOUBLE) * 72.0)
+                  * 10000 + 0.5) AS BIGINT) AS lon0_e4,
+       CAST(floor((-85.0 - 0.0005 + CAST(n_nationkey // 5 AS DOUBLE) * 34.0)
+                  * 10000 + 0.5) AS BIGINT) AS lat0_e4,
+       CAST(floor(((-180.0 - 0.0005 + CAST(n_nationkey % 5 AS DOUBLE) * 72.0)
+                   + 72.0) * 10000 + 0.5) AS BIGINT) AS lon1_e4,
+       CAST(floor(((-85.0 - 0.0005 + CAST(n_nationkey // 5 AS DOUBLE) * 34.0)
+                   + 34.0) * 10000 + 0.5) AS BIGINT) AS lat1_e4
+FROM nation ORDER BY 1
+"""

@@ -2475,3 +2475,154 @@ def q_extent_area(sf_dir: str) -> ray.data.Dataset:
         })
 
     return q_doc_geo_extent(sf_dir).map_batches(area, batch_format="pyarrow")
+
+
+# ----------------------------------------------- GIS reader oracle gates --
+
+GIS_FIXTURE_DIR = "/tmp/planetiler_ray_gis"
+
+
+def _gis_fixture_base(sf_dir: str, ext: str) -> tuple[str, bool]:
+    """(cached fixture base path, needs_regen) per sf dir (pbf_fixture_path
+    convention: regenerate when the source table is newer)."""
+    import os
+
+    os.makedirs(GIS_FIXTURE_DIR, exist_ok=True)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(GIS_FIXTURE_DIR, f"admin_{name}")
+    probe = base + ext
+    src_m = os.path.getmtime(f"{sf_dir}/nation.parquet")
+    regen = (not os.path.exists(probe)) or os.path.getmtime(probe) < src_m
+    return base, regen
+
+
+def _admin_summary(batch: pa.Table, id_vals: np.ndarray) -> pa.Table:
+    """Integer summary rows of decoded admin polygons: ring/point counts
+    from the DECODED geometry (a reader drop/corruption breaks the hash)
+    and the e4-scaled bbox via floor(x*1e4 + 0.5) — the same literal
+    formula the SQL twin applies to its re-derived rectangle corners."""
+    from ..geo import wkb as W
+
+    wkbs = batch.column("geom_wkb").to_pylist()
+    nr, npts, x0, y0, x1, y1 = [], [], [], [], [], []
+    for b in wkbs:
+        kind, rings = W.decode_wkb(b)
+        assert kind == "polygon", kind
+        allp = np.vstack(rings)
+        nr.append(len(rings))
+        npts.append(len(allp))
+        x0.append(int(np.floor(allp[:, 0].min() * 10000 + 0.5)))
+        y0.append(int(np.floor(allp[:, 1].min() * 10000 + 0.5)))
+        x1.append(int(np.floor(allp[:, 0].max() * 10000 + 0.5)))
+        y1.append(int(np.floor(allp[:, 1].max() * 10000 + 0.5)))
+    return pa.table({
+        "admin_id": pa.array(id_vals.astype(np.int64), pa.int64()),
+        "n_rings": pa.array(nr, pa.int64()),
+        "n_points": pa.array(npts, pa.int64()),
+        "lon0_e4": pa.array(x0, pa.int64()),
+        "lat0_e4": pa.array(y0, pa.int64()),
+        "lon1_e4": pa.array(x1, pa.int64()),
+        "lat1_e4": pa.array(y1, pa.int64()),
+    })
+
+
+def q_shapefile_src(sf_dir: str) -> ray.data.Dataset:
+    """The pure-spec shapefile READER under the exact-oracle gate: the
+    admin rectangles are written to a cached .shp/.shx/.dbf fixture
+    (CW outer rings, admin_id in the .dbf), decoded back through the
+    parallel reader, and summarized as integer bbox/count rows the SQL
+    twin re-derives from ``nation`` with the identical float chain —
+    upgrading SURVEY §2 row 5 from unit-only to gate coverage."""
+    import pyarrow.parquet as pq2
+
+    from ..sources.shapefile import read_shapefile, write_shapefile
+    from ..sources.world import admin_ring
+
+    base, regen = _gis_fixture_base(sf_dir, ".shp")
+    if regen:
+        keys = pq2.read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey"]
+                              ).column("n_nationkey").to_numpy()
+        geoms = [[admin_ring(int(k))[::-1]] for k in keys]  # CW outer
+        write_shapefile(base, ["polygon"] * len(keys), geoms,
+                        fields=[("ADMIN_ID", "N", 8)],
+                        attrs={"ADMIN_ID": [int(k) for k in keys]})
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("ADMIN_ID").to_pylist(), dtype=np.int64)
+        return _admin_summary(batch, ids)
+
+    return read_shapefile(base + ".shp").map_batches(
+        summarize, batch_format="pyarrow")
+
+
+def q_geopackage_src(sf_dir: str) -> ray.data.Dataset:
+    """The stdlib-sqlite GeoPackage READER under the exact-oracle gate
+    (same fixture world and summary contract as :func:`q_shapefile_src`;
+    GPB header parse + WKB decode on the read path) — SURVEY §2 rows 6-7
+    upgraded from unit-only to gate coverage."""
+    import pyarrow.parquet as pq2
+
+    from ..geo import wkb as W
+    from ..sources.geopackage import read_geopackage, write_geopackage
+    from ..sources.world import admin_ring
+
+    base, regen = _gis_fixture_base(sf_dir, ".gpkg")
+    if regen:
+        keys = pq2.read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey"]
+                              ).column("n_nationkey").to_numpy()
+        wkbs = [W.encode_wkb("polygon", [admin_ring(int(k))]) for k in keys]
+        import os
+
+        if os.path.exists(base + ".gpkg"):
+            os.remove(base + ".gpkg")
+        write_geopackage(base + ".gpkg", "admin", ["admin_id"],
+                         {"admin_id": [str(int(k)) for k in keys]}, wkbs)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray([int(v) for v in
+                          batch.column("admin_id").to_pylist()],
+                         dtype=np.int64)
+        return _admin_summary(batch, ids)
+
+    return read_geopackage(base + ".gpkg", table="admin").map_batches(
+        summarize, batch_format="pyarrow")
+
+
+def q_geojson_src(sf_dir: str) -> ray.data.Dataset:
+    """The NDJSON/GeoJSON READER under the exact-oracle gate (same admin
+    fixture world + summary contract as :func:`q_shapefile_src`; per-line
+    JSON parse + coordinates->WKB on the read path) — SURVEY §2 row 8
+    upgraded from unit-only to gate coverage."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from ..sources.geojson import read_ndjson_features
+    from ..sources.world import admin_ring
+
+    base, regen = _gis_fixture_base(sf_dir, ".ndjson")
+    path = base + ".ndjson"
+    if regen:
+        keys = pq2.read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey"]
+                              ).column("n_nationkey").to_numpy()
+        with open(path + ".tmp", "w") as f:
+            for k in keys:
+                ring = admin_ring(int(k)).tolist()
+                f.write(_json.dumps({
+                    "type": "Feature", "id": int(k),
+                    "properties": {"admin_id": int(k)},
+                    "geometry": {"type": "Polygon", "coordinates": [ring]},
+                }) + "\n")
+        os.replace(path + ".tmp", path)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("feature_id").to_pylist(),
+                         dtype=np.int64)
+        return _admin_summary(batch, ids)
+
+    return read_ndjson_features([path]).map_batches(
+        summarize, batch_format="pyarrow")
